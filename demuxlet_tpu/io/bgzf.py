@@ -1,0 +1,72 @@
+"""BGZF block gzip: reader helpers and a writer.
+
+BGZF (the SAM spec's blocked-gzip variant) is a series of concatenated gzip
+members, each <= 64 KiB uncompressed, carrying a BC extra subfield with the
+compressed block size. Python's gzip module transparently reads concatenated
+members, so sequential reads just use gzip. The writer here produces
+spec-compliant BGZF (used by test fixtures and the output writers when a
+.gz suffix is requested), including the 28-byte EOF sentinel block.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+from typing import IO
+
+# The BGZF EOF marker block (SAM spec section 4.1.2)
+BGZF_EOF = bytes.fromhex(
+    "1f8b08040000000000ff0600424302001b0003000000000000000000"
+)
+
+_MAX_BLOCK = 65280  # uncompressed payload limit per block
+
+
+def compress_block(data: bytes, level: int = 6) -> bytes:
+    """One BGZF block for <= 64 KiB of data."""
+    co = zlib.compressobj(level, zlib.DEFLATED, -15)
+    comp = co.compress(data) + co.flush()
+    bsize = len(comp) + 25 + 1  # header(12) + XLEN payload(6) + crc/isize(8)
+    header = struct.pack(
+        "<4BIBBHBBHH",
+        0x1F,
+        0x8B,
+        0x08,
+        0x04,  # magic + FLG.FEXTRA
+        0,  # MTIME
+        0,  # XFL
+        0xFF,  # OS
+        6,  # XLEN
+        0x42,  # 'B'
+        0x43,  # 'C'
+        2,  # SLEN
+        bsize - 1,  # BSIZE-1
+    )
+    return header + comp + struct.pack("<II", zlib.crc32(data) & 0xFFFFFFFF, len(data))
+
+
+class BgzfWriter:
+    def __init__(self, fh: IO[bytes], level: int = 6):
+        self._fh = fh
+        self._buf = bytearray()
+        self._level = level
+
+    def write(self, data: bytes) -> None:
+        self._buf += data
+        while len(self._buf) >= _MAX_BLOCK:
+            chunk = bytes(self._buf[:_MAX_BLOCK])
+            del self._buf[:_MAX_BLOCK]
+            self._fh.write(compress_block(chunk, self._level))
+
+    def close(self) -> None:
+        if self._buf:
+            self._fh.write(compress_block(bytes(self._buf), self._level))
+            self._buf.clear()
+        self._fh.write(BGZF_EOF)
+        self._fh.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()

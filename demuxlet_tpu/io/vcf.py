@@ -1,0 +1,345 @@
+"""VCF/BCF reading: streaming parse -> filtered, posterior-annotated SNP table.
+
+Host-side replacement for the reference's BCFFilteredReader + BCFChunkedReader
+stack (bcf_filtered_reader.cpp, bcf_chunked_reader.cpp). Unlike the reference
+(which co-scans VCF and BAM with a sliding buffer), we load the full filtered
+SNP table upfront: SNPs never covered by a read contribute exactly zero to
+every likelihood, so the outputs are identical while the dense device kernels
+get a static SNP axis.
+
+Supports .vcf, .vcf.gz (gzip/BGZF) and .bcf (BCF2 binary, io/bcf.py).
+"""
+
+from __future__ import annotations
+
+import gzip
+import io as _io
+from dataclasses import dataclass, field
+from typing import IO, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+from demuxlet_tpu.host import genotypes as G
+from demuxlet_tpu.utils.logging_utils import error, notice, warning
+
+GT_MISSING = -1
+
+
+@dataclass
+class VariantRecord:
+    chrom: str
+    pos0: int  # 0-based position
+    ref: str
+    alts: List[str]
+    qual: float
+    filters: List[str]
+    fmt_keys: List[str]
+    # raw per-sample FORMAT strings, split per sample (lazily parsed fields)
+    sample_fields: List[List[str]]
+
+    @property
+    def n_allele(self) -> int:
+        return 1 + sum(1 for a in self.alts if a != ".")
+
+    def gt_pairs(self, icols: Sequence[int]) -> np.ndarray:
+        """(nsel, 2) allele indices, -1 for missing (htslib GT semantics)."""
+        try:
+            gi = self.fmt_keys.index("GT")
+        except ValueError:
+            return np.full((len(icols), 2), GT_MISSING, dtype=np.int32)
+        out = np.full((len(icols), 2), GT_MISSING, dtype=np.int32)
+        for r, i in enumerate(icols):
+            fields = self.sample_fields[i]
+            s = fields[gi] if gi < len(fields) else "."
+            # split on / or |
+            parts = s.replace("|", "/").split("/")
+            for j in range(min(2, len(parts))):
+                p = parts[j]
+                if p and p != ".":
+                    try:
+                        out[r, j] = int(p)
+                    except ValueError:
+                        pass
+        return out
+
+    def int_field(self, name: str, icols: Sequence[int], per: int = 3) -> Optional[np.ndarray]:
+        """(nsel, per) int32; missing -> INT32_MIN (htslib bcf_int32_missing)."""
+        try:
+            fi = self.fmt_keys.index(name)
+        except ValueError:
+            return None
+        out = np.full((len(icols), per), np.iinfo(np.int32).min, dtype=np.int32)
+        for r, i in enumerate(icols):
+            fields = self.sample_fields[i]
+            if fi >= len(fields):
+                continue
+            s = fields[fi]
+            if s == "." or not s:
+                continue
+            for j, tok in enumerate(s.split(",")[:per]):
+                if tok != ".":
+                    try:
+                        out[r, j] = int(tok)
+                    except ValueError:
+                        pass
+        return out
+
+    def float_field(self, name: str, icols: Sequence[int], per: int = 3) -> Optional[np.ndarray]:
+        """(nsel, per) float32; missing -> NaN."""
+        try:
+            fi = self.fmt_keys.index(name)
+        except ValueError:
+            return None
+        out = np.full((len(icols), per), np.nan, dtype=np.float32)
+        for r, i in enumerate(icols):
+            fields = self.sample_fields[i]
+            if fi >= len(fields):
+                continue
+            s = fields[fi]
+            if s == "." or not s:
+                continue
+            for j, tok in enumerate(s.split(",")[:per]):
+                if tok != ".":
+                    try:
+                        out[r, j] = np.float32(tok)
+                    except ValueError:
+                        pass
+        return out
+
+
+def _open_text(path: str) -> IO[str]:
+    with open(path, "rb") as probe:
+        magic = probe.read(2)
+    if magic == b"\x1f\x8b":
+        return _io.TextIOWrapper(gzip.open(path, "rb"), encoding="utf-8")
+    return open(path, "rt", encoding="utf-8")
+
+
+class VcfReader:
+    """Streaming VCF text reader: header + record iteration."""
+
+    def __init__(self, path: str):
+        self.path = path
+        self.samples: List[str] = []
+        self.contigs: List[str] = []
+        self._fh = _open_text(path)
+        self._parse_header()
+
+    def _parse_header(self) -> None:
+        for line in self._fh:
+            line = line.rstrip("\n")
+            if line.startswith("##"):
+                if line.startswith("##contig="):
+                    # ##contig=<ID=chr1,length=...>
+                    inner = line[len("##contig=<") :].rstrip(">")
+                    for kv in inner.split(","):
+                        if kv.startswith("ID="):
+                            self.contigs.append(kv[3:])
+                continue
+            if line.startswith("#CHROM"):
+                cols = line.split("\t")
+                if len(cols) > 9:
+                    self.samples = cols[9:]
+                return
+        error("[%s] No #CHROM header line found", self.path)
+
+    def __iter__(self) -> Iterator[VariantRecord]:
+        for line in self._fh:
+            line = line.rstrip("\n")
+            if not line or line.startswith("#"):
+                continue
+            cols = line.split("\t")
+            chrom, pos, _id, ref, alt = cols[0], cols[1], cols[2], cols[3], cols[4]
+            qual = float(cols[5]) if cols[5] != "." else float("nan")
+            filters = [] if cols[6] in (".", "") else cols[6].split(";")
+            fmt_keys = cols[8].split(":") if len(cols) > 8 else []
+            sample_fields = [c.split(":") for c in cols[9:]]
+            alts = alt.split(",") if alt else ["."]
+            yield VariantRecord(
+                chrom=chrom,
+                pos0=int(pos) - 1,
+                ref=ref,
+                alts=alts,
+                qual=qual,
+                filters=filters,
+                fmt_keys=fmt_keys,
+                sample_fields=sample_fields,
+            )
+
+    def close(self) -> None:
+        self._fh.close()
+
+
+@dataclass
+class SnpTable:
+    """Filtered, posterior-annotated SNP panel (device-ready)."""
+
+    sample_ids: List[str]
+    chroms: List[str]  # per-SNP chromosome name
+    chrom_names: List[str]  # distinct chroms in order of appearance
+    pos0: np.ndarray  # (nsnps,) int64, 0-based
+    ref: np.ndarray  # (nsnps,) uint8 first REF char
+    alt: np.ndarray  # (nsnps,) uint8 first ALT char
+    af: np.ndarray  # (nsnps,) float64
+    gps: np.ndarray  # (nsnps, nv, 3) float64 (post f32-dance)
+    n_read: int = 0
+    n_pass: int = 0
+
+    @property
+    def nsnps(self) -> int:
+        return len(self.pos0)
+
+    @property
+    def nv(self) -> int:
+        return len(self.sample_ids)
+
+
+def resolve_samples(
+    all_samples: List[str], sm_ids: Sequence[str], sm_list_path: str | None
+) -> tuple[List[int], List[str]]:
+    """Sample subsetting (bcf_filtered_reader.cpp:98-146).
+
+    Specified IDs are collected into a sorted set (std::set) and resolved to
+    column indices in *sorted-ID order*; without a subset, VCF column order.
+    """
+    ids = set(sm_ids or [])
+    if sm_list_path:
+        with open(sm_list_path) as fh:
+            for line in fh:
+                tok = line.split()
+                if tok:
+                    ids.add(tok[0])
+    if ids:
+        icols = []
+        for sid in sorted(ids):
+            if sid not in all_samples:
+                error("Cannot find sample ID %s from the VCF file", sid)
+            icols.append(all_samples.index(sid))
+        return icols, [all_samples[i] for i in icols]
+    return list(range(len(all_samples))), list(all_samples)
+
+
+def load_snp_table(
+    path: str,
+    field_name: str = "GP",
+    geno_error: float = 0.01,
+    sm_ids: Sequence[str] = (),
+    sm_list_path: str | None = None,
+    min_mac: int = 1,
+    min_callrate: float = 0.5,
+    verbose: int = 10000,
+    warn_non_biallelic: bool = True,
+) -> SnpTable:
+    """Load + filter + convert a VCF into a SnpTable.
+
+    Filter semantics mirror passed_vfilter (bcf_filtered_reader.cpp:498-574)
+    with demuxlet's defaults: maxAlleles=2, require_GT (since minMAC/
+    minCallRate > 0), callrate >= min_callrate, MAC >= min_mac.
+    Posterior conversion per --field (GT/GP/PL), host/genotypes.py.
+    """
+    if path.endswith(".bcf"):
+        from demuxlet_tpu.io.bcf import BcfReader
+
+        rdr: VcfReader | "BcfReader" = BcfReader(path)
+    else:
+        rdr = VcfReader(path)
+    icols, sel_ids = resolve_samples(rdr.samples, sm_ids, sm_list_path)
+    notice("Finished identifying %d samples to load from VCF/BCF", len(icols))
+    nsm = len(icols)
+
+    chroms: List[str] = []
+    chrom_names: List[str] = []
+    seen_chroms = set()
+    poss: List[int] = []
+    refs: List[int] = []
+    alts: List[int] = []
+    afs: List[float] = []
+    gps_list: List[np.ndarray] = []
+    n_read = 0
+    n_pass = 0
+    n_non_biallelic = 0
+
+    for rec in rdr:
+        n_read += 1
+        if verbose > 0 and n_read % verbose == 0:
+            notice("Reading %d variants...", n_read)
+        # --- passed_vfilter ---
+        n_allele = len(rec.alts) + 1 if rec.alts != ["."] else 1
+        if n_allele > 2:
+            continue
+        gt = rec.gt_pairs(icols)
+        acs, an = G.count_alleles(gt)
+        if min_callrate > an / (2.0 * nsm):
+            continue
+        ac = an - acs[0]
+        if ac < min_mac or an - ac < min_mac:
+            continue
+        # --- parse posteriors ---
+        if field_name == "GT":
+            gps32 = G.gt_to_gps(gt, geno_error, acs, an)
+        elif field_name == "PL":
+            pls = rec.int_field("PL", icols, per=3)
+            if pls is None:
+                error(
+                    "Cannot parse posterior probability at %s:%d",
+                    rec.chrom,
+                    rec.pos0 + 1,
+                )
+            gps32, acs, an = G.pl_to_gps(pls)
+        else:
+            raw = rec.float_field(field_name, icols, per=3)
+            if raw is None:
+                error(
+                    "Cannot parse posterior probability at %s:%d",
+                    rec.chrom,
+                    rec.pos0 + 1,
+                )
+            gps32 = G.gp_to_gps(raw, geno_error)
+
+        # --- non-SNP warning (still added; cmd_cram_demuxlet.cpp:215-225) ---
+        if len(rec.ref) > 1 or n_allele != 2 or (rec.alts and len(rec.alts[0]) > 1):
+            if warn_non_biallelic:
+                if n_non_biallelic < 10:
+                    warning(
+                        "VCF record must be biallelic SNPs. Ignoring non-SNPs "
+                        "and/or multi-allelic variants at %s:%d",
+                        rec.chrom,
+                        rec.pos0 + 1,
+                    )
+                elif n_non_biallelic == 10:
+                    warning(
+                        "Suppressing 10+ warnings of the same kind (non-SNP or "
+                        "multi-alleic variants)"
+                    )
+            n_non_biallelic += 1
+
+        if rec.chrom not in seen_chroms:
+            seen_chroms.add(rec.chrom)
+            chrom_names.append(rec.chrom)
+        chroms.append(rec.chrom)
+        poss.append(rec.pos0)
+        refs.append(ord(rec.ref[0]))
+        alt0 = rec.alts[0] if rec.alts else "."
+        alts.append(ord(alt0[0]) if alt0 else ord("."))
+        afs.append(G.compute_af(acs, an))
+        gps_list.append(gps32.astype(np.float64))
+        n_pass += 1
+
+    rdr.close()
+    notice("Finished reading %d markers from the VCF file", n_pass)
+    return SnpTable(
+        sample_ids=sel_ids,
+        chroms=chroms,
+        chrom_names=chrom_names,
+        pos0=np.asarray(poss, dtype=np.int64),
+        ref=np.asarray(refs, dtype=np.uint8),
+        alt=np.asarray(alts, dtype=np.uint8),
+        af=np.asarray(afs, dtype=np.float64),
+        gps=(
+            np.stack(gps_list)
+            if gps_list
+            else np.zeros((0, nsm, 3), dtype=np.float64)
+        ),
+        n_read=n_read,
+        n_pass=n_pass,
+    )

@@ -1,0 +1,277 @@
+"""Synthetic SAM/BAM/VCF fixture generators for unit and e2e tests.
+
+These build small, fully-specified inputs (known CIGARs, barcodes, UMIs,
+genotypes) so pileup and likelihood semantics can be pinned without large
+data, per SURVEY.md §4.
+"""
+
+from __future__ import annotations
+
+import random
+import struct
+from dataclasses import dataclass, field
+from typing import List, Optional, Tuple
+
+from demuxlet_tpu.io.bgzf import BgzfWriter
+
+SEQ_NT16 = "=ACMGRSVTWYHKDBN"
+CIGAR_OPS = "MIDNSHP=X"
+
+
+@dataclass
+class SimRead:
+    chrom: str
+    pos0: int
+    seq: str
+    quals: List[int]  # phred values
+    cigar: str = ""  # e.g. "50M"; default: len(seq)M
+    cb: Optional[str] = None
+    ub: Optional[str] = None
+    mapq: int = 60
+    flag: int = 0
+    name: str = "r"
+
+    def cigar_str(self) -> str:
+        return self.cigar or f"{len(self.seq)}M"
+
+
+@dataclass
+class SimVariant:
+    chrom: str
+    pos0: int
+    ref: str
+    alt: str
+    # per-sample fields: list of dicts like {"GT": "0/1", "GP": "0.1,0.8,0.1"}
+    samples: List[dict] = field(default_factory=list)
+    qual: str = "100"
+    filt: str = "PASS"
+
+
+def write_vcf(
+    path: str,
+    sample_names: List[str],
+    variants: List[SimVariant],
+    contigs: Optional[List[Tuple[str, int]]] = None,
+    fmt_keys: Optional[List[str]] = None,
+) -> str:
+    lines = ["##fileformat=VCFv4.2"]
+    if contigs:
+        for name, ln in contigs:
+            lines.append(f"##contig=<ID={name},length={ln}>")
+    lines.append('##FORMAT=<ID=GT,Number=1,Type=String,Description="Genotype">')
+    lines.append('##FORMAT=<ID=GP,Number=G,Type=Float,Description="Posterior">')
+    lines.append('##FORMAT=<ID=PL,Number=G,Type=Integer,Description="Phred GL">')
+    lines.append(
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\t"
+        + "\t".join(sample_names)
+    )
+    for v in variants:
+        keys = fmt_keys or sorted({k for s in v.samples for k in s})
+        fmt = ":".join(keys)
+        cols = [
+            v.chrom,
+            str(v.pos0 + 1),
+            ".",
+            v.ref,
+            v.alt,
+            v.qual,
+            v.filt,
+            ".",
+            fmt,
+        ]
+        for s in v.samples:
+            cols.append(":".join(s.get(k, ".") for k in keys))
+        lines.append("\t".join(cols))
+    text = "\n".join(lines) + "\n"
+    if path.endswith(".gz"):
+        with BgzfWriter(open(path, "wb")) as w:
+            w.write(text.encode())
+    else:
+        with open(path, "w") as fh:
+            fh.write(text)
+    return path
+
+
+def write_sam(
+    path: str, contigs: List[Tuple[str, int]], reads: List[SimRead]
+) -> str:
+    lines = ["@HD\tVN:1.6\tSO:coordinate"]
+    for name, ln in contigs:
+        lines.append(f"@SQ\tSN:{name}\tLN:{ln}")
+    for i, r in enumerate(reads):
+        tags = []
+        if r.cb is not None:
+            tags.append(f"CB:Z:{r.cb}")
+        if r.ub is not None:
+            tags.append(f"UB:Z:{r.ub}")
+        qual = "".join(chr(q + 33) for q in r.quals)
+        cols = [
+            f"{r.name}{i}",
+            str(r.flag),
+            r.chrom,
+            str(r.pos0 + 1),
+            str(r.mapq),
+            r.cigar_str(),
+            "*",
+            "0",
+            "0",
+            r.seq,
+            qual,
+        ] + tags
+        lines.append("\t".join(cols))
+    with open(path, "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+    return path
+
+
+def _encode_cigar(cig: str) -> List[int]:
+    out = []
+    num = ""
+    for ch in cig:
+        if ch.isdigit():
+            num += ch
+        else:
+            out.append((int(num) << 4) | CIGAR_OPS.index(ch))
+            num = ""
+    return out
+
+
+def write_bam(
+    path: str, contigs: List[Tuple[str, int]], reads: List[SimRead]
+) -> str:
+    """Minimal spec-compliant BAM writer (BGZF-compressed)."""
+    ref_index = {name: i for i, (name, _) in enumerate(contigs)}
+    header_text = "@HD\tVN:1.6\tSO:coordinate\n" + "".join(
+        f"@SQ\tSN:{n}\tLN:{l}\n" for n, l in contigs
+    )
+    buf = bytearray()
+    buf += b"BAM\x01"
+    ht = header_text.encode()
+    buf += struct.pack("<i", len(ht)) + ht
+    buf += struct.pack("<i", len(contigs))
+    for name, ln in contigs:
+        nb = name.encode() + b"\x00"
+        buf += struct.pack("<i", len(nb)) + nb + struct.pack("<i", ln)
+    for i, r in enumerate(reads):
+        rec = bytearray()
+        name = f"{r.name}{i}".encode() + b"\x00"
+        cig = _encode_cigar(r.cigar_str())
+        l_seq = len(r.seq)
+        rec += struct.pack(
+            "<iiBBHHHiiii",
+            ref_index[r.chrom],
+            r.pos0,
+            len(name),
+            r.mapq,
+            0,
+            len(cig),
+            r.flag,
+            l_seq,
+            -1,
+            -1,
+            0,
+        )
+        rec += name
+        for c in cig:
+            rec += struct.pack("<I", c)
+        # 4-bit packed seq
+        for j in range(0, l_seq, 2):
+            hi = SEQ_NT16.index(r.seq[j]) if r.seq[j] in SEQ_NT16 else 15
+            lo = (
+                SEQ_NT16.index(r.seq[j + 1])
+                if j + 1 < l_seq and r.seq[j + 1] in SEQ_NT16
+                else 15
+            )
+            rec += bytes([(hi << 4) | (lo if j + 1 < l_seq else 0)])
+        rec += bytes(r.quals)
+        if r.cb is not None:
+            rec += b"CBZ" + r.cb.encode() + b"\x00"
+        if r.ub is not None:
+            rec += b"UBZ" + r.ub.encode() + b"\x00"
+        buf += struct.pack("<i", len(rec)) + bytes(rec)
+    with BgzfWriter(open(path, "wb")) as w:
+        w.write(bytes(buf))
+    return path
+
+
+def random_workload(
+    rng: random.Random,
+    n_cells: int,
+    n_snps: int,
+    n_samples: int,
+    reads_per_cell: int = 30,
+    chrom: str = "chr1",
+    doublet_rate: float = 0.2,
+    read_len: int = 60,
+):
+    """A synthetic demux workload with known truth assignments.
+
+    Returns (contigs, variants, reads, truth) — variants use GT field with
+    random genotypes at fixed allele frequency, reads sample alleles from the
+    truth sample's genotype (with a doublet mixing two samples).
+    """
+    bases = ["A", "C", "G", "T"]
+    positions = sorted(rng.sample(range(100, 100 + n_snps * 50), n_snps))
+    sample_names = [f"S{i}" for i in range(n_samples)]
+    variants = []
+    genos = []  # (snp, sample) genotype 0/1/2
+    for p in positions:
+        ref, alt = rng.sample(bases, 2)
+        row = []
+        svals = []
+        for _ in range(n_samples):
+            g = rng.choices([0, 1, 2], weights=[0.36, 0.48, 0.16])[0]
+            row.append(g)
+            svals.append({"GT": ["0/0", "0/1", "1/1"][g]})
+        genos.append(row)
+        variants.append(SimVariant(chrom, p, ref, alt, svals))
+
+    reads = []
+    truth = {}
+    for c in range(n_cells):
+        cb = f"BC{c:05d}"
+        if rng.random() < doublet_rate and n_samples > 1:
+            s1, s2 = rng.sample(range(n_samples), 2)
+            truth[cb] = (s1, s2)
+        else:
+            s1 = rng.randrange(n_samples)
+            truth[cb] = (s1, s1)
+        for j in range(reads_per_cell):
+            k = rng.randrange(n_snps)
+            p = positions[k]
+            src = truth[cb][rng.random() < 0.5]
+            start = max(0, p - rng.randrange(read_len - 1))
+            # genotype-consistent bases at EVERY covered SNP position (a read
+            # overlapping several SNPs must not inject mixture-like noise)
+            import bisect
+
+            lo = bisect.bisect_left(positions, start)
+            hi = bisect.bisect_left(positions, start + read_len)
+            snp_at = {positions[q]: q for q in range(lo, hi)}
+            seq_chars = []
+            for i in range(read_len):
+                gp = start + i
+                q = snp_at.get(gp)
+                if q is None:
+                    seq_chars.append(rng.choice(bases))
+                else:
+                    g = genos[q][src]
+                    af = [1.0, 0.5, 0.0][g]  # P(ref allele)
+                    seq_chars.append(
+                        variants[q].ref if rng.random() < af else variants[q].alt
+                    )
+            seq = "".join(seq_chars)
+            quals = [rng.randrange(25, 41) for _ in range(read_len)]
+            reads.append(
+                SimRead(
+                    chrom=chrom,
+                    pos0=start,
+                    seq=seq,
+                    quals=quals,
+                    cb=cb,
+                    ub=f"U{c}_{j}",
+                )
+            )
+    reads.sort(key=lambda r: r.pos0)
+    contigs = [(chrom, positions[-1] + 1000)]
+    return contigs, sample_names, variants, reads, truth

@@ -1,0 +1,151 @@
+"""VCF parsing + GT/GP/PL posterior conversion tests (bcf_filtered_reader.cpp
+semantics)."""
+
+import numpy as np
+import pytest
+
+from demuxlet_tpu.host import genotypes as G
+from demuxlet_tpu.io.vcf import load_snp_table
+from fixtures import SimVariant, write_vcf
+
+
+def _table(tmp_path, variants, names=("A", "B"), **kw):
+    p = str(tmp_path / "t.vcf")
+    write_vcf(p, list(names), variants)
+    return load_snp_table(p, **kw)
+
+
+def test_gt_basic(tmp_path):
+    t = _table(
+        tmp_path,
+        [SimVariant("chr1", 99, "A", "C", [{"GT": "0/0"}, {"GT": "1/1"}])],
+        field_name="GT",
+        geno_error=0.01,
+    )
+    assert t.nsnps == 1
+    assert t.pos0[0] == 99
+    assert chr(t.ref[0]) == "A" and chr(t.alt[0]) == "C"
+    np.testing.assert_allclose(
+        t.gps[0, 0], np.float32([0.99, 0.005, 0.005]).astype(np.float64)
+    )
+    np.testing.assert_allclose(
+        t.gps[0, 1], np.float32([0.005, 0.005, 0.99]).astype(np.float64)
+    )
+    # af = (acs[1] + 0.5) / (an + 1) = (2 + 0.5) / 5
+    assert t.af[0] == (2 + 0.5) / 5.0
+
+
+def test_gt_missing_uses_hwe(tmp_path):
+    t = _table(
+        tmp_path,
+        [
+            SimVariant(
+                "chr1",
+                10,
+                "G",
+                "T",
+                [{"GT": "./."}, {"GT": "0/1"}, {"GT": "0/1"}],
+            )
+        ],
+        names=("A", "B", "C"),
+        field_name="GT",
+    )
+    # acs = [2,2], an = 4 over non-missing; p = (2+0.5)/5 for both alleles
+    p0 = (2 + 0.5) / 5.0
+    p1 = (2 + 0.5) / 5.0
+    expect = np.float32([p0 * p0, 2 * p1 * p0, p1 * p1]).astype(np.float64)
+    np.testing.assert_allclose(t.gps[0, 0], expect)
+
+
+def test_filters_monomorphic_and_callrate(tmp_path):
+    variants = [
+        # monomorphic (all 0/0): MAC < 1 -> filtered
+        SimVariant("chr1", 10, "A", "C", [{"GT": "0/0"}, {"GT": "0/0"}]),
+        # callrate 0/4 < 0.5 -> filtered
+        SimVariant("chr1", 20, "A", "C", [{"GT": "./."}, {"GT": "./."}]),
+        # passes
+        SimVariant("chr1", 30, "A", "C", [{"GT": "0/1"}, {"GT": "0/0"}]),
+    ]
+    t = _table(tmp_path, variants, field_name="GT")
+    assert t.nsnps == 1
+    assert t.pos0[0] == 30
+
+
+def test_multiallelic_filtered(tmp_path):
+    variants = [
+        SimVariant("chr1", 10, "A", "C,G", [{"GT": "0/1"}, {"GT": "0/2"}]),
+        SimVariant("chr1", 30, "A", "C", [{"GT": "0/1"}, {"GT": "0/0"}]),
+    ]
+    t = _table(tmp_path, variants, field_name="GT")
+    assert t.nsnps == 1
+
+
+def test_gp_field_f32_dance(tmp_path):
+    raw = [{"GP": "0.2,0.6,0.2"}, {"GP": "0.8,0.1,0.1"}]
+    t = _table(
+        tmp_path,
+        [SimVariant("chr1", 10, "A", "C", [{**r, "GT": "0/1"} for r in raw])],
+        field_name="GP",
+        geno_error=0.01,
+    )
+    # oracle computation in strict f32
+    g = np.float32([[0.2, 0.6, 0.2], [0.8, 0.1, 0.1]])
+    expect = G.gp_to_gps(g, 0.01).astype(np.float64)
+    np.testing.assert_array_equal(t.gps[0], expect)
+    # each row still sums to ~1
+    np.testing.assert_allclose(t.gps[0].sum(axis=1), [1.0, 1.0], atol=1e-6)
+
+
+def test_pl_em(tmp_path):
+    t = _table(
+        tmp_path,
+        [
+            SimVariant(
+                "chr1",
+                10,
+                "A",
+                "C",
+                [
+                    {"PL": "0,30,300", "GT": "0/0"},
+                    {"PL": "300,30,0", "GT": "1/1"},
+                ],
+            )
+        ],
+        field_name="PL",
+    )
+    gps = t.gps[0]
+    # sample 0 strongly RR, sample 1 strongly AA
+    assert gps[0, 0] > 0.9 and gps[1, 2] > 0.9
+    np.testing.assert_allclose(gps.sum(axis=1), [1.0, 1.0], rtol=1e-6)
+
+
+def test_pl_missing_clamps_to_255():
+    gps, acs, an = G.pl_to_gps(
+        np.array([[0, 30, 300], [-2147483648, -2147483648, -2147483648]], np.int32)
+    )
+    # missing PLs act like PL=255 everywhere: posterior ~ HWE prior
+    assert an == 4
+    np.testing.assert_allclose(gps[1].sum(), 1.0, rtol=1e-6)
+
+
+def test_sample_subset_sorted_order(tmp_path):
+    p = str(tmp_path / "t.vcf")
+    write_vcf(
+        p,
+        ["Z", "A", "M"],
+        [
+            SimVariant(
+                "chr1",
+                10,
+                "A",
+                "C",
+                [{"GT": "0/0"}, {"GT": "0/1"}, {"GT": "1/1"}],
+            )
+        ],
+    )
+    t = load_snp_table(p, field_name="GT", sm_ids=["Z", "M"])
+    # std::set order: sorted IDs
+    assert t.sample_ids == ["M", "Z"]
+    # M is column 2 (1/1), Z is column 0 (0/0)
+    assert t.gps[0, 0, 2] > 0.9  # M: AA
+    assert t.gps[0, 1, 0] > 0.9  # Z: RR
