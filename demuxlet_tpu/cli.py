@@ -1,0 +1,289 @@
+"""demuxlet-tpu command-line interface.
+
+Mirrors the reference binary's 24 options and defaults 1:1
+(cmd_cram_demuxlet.cpp:37-72) and adds a "TPU engine" option group for
+device execution control. Outputs .single/.sing2/.best and (with
+--write-pair) .pair, byte-compatible with the reference.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+from demuxlet_tpu.utils.logging_utils import error, notice
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="demuxlet-tpu",
+        description=(
+            "TPU-native droplet demultiplexing: deconvolute sample identity "
+            "and detect doublets from pooled single-cell data using natural "
+            "genetic variation."
+        ),
+    )
+    g = p.add_argument_group("Options for input SAM/BAM/CRAM")
+    g.add_argument("--sam", required=True, help="Input SAM/BAM file, coordinate-sorted")
+    g.add_argument("--tag-group", default="CB", help="Tag for cell barcodes (CB)")
+    g.add_argument("--tag-UMI", default="UB", help="Tag for UMIs (UB)")
+
+    g = p.add_argument_group("Options for input VCF/BCF")
+    g.add_argument("--vcf", required=True, help="Input VCF/BCF with genotypes")
+    g.add_argument(
+        "--field",
+        default="GP",
+        help="FORMAT field to extract genotype/likelihood/posterior (GT/GP/PL)",
+    )
+    g.add_argument(
+        "--geno-error",
+        type=float,
+        default=0.01,
+        help="Genotype error rate (must be used with --field GT)",
+    )
+    g.add_argument("--min-mac", type=int, default=1, help="Minimum minor allele count")
+    g.add_argument(
+        "--min-callrate", type=float, default=0.5, help="Minimum call rate"
+    )
+    g.add_argument(
+        "--sm", action="append", default=[], help="Sample ID to include (repeatable)"
+    )
+    g.add_argument("--sm-list", default=None, help="File with sample IDs to include")
+
+    g = p.add_argument_group("Output Options")
+    g.add_argument("--out", required=True, help="Output file prefix")
+    g.add_argument(
+        "--alpha",
+        action="append",
+        type=float,
+        default=None,
+        help="Grid of alpha to search (repeatable; default 0, 0.5)",
+    )
+    g.add_argument("--write-pair", action="store_true", help="Write the (HUGE) pair file")
+    g.add_argument(
+        "--doublet-prior", type=float, default=0.5, help="Prior of doublet"
+    )
+    g.add_argument("--sam-verbose", type=int, default=1000000)
+    g.add_argument("--vcf-verbose", type=int, default=10000)
+
+    g = p.add_argument_group("Read filtering Options")
+    g.add_argument("--cap-BQ", type=int, default=40, help="Maximum base quality cap")
+    g.add_argument("--min-BQ", type=int, default=13, help="Minimum base quality")
+    g.add_argument("--min-MQ", type=int, default=20, help="Minimum mapping quality")
+    g.add_argument("--min-TD", type=int, default=0, help="Minimum tail distance")
+    g.add_argument(
+        "--excl-flag", type=int, default=0x0F04, help="SAM flags to exclude"
+    )
+
+    g = p.add_argument_group("Cell/droplet filtering options")
+    g.add_argument("--group-list", default=None, help="Barcode whitelist file")
+    g.add_argument("--min-total", type=int, default=0)
+    g.add_argument("--min-uniq", type=int, default=0)
+    g.add_argument("--min-snp", type=int, default=0)
+
+    g = p.add_argument_group("TPU engine options")
+    g.add_argument(
+        "--device",
+        default="auto",
+        choices=["auto", "tpu", "cpu"],
+        help="Execution platform (auto = default JAX backend)",
+    )
+    g.add_argument(
+        "--precision",
+        default="f64",
+        choices=["f64", "f32"],
+        help="Device compute precision (f64 = reference parity)",
+    )
+    g.add_argument("--cell-block", type=int, default=1024, help="Cells per device batch")
+    g.add_argument(
+        "--slot-chunk", type=int, default=512, help="SNP-slot chunk per scan step"
+    )
+    g.add_argument(
+        "--ingest",
+        default="auto",
+        choices=["auto", "native", "python"],
+        help="Host pileup implementation (native C++ if built)",
+    )
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    t_start = time.time()
+
+    import jax
+
+    if args.device == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+    if args.precision == "f64":
+        jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+
+    grid_alpha = args.alpha if args.alpha else [0.0, 0.5]
+    if not args.out:
+        error("--out parameter is missing")
+    for tag, name in ((args.tag_group, "group"), (args.tag_UMI, "UMI")):
+        if tag and len(tag) != 2:
+            error(
+                "Cannot recognize %s tag %s. It is suppose to be a length 2 string",
+                name,
+                tag,
+            )
+
+    _echo_params(args, grid_alpha)
+
+    group_set = None
+    if args.group_list:
+        group_set = set()
+        with open(args.group_list) as fh:
+            for line in fh:
+                tok = line.split()
+                if tok:
+                    group_set.add(tok[0])
+        notice(
+            "Finished loading %d droplet/cell barcodes to consider", len(group_set)
+        )
+
+    from demuxlet_tpu.io.vcf import load_snp_table
+
+    table = load_snp_table(
+        args.vcf,
+        field_name=args.field,
+        geno_error=args.geno_error,
+        sm_ids=args.sm,
+        sm_list_path=args.sm_list,
+        min_mac=args.min_mac,
+        min_callrate=args.min_callrate,
+        verbose=args.vcf_verbose,
+    )
+    if table.nsnps == 0:
+        error("Cannot read any single variant from %s", args.vcf)
+
+    scl, ctr = _ingest(args, table, group_set)
+    ctr.report(scl.nbcs, scl.nsnps)
+
+    from demuxlet_tpu.models.engine import DemuxEngine, cell_stats
+    from demuxlet_tpu.models import outputs as out_mod
+
+    notice("Starting to identify best matching individual IDs")
+    dtype = jnp.float64 if args.precision == "f64" else jnp.float32
+    eng = DemuxEngine(
+        table.gps,
+        grid_alpha,
+        cap_bq=args.cap_BQ,
+        cell_block=args.cell_block,
+        slot_chunk=args.slot_chunk,
+        dtype=dtype,
+    )
+    res = eng.run(scl)
+    stats = cell_stats(scl)
+
+    filt = dict(
+        min_total=args.min_total, min_uniq=args.min_uniq, min_snp=args.min_snp
+    )
+    with open(args.out + ".single", "w") as fh:
+        out_mod.write_single(
+            fh, stats, table.sample_ids, res.llks, res.llk0s, **filt
+        )
+    wpair = open(args.out + ".pair", "w") if args.write_pair else None
+    with open(args.out + ".sing2", "w") as s2, open(args.out + ".best", "w") as sb:
+        out_mod.write_pass2(
+            stats,
+            table.sample_ids,
+            res.llk_ab,
+            res.llk_00,
+            grid_alpha,
+            args.doublet_prior,
+            s2,
+            sb,
+            wpair,
+            **filt,
+        )
+    if wpair is not None:
+        wpair.close()
+    notice("Finished writing output files")
+    notice("Total wall-clock time: %.3fs", time.time() - t_start)
+    return 0
+
+
+def _ingest(args, table, group_set):
+    """Dispatch host pileup: native C++ ingest if available, else Python."""
+    use_native = False
+    if args.ingest in ("auto", "native"):
+        try:
+            from demuxlet_tpu.native import ingest as native_ingest
+
+            use_native = native_ingest.available()
+        except Exception:
+            use_native = False
+        if args.ingest == "native" and not use_native:
+            error("--ingest native requested but the native library is not built")
+    if use_native:
+        from demuxlet_tpu.native import ingest as native_ingest
+
+        return native_ingest.build_pileup(
+            args.sam,
+            table,
+            tag_group=args.tag_group,
+            tag_umi=args.tag_UMI,
+            cap_bq=args.cap_BQ,
+            min_bq=args.min_BQ,
+            min_td=args.min_TD,
+            min_mq=args.min_MQ,
+            excl_flag=args.excl_flag,
+            group_set=group_set,
+        )
+    from demuxlet_tpu.host.pileup import build_pileup
+    from demuxlet_tpu.io.bam import AlignmentReader
+
+    rdr = AlignmentReader(args.sam, min_mq=args.min_MQ, excl_flag=args.excl_flag)
+    return build_pileup(
+        rdr,
+        table,
+        tag_group=args.tag_group,
+        tag_umi=args.tag_UMI,
+        cap_bq=args.cap_BQ,
+        min_bq=args.min_BQ,
+        min_td=args.min_TD,
+        group_set=group_set,
+    )
+
+
+def _echo_params(args, grid_alpha) -> None:
+    """Parameter echo in the spirit of paramList::Status (params.cpp:552-574)."""
+    notice("Available Options")
+    rows = [
+        ("sam", args.sam),
+        ("tag-group", args.tag_group),
+        ("tag-UMI", args.tag_UMI),
+        ("vcf", args.vcf),
+        ("field", args.field),
+        ("geno-error", args.geno_error),
+        ("min-mac", args.min_mac),
+        ("min-callrate", args.min_callrate),
+        ("sm", ",".join(args.sm) if args.sm else ""),
+        ("sm-list", args.sm_list or ""),
+        ("out", args.out),
+        ("alpha", ",".join(str(a) for a in grid_alpha)),
+        ("write-pair", args.write_pair),
+        ("doublet-prior", args.doublet_prior),
+        ("cap-BQ", args.cap_BQ),
+        ("min-BQ", args.min_BQ),
+        ("min-MQ", args.min_MQ),
+        ("min-TD", args.min_TD),
+        ("excl-flag", args.excl_flag),
+        ("group-list", args.group_list or ""),
+        ("min-total", args.min_total),
+        ("min-uniq", args.min_uniq),
+        ("min-snp", args.min_snp),
+    ]
+    for k, v in rows:
+        sys.stderr.write(f"   --{k} [{v}]\n")
+    sys.stderr.flush()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,145 @@
+"""Demux engine: orchestrates device likelihood passes over barcode blocks.
+
+The barcode axis is the data-parallel axis (reference scaling analog:
+--group-list manual sharding, cmd_cram_demuxlet.cpp:68). Cells are processed
+in fixed-size blocks; each block's covered-SNP slot count is bucketed to a
+power of two so jit compiles a bounded set of shapes.
+
+gp0 (mean genotype posterior per SNP) accumulates over samples in the
+reference's order (cmd_cram_demuxlet.cpp:390-401) for bit-faithfulness.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from demuxlet_tpu.host.pileup import PileupData
+from demuxlet_tpu.host.slots import SlotBlock, build_slots
+from demuxlet_tpu.models import likelihood
+from demuxlet_tpu.models.outputs import CellStats
+from demuxlet_tpu.ops import luts
+
+
+def compute_gp0(gps: np.ndarray) -> np.ndarray:
+    """(nsnps, nv, 3) -> (nsnps, 3): sequential sum over samples, / nv."""
+    nv = gps.shape[1]
+    out = np.zeros((gps.shape[0], 3), dtype=np.float64)
+    for j in range(nv):
+        out += gps[:, j, :]
+    out /= nv
+    return out
+
+
+def _bucket(n: int, minimum: int = 8) -> int:
+    b = minimum
+    while b < n:
+        b *= 2
+    return b
+
+
+@dataclass
+class EngineResult:
+    llks: np.ndarray  # (ncells, nv)
+    llk0s: np.ndarray  # (ncells,)
+    llk_ab: np.ndarray  # (ncells, nv, nv, nA)
+    llk_00: np.ndarray  # (ncells, nA)
+
+
+class DemuxEngine:
+    def __init__(
+        self,
+        gps: np.ndarray,  # (nsnps, nv, 3) float64
+        grid_alpha: Sequence[float],
+        cap_bq: int = 40,
+        cell_block: int = 256,
+        slot_chunk: int = 512,
+        dtype=jnp.float64,
+        mesh: Optional[jax.sharding.Mesh] = None,
+    ):
+        self.gps = np.ascontiguousarray(gps, dtype=np.float64)
+        self.gp0 = compute_gp0(self.gps)
+        self.grid_alpha = list(grid_alpha)
+        self.cap_bq = cap_bq
+        self.cell_block = cell_block
+        self.slot_chunk = slot_chunk
+        self.dtype = dtype
+        self.mesh = mesh
+        self.logf = luts.singlet_lut(cap_bq)
+        self.w = luts.pair_lut(self.grid_alpha, cap_bq)
+        self.nv = gps.shape[1]
+        self.n_alpha = len(self.grid_alpha)
+        self._gps_dev = jnp.asarray(self.gps)
+        self._gp0_dev = jnp.asarray(self.gp0)
+        self._logf_dev = jnp.asarray(self.logf)
+        self._w_dev = jnp.asarray(self.w)
+
+    # ---- per-block device dispatch ----
+
+    def _run_block(self, blk: SlotBlock):
+        idx = jnp.asarray(blk.idx)
+        gps_g = jnp.take(self._gps_dev, idx, axis=0)  # (B,S,V,3)
+        gp0_g = jnp.take(self._gp0_dev, idx, axis=0)  # (B,S,3)
+        cnt = jnp.asarray(blk.cnt)
+        msk = jnp.asarray(blk.msk)
+        llk, llk0 = likelihood.singlet_llks(
+            cnt, msk, gps_g, gp0_g, self._logf_dev, dtype=self.dtype
+        )
+        llk_ab, llk_00 = likelihood.pair_llks(
+            cnt,
+            msk,
+            gps_g,
+            gp0_g,
+            self._w_dev,
+            self.n_alpha,
+            slot_chunk=self.slot_chunk,
+            dtype=self.dtype,
+        )
+        return llk, llk0, llk_ab, llk_00
+
+    def run(self, scl: PileupData) -> EngineResult:
+        n = scl.nbcs
+        nv = self.nv
+        na = self.n_alpha
+        llks = np.zeros((n, nv), dtype=np.float64)
+        llk0s = np.zeros(n, dtype=np.float64)
+        llk_ab = np.zeros((n, nv, nv, na), dtype=np.float64)
+        llk_00 = np.zeros((n, na), dtype=np.float64)
+        for start in range(0, n, self.cell_block):
+            cells = list(range(start, min(start + self.cell_block, n)))
+            blk = build_slots(scl, cells, cap_bq=self.cap_bq)
+            blk = _pad_block(blk, self.cell_block, _bucket(blk.idx.shape[1]))
+            a, b, c, d = self._run_block(blk)
+            m = len(cells)
+            llks[cells] = np.asarray(a)[:m]
+            llk0s[cells] = np.asarray(b)[:m]
+            llk_ab[cells] = np.asarray(c)[:m]
+            llk_00[cells] = np.asarray(d)[:m]
+        return EngineResult(llks, llk0s, llk_ab, llk_00)
+
+
+def _pad_block(blk: SlotBlock, n_cells: int, n_slots: int) -> SlotBlock:
+    B, S = blk.idx.shape
+    if B == n_cells and S == n_slots:
+        return blk
+    pb, ps = n_cells - B, n_slots - S
+    return SlotBlock(
+        cell_ids=blk.cell_ids,
+        idx=np.pad(blk.idx, ((0, pb), (0, ps))),
+        msk=np.pad(blk.msk, ((0, pb), (0, ps))),
+        cnt=np.pad(blk.cnt, ((0, pb), (0, ps), (0, 0))),
+    )
+
+
+def cell_stats(scl: PileupData) -> CellStats:
+    return CellStats(
+        barcodes=list(scl.barcodes),
+        totl=np.asarray(scl.cell_totl, dtype=np.int64),
+        pass_=np.asarray(scl.cell_pass, dtype=np.int64),
+        uniq=np.asarray(scl.cell_uniq, dtype=np.int64),
+        nsnp=np.asarray([scl.n_cell_snps(c) for c in range(scl.nbcs)], np.int64),
+    )

@@ -1,0 +1,273 @@
+"""Decision rules, posteriors, and output-file rendering.
+
+Consumes the device-computed LLK tensors and renders the reference's four
+output files byte-identically (cmd_cram_demuxlet.cpp:470-517 .single,
+:746-770 .sing2, :772-797 .pair, :830-875 .best), including:
+  - the sequential -1e300-seeded log-sum-exp over samples (:476-501)
+  - strict-< running argmaxes (first-wins tie semantics)
+  - the pairLLK10/20 flat-index quirk (:824-825): jBest paired with sample 0
+  - the .pair header/row column mismatch (5 names, 6 columns)
+  - the hard-coded "+2" log-likelihood margins (:837,:844)
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import IO, List, Optional, Sequence
+
+import numpy as np
+
+
+@dataclass
+class CellStats:
+    """Per-cell metadata, in pileup cell-id numbering."""
+
+    barcodes: List[str]
+    totl: np.ndarray  # RD.TOTL
+    pass_: np.ndarray  # RD.PASS
+    uniq: np.ndarray  # RD.UNIQ
+    nsnp: np.ndarray  # N.SNP (covered SNPs per cell)
+
+    def bc_order(self):
+        return sorted((b, i) for i, b in enumerate(self.barcodes))
+
+
+def _passes(stats: CellStats, i: int, min_total: int, min_uniq: int, min_snp: int) -> bool:
+    return not (
+        stats.totl[i] < min_total
+        or stats.uniq[i] < min_uniq
+        or stats.nsnp[i] < min_snp
+    )
+
+
+def write_single(
+    fh: IO[str],
+    stats: CellStats,
+    sample_ids: Sequence[str],
+    llks: np.ndarray,  # (ncells, nv)
+    llk0s: np.ndarray,  # (ncells,)
+    min_total: int = 0,
+    min_uniq: int = 0,
+    min_snp: int = 0,
+) -> None:
+    nv = len(sample_ids)
+    fh.write("BARCODE\tSM_ID\tRD.TOTL\tRD.PASS\tRD.UNIQ\tN.SNP\tLLK1\tLLK0\tPOSTPRB\n")
+    for bc, c in stats.bc_order():
+        if not _passes(stats, c, min_total, min_uniq, min_snp):
+            continue
+        sum_llk = -1e300
+        for j in range(nv):
+            cur = llks[c, j]
+            if sum_llk > cur:
+                sum_llk = sum_llk + math.log(1.0 + math.exp(cur - sum_llk))
+            else:
+                sum_llk = cur + math.log(1.0 + math.exp(sum_llk - cur))
+        for j in range(nv):
+            fh.write(
+                "%s\t%s\t%d\t%d\t%d\t%d\t%.5f\t%.5f\t%.3g\n"
+                % (
+                    bc,
+                    sample_ids[j],
+                    stats.totl[c],
+                    stats.pass_[c],
+                    stats.uniq[c],
+                    stats.nsnp[c],
+                    llks[c, j],
+                    llk0s[c],
+                    math.exp(llks[c, j] - sum_llk),
+                )
+            )
+
+
+def write_pass2(
+    stats: CellStats,
+    sample_ids: Sequence[str],
+    llk_ab: np.ndarray,  # (ncells, nv, nv, nA)
+    llk_00: np.ndarray,  # (ncells, nA)
+    grid_alpha: Sequence[float],
+    doublet_prior: float,
+    wsing2: IO[str],
+    wbest: IO[str],
+    wpair: Optional[IO[str]] = None,
+    min_total: int = 0,
+    min_uniq: int = 0,
+    min_snp: int = 0,
+) -> None:
+    """Render .sing2, .best and optionally .pair from pass-2 LLKs."""
+    nv = len(sample_ids)
+    na = len(grid_alpha)
+    wsing2.write(
+        "BARCODE\tSM_ID\tRD.TOTL\tRD.PASS\tRD.UNIQ\tN.SNP\tLLK1\tLLK0\tPOSTPRB\n"
+    )
+    if wpair is not None:
+        wpair.write("BARCODE\tSM1.ID\tSM2.ID\tLLK12\tPOSTPRB\n")
+    wbest.write(
+        "BARCODE\tRD.TOTL\tRD.PASS\tRD.UNIQ\tN.SNP\tBEST\tSNG.1ST\tSNG.LLK1\t"
+        "SNG.2ND\tSNG.LLK2\tSNG.LLK0\tDBL.1ST\tDBL.2ND\tALPHA\tLLK12\tLLK1\t"
+        "LLK2\tLLK10\tLLK20\tLLK00\tPRB.DBL\tPRB.SNG1\n"
+    )
+
+    # doublet argmax mask: j != k, n >= 1 (flattened C order == loop order)
+    dbl_mask = np.ones((nv, nv, na), dtype=bool)
+    for j in range(nv):
+        dbl_mask[j, j, :] = False
+    dbl_mask[:, :, 0] = False
+
+    for bc, i in stats.bc_order():
+        if not _passes(stats, i, min_total, min_uniq, min_snp):
+            continue
+        if stats.nsnp[i] == 0:
+            continue  # reference `snps.empty()` skip (:592)
+        ab = np.asarray(llk_ab[i], dtype=np.float64)
+        z0 = np.asarray(llk_00[i], dtype=np.float64)
+
+        max_llk = max(float(ab.max()), -1e300)
+
+        sum_single = 0.0
+        for j in range(nv):
+            sum_single += (
+                math.exp(ab[j, 0, 0] - max_llk) * (1.0 - doublet_prior) / nv
+            )
+        sum_double = 0.0
+        for j in range(nv):
+            for k in range(nv):
+                if j == k:
+                    continue
+                for n in range(1, na):
+                    sum_double += (
+                        math.exp(ab[j, k, n] - max_llk)
+                        * doublet_prior
+                        / nv
+                        / (nv - 1)
+                        / (na - 1)
+                        / (2.0 if grid_alpha[n] == 0.5 else 1.0)
+                    )
+
+        # running strict-< argmax over singlet column (first-wins ties)
+        i_sing1 = i_sing2 = -1
+        max_sing1 = max_sing2 = -1e300
+        for j in range(nv):
+            v = ab[j, 0, 0]
+            if max_sing1 < v:
+                max_sing2, i_sing2 = max_sing1, i_sing1
+                i_sing1, max_sing1 = j, v
+            elif max_sing2 < v:
+                i_sing2, max_sing2 = j, v
+            wsing2.write(
+                "%s\t%s\t%d\t%d\t%d\t%d\t%.4f\t%.4f\t%.3g\n"
+                % (
+                    bc,
+                    sample_ids[j],
+                    stats.totl[i],
+                    stats.pass_[i],
+                    stats.uniq[i],
+                    stats.nsnp[i],
+                    v,
+                    z0[0],
+                    math.exp(v - max_llk) * (1.0 - doublet_prior) / nv / sum_single,
+                )
+            )
+
+        if wpair is not None:
+            for j in range(nv):
+                wpair.write(
+                    "%s\t%s\t%s\t%.3f\t%.5f\t%.5g\n"
+                    % (
+                        bc,
+                        sample_ids[j],
+                        sample_ids[j],
+                        grid_alpha[0],
+                        ab[j, 0, 0],
+                        math.exp(ab[j, 0, 0] - max_llk)
+                        * (1.0 - doublet_prior)
+                        / nv
+                        / (sum_single + sum_double),
+                    )
+                )
+                for k in range(nv):
+                    for n in range(1, na):
+                        if j == k:
+                            continue
+                        if j > k and grid_alpha[n] == 0.5:
+                            continue
+                        wpair.write(
+                            "%s\t%s\t%s\t%.3f\t%.5f\t%.5g\n"
+                            % (
+                                bc,
+                                sample_ids[j],
+                                sample_ids[k],
+                                grid_alpha[n],
+                                ab[j, k, n],
+                                math.exp(ab[j, k, n] - max_llk)
+                                * doublet_prior
+                                / nv
+                                / (nv - 1)
+                                / (na - 1)
+                                / (sum_single + sum_double),
+                            )
+                        )
+
+        masked = np.where(dbl_mask, ab, -np.inf)
+        flat_best = int(np.argmax(masked))
+        j_best, k_best, alpha_best = np.unravel_index(flat_best, ab.shape)
+
+        sing_llk1 = ab[i_sing1, 0, 0]
+        sing_llk2 = ab[i_sing2, 0, 0]
+        sing_llk0 = z0[0]
+        pair_llk12 = ab[j_best, k_best, alpha_best]
+        pair_llk1 = ab[j_best, 0, 0]
+        pair_llk2 = ab[k_best, 0, 0]
+        pair_llk10 = ab[j_best, 0, alpha_best]  # flat-index quirk (:824)
+        pair_llk20 = ab[k_best, 0, alpha_best]
+        pair_llk00 = z0[alpha_best]
+        post_dbl = sum_double / (sum_single + sum_double)
+        post_sng = (
+            math.exp(sing_llk1 - max_llk) * (1.0 - doublet_prior) / nv / sum_single
+        )
+
+        wbest.write(
+            "%s\t%d\t%d\t%d\t%d\t"
+            % (bc, stats.totl[i], stats.pass_[i], stats.uniq[i], stats.nsnp[i])
+        )
+        if (
+            pair_llk12 > pair_llk1
+            and pair_llk12 > pair_llk2
+            and pair_llk12 > sing_llk1 + 2
+        ):
+            wbest.write(
+                "DBL-%s-%s-%.3f"
+                % (sample_ids[j_best], sample_ids[k_best], grid_alpha[alpha_best])
+            )
+        elif sing_llk1 > sing_llk2 + 2:
+            wbest.write("SNG-%s" % sample_ids[i_sing1])
+        else:
+            wbest.write(
+                "AMB-%s-%s-%s/%s"
+                % (
+                    sample_ids[i_sing1],
+                    sample_ids[i_sing2],
+                    sample_ids[j_best],
+                    sample_ids[k_best],
+                )
+            )
+        wbest.write("\t%s\t%.4f" % (sample_ids[i_sing1], sing_llk1))
+        wbest.write(
+            "\t%s\t%.4f\t%.4f" % (sample_ids[i_sing2], sing_llk2, sing_llk0)
+        )
+        wbest.write(
+            "\t%s\t%s\t%.3f\t%.4f\t%.4f\t%.4f\t%.4f\t%.4f\t%.4f\t%.3g\t%.3g\n"
+            % (
+                sample_ids[j_best],
+                sample_ids[k_best],
+                grid_alpha[alpha_best],
+                pair_llk12,
+                pair_llk1,
+                pair_llk2,
+                pair_llk10,
+                pair_llk20,
+                pair_llk00,
+                post_dbl,
+                post_sng,
+            )
+        )

@@ -1,0 +1,161 @@
+"""End-to-end CLI tests: synthetic BAM+VCF -> output files vs oracle pipeline."""
+
+import random
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from demuxlet_tpu import cli
+from demuxlet_tpu.host.pileup import build_pileup
+from demuxlet_tpu.io.bam import AlignmentReader
+from demuxlet_tpu.io.vcf import load_snp_table
+from fixtures import random_workload, write_bam, write_sam, write_vcf
+from oracle.numpy_oracle import (
+    compute_gp0s,
+    pass1_singlet,
+    pass2_outputs,
+    write_single,
+)
+from parity_utils import canonicalize_best
+
+
+@pytest.fixture(scope="module")
+def workload(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("e2e")
+    rng = random.Random(7)
+    contigs, names, variants, reads, truth = random_workload(
+        rng, n_cells=25, n_snps=50, n_samples=3, reads_per_cell=60
+    )
+    vcf = write_vcf(str(tmp / "w.vcf.gz"), names, variants, contigs=contigs)
+    bam = write_bam(str(tmp / "w.bam"), contigs, reads)
+    return tmp, vcf, bam, truth
+
+
+def _oracle_files(vcf, bam, field="GT", grid=(0.0, 0.5), **kw):
+    table = load_snp_table(vcf, field_name=field)
+    rdr = AlignmentReader(bam)
+    scl, _ = build_pileup(rdr, table)
+    gp0s = compute_gp0s(scl)
+    llks, llk0s = pass1_singlet(scl, gp0s)
+    single = write_single(scl, llks, llk0s)
+    sing2, pair, best = pass2_outputs(
+        scl, gp0s, list(grid), write_pair=True, **kw
+    )
+    return single, sing2, pair, best
+
+
+def test_cli_end_to_end_gt(workload):
+    tmp, vcf, bam, truth = workload
+    out = str(tmp / "res")
+    rc = cli.main(
+        [
+            "--sam", bam, "--vcf", vcf, "--field", "GT",
+            "--out", out, "--write-pair", "--device", "cpu",
+        ]
+    )
+    assert rc == 0
+
+    o_single, o_sing2, o_pair, o_best = _oracle_files(vcf, bam)
+    assert open(out + ".single").read().rstrip("\n").split("\n") == o_single
+    assert open(out + ".sing2").read().rstrip("\n").split("\n") == o_sing2
+    assert open(out + ".pair").read().rstrip("\n").split("\n") == o_pair
+    e_best = open(out + ".best").read().rstrip("\n").split("\n")
+    assert canonicalize_best(e_best) == canonicalize_best(o_best)
+
+    # truth recovery: planted singlets called correctly
+    n_ok = n_cells = 0
+    for row in e_best[1:]:
+        c = row.split("\t")
+        t1, t2 = truth[c[0]]
+        n_cells += 1
+        if t1 == t2 and c[5] == f"SNG-S{t1}":
+            n_ok += 1
+        if t1 != t2 and c[5].startswith("DBL-"):
+            pair_ids = set(c[5].split("-")[1:3])
+            if pair_ids == {f"S{t1}", f"S{t2}"}:
+                n_ok += 1
+    assert n_ok >= 0.9 * n_cells
+
+
+def test_cli_alpha_grid_and_prior(workload):
+    tmp, vcf, bam, _ = workload
+    out = str(tmp / "res5")
+    rc = cli.main(
+        [
+            "--sam", bam, "--vcf", vcf, "--field", "GT", "--out", out,
+            "--alpha", "0", "--alpha", "0.2", "--alpha", "0.5",
+            "--doublet-prior", "0.3", "--device", "cpu",
+        ]
+    )
+    assert rc == 0
+    _, o_sing2, _, o_best = _oracle_files(
+        vcf, bam, grid=(0.0, 0.2, 0.5), doublet_prior=0.3
+    )
+    e_best = open(out + ".best").read().rstrip("\n").split("\n")
+    assert canonicalize_best(e_best) == canonicalize_best(o_best)
+
+
+def test_cli_module_invocation(workload):
+    """python -m demuxlet_tpu.cli works as a subprocess (the user surface)."""
+    tmp, vcf, bam, _ = workload
+    out = str(tmp / "res_sub")
+    r = subprocess.run(
+        [
+            sys.executable, "-m", "demuxlet_tpu.cli",
+            "--sam", bam, "--vcf", vcf, "--field", "GT",
+            "--out", out, "--device", "cpu",
+        ],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    best = open(out + ".best").read()
+    assert best.startswith("BARCODE\t")
+    assert "Available Options" in r.stderr
+
+
+def test_cli_group_list(workload):
+    tmp, vcf, bam, truth = workload
+    keep = sorted(truth.keys())[:5]
+    gl = tmp / "keep.txt"
+    gl.write_text("\n".join(keep) + "\n")
+    out = str(tmp / "res_gl")
+    rc = cli.main(
+        [
+            "--sam", bam, "--vcf", vcf, "--field", "GT", "--out", out,
+            "--group-list", str(gl), "--device", "cpu",
+        ]
+    )
+    assert rc == 0
+    rows = open(out + ".best").read().rstrip("\n").split("\n")[1:]
+    assert {r.split("\t")[0] for r in rows} <= set(keep)
+
+
+def test_cli_gp_field(tmp_path):
+    from fixtures import SimVariant
+
+    rng = random.Random(11)
+    contigs, names, variants, reads, truth = random_workload(
+        rng, n_cells=8, n_snps=20, n_samples=2, reads_per_cell=40
+    )
+    # attach GP fields derived from GT
+    for v in variants:
+        for s in v.samples:
+            g = {"0/0": 0, "0/1": 1, "1/1": 2}[s["GT"]]
+            gp = [0.02, 0.02, 0.02]
+            gp[g] = 0.96
+            s["GP"] = ",".join(f"{x:g}" for x in gp)
+    vcf = write_vcf(str(tmp_path / "w.vcf"), names, variants, contigs=contigs)
+    bam = write_bam(str(tmp_path / "w.bam"), contigs, reads)
+    out = str(tmp_path / "res_gp")
+    rc = cli.main(
+        ["--sam", bam, "--vcf", vcf, "--field", "GP", "--out", out, "--device", "cpu"]
+    )
+    assert rc == 0
+    o_single, o_sing2, o_pair, o_best = _oracle_files(vcf, bam, field="GP")
+    e_best = open(out + ".best").read().rstrip("\n").split("\n")
+    assert canonicalize_best(e_best) == canonicalize_best(o_best)
+    assert open(out + ".single").read().rstrip("\n").split("\n") == o_single

@@ -1,0 +1,142 @@
+"""TPU engine vs NumPy oracle: LLK parity and byte-identical outputs."""
+
+import io
+import math
+import random
+
+import numpy as np
+import pytest
+
+from demuxlet_tpu.models.engine import DemuxEngine, cell_stats, compute_gp0
+from demuxlet_tpu.models import outputs as out_mod
+from oracle.numpy_oracle import (
+    PileupData,
+    compute_gp0s,
+    pass1_singlet,
+    pass2_cell,
+    pass2_outputs,
+    write_single,
+)
+
+
+def _random_pileup(seed, nv=3, nsnps=40, ncells=10, numis=60):
+    rng = random.Random(seed)
+    g = np.random.RandomState(seed).dirichlet([2, 2, 2], size=(nsnps, nv))
+    scl = PileupData(
+        [f"S{i}" for i in range(nv)], [g[i] for i in range(nsnps)]
+    )
+    for c in range(ncells):
+        scl.add_cell(f"BC{c:03d}")
+        for _ in range(numis):
+            s = rng.randrange(nsnps)
+            scl.cell_totl[c] += 1
+            scl.add_read(
+                s,
+                c,
+                f"U{rng.randrange(10000)}",
+                rng.choice([0, 0, 1, 1, 2]),
+                rng.randrange(13, 41),
+            )
+    return scl
+
+
+GRID = [0.0, 0.5]
+GRID5 = [0.0, 0.1, 0.2, 0.3, 0.5]
+
+
+@pytest.mark.parametrize("seed,grid", [(1, GRID), (2, GRID), (3, GRID5)])
+def test_llk_parity(seed, grid):
+    scl = _random_pileup(seed)
+    gps = np.stack(scl.snp_gps)
+    gp0s = compute_gp0s(scl)
+    np.testing.assert_array_equal(compute_gp0(gps), gp0s)
+
+    eng = DemuxEngine(gps, grid, cell_block=4, slot_chunk=8)
+    res = eng.run(scl)
+
+    o_llks, o_llk0s = pass1_singlet(scl, gp0s)
+    np.testing.assert_allclose(res.llks, o_llks, rtol=0, atol=1e-9)
+    np.testing.assert_allclose(res.llk0s, o_llk0s, rtol=0, atol=1e-9)
+
+    for c in range(scl.nbcs):
+        ab, _, z0 = pass2_cell(scl, gp0s, c, grid)
+        np.testing.assert_allclose(res.llk_ab[c], ab, rtol=0, atol=1e-9)
+        np.testing.assert_allclose(res.llk_00[c], z0, rtol=0, atol=1e-9)
+
+
+def _engine_lines(scl, grid, doublet_prior=0.5, write_pair=True, **filt):
+    gps = np.stack(scl.snp_gps)
+    eng = DemuxEngine(gps, grid, cell_block=8)
+    res = eng.run(scl)
+    stats = cell_stats(scl)
+    s1 = io.StringIO()
+    out_mod.write_single(s1, stats, scl.sample_ids, res.llks, res.llk0s, **filt)
+    s2, sp, sb = io.StringIO(), io.StringIO(), io.StringIO()
+    out_mod.write_pass2(
+        stats,
+        scl.sample_ids,
+        res.llk_ab,
+        res.llk_00,
+        grid,
+        doublet_prior,
+        s2,
+        sb,
+        sp if write_pair else None,
+        **filt,
+    )
+    return (
+        s1.getvalue().rstrip("\n").split("\n"),
+        s2.getvalue().rstrip("\n").split("\n"),
+        sp.getvalue().rstrip("\n").split("\n") if write_pair else None,
+        sb.getvalue().rstrip("\n").split("\n"),
+    )
+
+
+@pytest.mark.parametrize("seed,grid", [(1, GRID), (4, GRID5)])
+def test_output_byte_parity(seed, grid):
+    scl = _random_pileup(seed, nv=4, ncells=9)
+    gps = np.stack(scl.snp_gps)
+    gp0s = compute_gp0s(scl)
+
+    e_single, e_sing2, e_pair, e_best = _engine_lines(scl, grid)
+
+    o_llks, o_llk0s = pass1_singlet(scl, gp0s)
+    o_single = write_single(scl, o_llks, o_llk0s)
+    o_sing2, o_pair, o_best = pass2_outputs(scl, gp0s, grid, write_pair=True)
+
+    assert e_single == o_single
+    assert e_sing2 == o_sing2
+    assert e_pair == o_pair
+    # .best compared modulo the symmetric-pair fp coin flip (parity_utils)
+    from parity_utils import canonicalize_best
+
+    assert canonicalize_best(e_best) == canonicalize_best(o_best)
+
+
+def test_min_filters_applied():
+    scl = _random_pileup(5, ncells=6)
+    # make cell 0 fail the min-uniq filter by construction: compare outputs
+    min_uniq = int(scl.cell_uniq[1]) + 1  # guarantees cell 1 is excluded
+    e = _engine_lines(scl, GRID, min_uniq=min_uniq)
+    gps = np.stack(scl.snp_gps)
+    gp0s = compute_gp0s(scl)
+    o_llks, o_llk0s = pass1_singlet(scl, gp0s)
+    o_single = write_single(scl, o_llks, o_llk0s, min_uniq=min_uniq)
+    o_sing2, o_pair, o_best = pass2_outputs(
+        scl, gp0s, GRID, write_pair=True, min_uniq=min_uniq
+    )
+    assert e[0] == o_single
+    assert e[3] == o_best
+    # at least one cell got filtered relative to unfiltered run
+    assert len(o_best) < 1 + scl.nbcs
+
+
+def test_cell_with_no_coverage_skipped_in_best():
+    scl = _random_pileup(6, ncells=4)
+    scl.add_cell("ZZZ_EMPTY")  # barcode seen, zero SNP coverage
+    scl.cell_totl[-1] = 3
+    e_single, e_sing2, e_pair, e_best = _engine_lines(scl, GRID)
+    # .single includes the empty cell, .best/.sing2 exclude it (:592)
+    assert any("ZZZ_EMPTY" in l for l in e_single)
+    assert not any("ZZZ_EMPTY" in l for l in e_best)
+    assert not any("ZZZ_EMPTY" in l for l in e_sing2)
