@@ -1,0 +1,153 @@
+#!/usr/bin/env python
+"""End-of-round benchmark: pair-search barcodes/s vs single-thread C++.
+
+Workload (BASELINE.json config 4/5 shape): doublet pair search over V=8
+samples x A=5 alpha grid, 1024 covered SNPs per barcode, 2 UMIs per
+(barcode, SNP), 8192 distinct SNPs.
+
+Baseline: bench/ref_pairsearch.cpp — a from-scratch single-thread C++
+replica of the reference's pass-2 loop nest (cmd_cram_demuxlet.cpp:542-709),
+measured on this machine (the reference publishes no numbers, BASELINE.md).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "barcodes/s", "vs_baseline": N, ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+ROOT = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, ROOT)
+
+# Workload parameters (match C++ baseline exactly).
+S_PER_CELL = 1024
+UMIS_PER_SNP = 2
+NV = 8
+NALPHA = 5
+NSNPS = 8192
+CAP_BQ = 40
+
+BASE_CELLS = int(os.environ.get("BENCH_BASE_CELLS", "256"))
+TPU_BLOCK = int(os.environ.get("BENCH_TPU_BLOCK", "1024"))
+TPU_ITERS = int(os.environ.get("BENCH_TPU_ITERS", "8"))
+SLOT_CHUNK = int(os.environ.get("BENCH_SLOT_CHUNK", "128"))
+DTYPE_NAME = os.environ.get("BENCH_DTYPE", "f64")
+
+
+def measure_cpp_baseline() -> float:
+    """Compile + run the single-thread C++ replica; returns barcodes/s."""
+    exe = os.path.join(ROOT, "bench", "ref_pairsearch")
+    src = os.path.join(ROOT, "bench", "ref_pairsearch.cpp")
+    if not os.path.exists(exe) or os.path.getmtime(exe) < os.path.getmtime(src):
+        subprocess.run(
+            ["g++", "-O2", "-march=native", "-o", exe, src, "-lm"],
+            check=True,
+        )
+    out = subprocess.run(
+        [
+            exe,
+            str(BASE_CELLS),
+            str(S_PER_CELL),
+            str(UMIS_PER_SNP),
+            str(NV),
+            str(NALPHA),
+            str(NSNPS),
+        ],
+        check=True,
+        capture_output=True,
+        text=True,
+    )
+    return float(json.loads(out.stdout)["barcodes_per_s"])
+
+
+def _synth_block(B: int, rng: np.random.Generator):
+    """Synthetic slot tensors matching the C++ baseline's workload."""
+    nq = CAP_BQ + 1
+    nb = 2 * nq
+    cnt = np.zeros((B, S_PER_CELL, nb), dtype=np.int32)
+    # UMIS_PER_SNP observations per slot: random allele x qual in [13, 40]
+    for _ in range(UMIS_PER_SNP):
+        al = rng.integers(0, 2, size=(B, S_PER_CELL))
+        bq = rng.integers(13, CAP_BQ + 1, size=(B, S_PER_CELL))
+        np.add.at(
+            cnt.reshape(B * S_PER_CELL, nb),
+            (np.arange(B * S_PER_CELL), (al * nq + bq).ravel()),
+            1,
+        )
+    msk = np.ones((B, S_PER_CELL), dtype=bool)
+    gps = rng.dirichlet(np.ones(3), size=(B, S_PER_CELL, NV))
+    gp0 = gps.mean(axis=2)
+    return cnt, msk, gps, gp0
+
+
+def measure_tpu() -> dict:
+    import jax
+
+    jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+
+    from demuxlet_tpu.models.likelihood import pair_llks, singlet_llks
+    from demuxlet_tpu.ops import luts
+
+    dtype = jnp.float64 if DTYPE_NAME == "f64" else jnp.float32
+    grid = np.linspace(0.0, 0.5, NALPHA).tolist()
+    logf = jnp.asarray(luts.singlet_lut(CAP_BQ))
+    w = jnp.asarray(luts.pair_lut(grid, CAP_BQ))
+
+    rng = np.random.default_rng(0)
+    cnt, msk, gps, gp0 = _synth_block(TPU_BLOCK, rng)
+    cnt = jnp.asarray(cnt)
+    msk = jnp.asarray(msk)
+    gps = jnp.asarray(gps)
+    gp0 = jnp.asarray(gp0)
+
+    def step(cnt, msk, gps, gp0):
+        llk, llk0 = singlet_llks(cnt, msk, gps, gp0, logf, dtype=dtype)
+        ab, z0 = pair_llks(
+            cnt, msk, gps, gp0, w, NALPHA, slot_chunk=SLOT_CHUNK, dtype=dtype
+        )
+        return llk, llk0, ab, z0
+
+    # Warmup / compile
+    out = step(cnt, msk, gps, gp0)
+    jax.block_until_ready(out)
+    t0 = time.time()
+    for _ in range(TPU_ITERS):
+        out = step(cnt, msk, gps, gp0)
+    jax.block_until_ready(out)
+    dt = (time.time() - t0) / TPU_ITERS
+    platform = jax.devices()[0].platform
+    return {
+        "barcodes_per_s": TPU_BLOCK / dt,
+        "step_ms": dt * 1e3,
+        "platform": platform,
+        "dtype": DTYPE_NAME,
+    }
+
+
+def main():
+    base = measure_cpp_baseline()
+    tpu = measure_tpu()
+    result = {
+        "metric": "pair_search_barcodes_per_s",
+        "value": round(tpu["barcodes_per_s"], 1),
+        "unit": "barcodes/s",
+        "vs_baseline": round(tpu["barcodes_per_s"] / base, 2),
+        "baseline_cpp_barcodes_per_s": round(base, 1),
+        "workload": f"V={NV} A={NALPHA} S/cell={S_PER_CELL} umis/slot={UMIS_PER_SNP}",
+        "platform": tpu["platform"],
+        "dtype": tpu["dtype"],
+        "step_ms": round(tpu["step_ms"], 2),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

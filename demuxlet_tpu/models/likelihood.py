@@ -23,9 +23,8 @@ import jax
 import jax.numpy as jnp
 
 
-@functools.partial(jax.jit, static_argnames=("dtype",))
-def singlet_llks(cnt, msk, gps_g, gp0_g, logf, dtype=jnp.float64):
-    """Pass 1: per-(cell, sample) singlet log-likelihoods.
+def singlet_llks_impl(cnt, msk, gps_g, gp0_g, logf, dtype=jnp.float64):
+    """Pass 1: per-(cell, sample) singlet log-likelihoods (traceable impl).
 
     cnt:   (B, S, NB) int/float counts
     msk:   (B, S) bool
@@ -52,31 +51,61 @@ def singlet_llks(cnt, msk, gps_g, gp0_g, logf, dtype=jnp.float64):
     return llk, llk0
 
 
+singlet_llks = jax.jit(singlet_llks_impl, static_argnames=("dtype",))
+
+
 def _pair_block(cnt, msk, gps_g, gp0_g, w, n_alpha, dtype):
     """Pair-search LLK contribution of one slot chunk.
 
     Returns (llkAB[B,V,V,A], llk00[B,A]) contributions (to be summed over
     chunks)."""
     B, S = cnt.shape[0], cnt.shape[1]
+    V = gps_g.shape[2]
+    A = n_alpha
     lograw = jnp.einsum("bsn,nx->bsx", cnt, w)  # (B,S,A*9)
     mx = jnp.max(lograw, axis=-1, keepdims=True)
     t = jnp.exp(lograw - mx)
     t = t + 1e-6
     t = t / jnp.max(t, axis=-1, keepdims=True)
-    t = t.reshape(B, S, n_alpha, 3, 3)
     m = msk.astype(dtype)
-    # u[b,s,a,l,k] = sum_m t[b,s,a,l,m] * gps[b,s,k,m]
-    u = jnp.einsum("bsalm,bskm->bsalk", t, gps_g)
-    # inner[b,s,j,k,a] = sum_l gps[b,s,j,l] * u[b,s,a,l,k]
-    inner = jnp.einsum("bsjl,bsalk->bsjka", gps_g, u)
-    llk_ab = jnp.sum(jnp.log(inner) * m[:, :, None, None, None], axis=1)
-    t00 = jnp.einsum("bsalm,bsl,bsm->bsa", t, gp0_g, gp0_g)
+
+    # Structure the (l, m) genotype contraction as two batched matmuls so XLA
+    # never materializes a broadcast product (the naive einsum blows up to
+    # (B,S,V,V,A)-sized broadcasts pre-reduction):
+    #   u[b,s,(a,l),k] = sum_m t[b,s,(a,l),m] * gps[b,s,k,m]
+    #   inner[b,s,j,(a,k)] = sum_l gps[b,s,j,l] * u[b,s,l,(a,k)]
+    t2 = t.reshape(B, S, A * 3, 3)
+    gps_t = jnp.swapaxes(gps_g, -1, -2)  # (B,S,3,V)
+    u = jax.lax.dot_general(
+        t2, gps_t,
+        dimension_numbers=(((3,), (2,)), ((0, 1), (0, 1))),
+        preferred_element_type=dtype,
+    )  # (B,S,A*3,V)
+    u = u.reshape(B, S, A, 3, V)
+    u = jnp.swapaxes(u, 2, 3).reshape(B, S, 3, A * V)  # l-major
+    inner = jax.lax.dot_general(
+        gps_g, u,
+        dimension_numbers=(((3,), (2,)), ((0, 1), (0, 1))),
+        preferred_element_type=dtype,
+    )  # (B,S,V,A*V)
+    contrib = jnp.log(inner) * m[:, :, None, None]
+    llk_jak = jnp.sum(contrib, axis=1).reshape(B, V, A, V)
+    llk_ab = jnp.transpose(llk_jak, (0, 1, 3, 2))  # (B, V(j), V(k), A)
+
+    # Background pair term: sum_lm gp0[l] gp0[m] t[a,l,m] as one matmul over
+    # the 9-dim (l,m) axis.
+    g00 = (gp0_g[:, :, :, None] * gp0_g[:, :, None, :]).reshape(B, S, 9, 1)
+    t3 = t.reshape(B, S, A, 9)
+    t00 = jax.lax.dot_general(
+        t3, g00,
+        dimension_numbers=(((3,), (2,)), ((0, 1), (0, 1))),
+        preferred_element_type=dtype,
+    )[..., 0]  # (B,S,A)
     llk_00 = jnp.sum(jnp.log(t00) * m[:, :, None], axis=1)
     return llk_ab, llk_00
 
 
-@functools.partial(jax.jit, static_argnames=("n_alpha", "slot_chunk", "dtype"))
-def pair_llks(cnt, msk, gps_g, gp0_g, w, n_alpha, slot_chunk=0, dtype=jnp.float64):
+def pair_llks_impl(cnt, msk, gps_g, gp0_g, w, n_alpha, slot_chunk=0, dtype=jnp.float64):
     """Pass 2: doublet pair-search LLKs.
 
     cnt: (B, S, NB); msk: (B, S); gps_g: (B, S, V, 3); gp0_g: (B, S, 3);
@@ -120,3 +149,8 @@ def pair_llks(cnt, msk, gps_g, gp0_g, w, n_alpha, slot_chunk=0, dtype=jnp.float6
     )
     (llk_ab, llk_00), _ = jax.lax.scan(body, init, jnp.arange(nc))
     return llk_ab, llk_00
+
+
+pair_llks = jax.jit(
+    pair_llks_impl, static_argnames=("n_alpha", "slot_chunk", "dtype")
+)

@@ -1,0 +1,131 @@
+"""Multi-chip SPMD execution: device mesh, sharded demux step, result merge.
+
+The reference scales only by manual process-level sharding (`--group-list`,
+cmd_cram_demuxlet.cpp:68, README.md:66: "useful for parallelized run").  The
+TPU-native replacement is a 2-D `jax.sharding.Mesh`:
+
+  axis "b" (barcodes)   — pure data parallelism: each device owns a block of
+                          cell barcodes; no communication until output merge.
+  axis "s" (SNP slots)  — reduction-axis parallelism: each device owns a slice
+                          of every cell's covered-SNP slots and computes a
+                          partial log-likelihood sum, combined with a single
+                          `psum` over ICI.
+
+All per-slot math (GL normalization, mixture tables) is slot-local, so the
+"s" split is exact: partial sums add, and the combined result is bit-identical
+to the single-device sum per-chunk (sum order over shards is fixed by psum's
+deterministic reduction).
+
+Genotype tensors (the LUTs and per-slot gathered GPs) ride along with the
+slot shards; the GP master table stays replicated per host (BASELINE.json:
+"genotype tensor is replicated per host").
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from demuxlet_tpu.models.likelihood import pair_llks_impl, singlet_llks_impl
+
+
+def make_mesh(
+    n_b: Optional[int] = None,
+    n_s: int = 1,
+    devices: Optional[Sequence] = None,
+) -> Mesh:
+    """Build a ("b", "s") mesh over the available devices.
+
+    n_b defaults to len(devices) // n_s (all devices used).
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    if n_s < 1:
+        raise ValueError("n_s must be >= 1")
+    if n_b is None:
+        n_b = len(devices) // n_s
+    need = n_b * n_s
+    if need > len(devices):
+        raise ValueError(f"mesh {n_b}x{n_s} needs {need} devices, have {len(devices)}")
+    arr = np.asarray(devices[:need], dtype=object).reshape(n_b, n_s)
+    return Mesh(arr, ("b", "s"))
+
+
+# PartitionSpecs for the slot-block tensors (cnt, msk, gps_g, gp0_g) and LUTs.
+BLOCK_SPECS = (
+    P("b", "s", None),        # cnt  (B, S, NB)
+    P("b", "s"),              # msk  (B, S)
+    P("b", "s", None, None),  # gps_g (B, S, V, 3)
+    P("b", "s", None),        # gp0_g (B, S, 3)
+)
+LUT_SPECS = (P(None, None), P(None, None))  # logf (NB,3), w (NB, A*9)
+OUT_SPECS = (
+    P("b", None),              # llk   (B, V)
+    P("b"),                    # llk0  (B,)
+    P("b", None, None, None),  # llkAB (B, V, V, A)
+    P("b", None),              # llk00 (B, A)
+)
+
+
+def build_sharded_step(
+    mesh: Mesh,
+    n_alpha: int,
+    slot_chunk: int = 0,
+    dtype=jnp.float64,
+):
+    """jit-compiled full demux likelihood step, SPMD over the mesh.
+
+    Signature: step(cnt, msk, gps_g, gp0_g, logf, w) ->
+               (llk[B,V], llk0[B], llkAB[B,V,V,A], llk00[B,A]).
+    B must divide by mesh "b" size, S by mesh "s" size (pad upstream).
+    """
+
+    def body(cnt, msk, gps_g, gp0_g, logf, w):
+        llk, llk0 = singlet_llks_impl(cnt, msk, gps_g, gp0_g, logf, dtype=dtype)
+        llk_ab, llk_00 = pair_llks_impl(
+            cnt, msk, gps_g, gp0_g, w, n_alpha, slot_chunk=slot_chunk, dtype=dtype
+        )
+        if mesh.shape["s"] > 1:
+            llk = jax.lax.psum(llk, "s")
+            llk0 = jax.lax.psum(llk0, "s")
+            llk_ab = jax.lax.psum(llk_ab, "s")
+            llk_00 = jax.lax.psum(llk_00, "s")
+        return llk, llk0, llk_ab, llk_00
+
+    fn = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=BLOCK_SPECS + LUT_SPECS,
+        out_specs=OUT_SPECS,
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
+def shard_block(mesh: Mesh, cnt, msk, gps_g, gp0_g) -> Tuple:
+    """device_put the slot-block tensors with their mesh shardings."""
+    arrs = (cnt, msk, gps_g, gp0_g)
+    return tuple(
+        jax.device_put(a, NamedSharding(mesh, s)) for a, s in zip(arrs, BLOCK_SPECS)
+    )
+
+
+def replicate(mesh: Mesh, *luts) -> Tuple:
+    """Replicate lookup tables across the mesh."""
+    return tuple(
+        jax.device_put(a, NamedSharding(mesh, P(*([None] * a.ndim))))
+        for a in luts
+    )
+
+
+def pad_to_mesh(n: int, shard: int, block: int = 1) -> int:
+    """Round n up so it divides evenly into `shard` shards of multiple-of-
+    `block` size."""
+    per = math.ceil(n / shard)
+    per = ((per + block - 1) // block) * block
+    return per * shard

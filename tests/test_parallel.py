@@ -1,0 +1,81 @@
+"""Multi-chip sharding tests on the virtual 8-device CPU mesh.
+
+Shard-invariance (SURVEY.md §4 'Distributed'): the sharded SPMD step must
+reproduce the single-device result exactly in f64 — the "b" axis is pure data
+parallelism and the "s" axis psum adds disjoint partial sums whose per-chunk
+values are bit-identical to the unsharded per-chunk sums.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from demuxlet_tpu.models.likelihood import pair_llks, singlet_llks
+from demuxlet_tpu.parallel import mesh as pmesh
+
+
+def _block(B, S, V, A, seed=0):
+    from demuxlet_tpu.ops import luts
+
+    rng = np.random.default_rng(seed)
+    nb = 2 * 41
+    cnt = rng.integers(0, 3, size=(B, S, nb)).astype(np.int32)
+    msk = rng.random((B, S)) < 0.9
+    gps = rng.dirichlet(np.ones(3), size=(B, S, V))
+    gp0 = gps.mean(axis=2)
+    grid = np.linspace(0.0, 0.5, A).tolist()
+    return (
+        cnt,
+        msk,
+        gps,
+        gp0,
+        luts.singlet_lut(40),
+        luts.pair_lut(grid, 40),
+    )
+
+
+@pytest.mark.parametrize("n_b,n_s", [(8, 1), (4, 2), (2, 4), (1, 8)])
+def test_sharded_step_matches_single_device(n_b, n_s):
+    if len(jax.devices()) < n_b * n_s:
+        pytest.skip("needs 8 virtual devices")
+    B, S, V, A = 16, 32, 4, 3
+    cnt, msk, gps, gp0, logf, w = _block(B, S, V, A)
+
+    ref_llk, ref_llk0 = singlet_llks(
+        jnp.asarray(cnt), jnp.asarray(msk), jnp.asarray(gps), jnp.asarray(gp0),
+        jnp.asarray(logf),
+    )
+    ref_ab, ref_00 = pair_llks(
+        jnp.asarray(cnt), jnp.asarray(msk), jnp.asarray(gps), jnp.asarray(gp0),
+        jnp.asarray(w), A,
+    )
+
+    mesh = pmesh.make_mesh(n_b=n_b, n_s=n_s)
+    sc, sm, sg, s0 = pmesh.shard_block(
+        mesh, jnp.asarray(cnt), jnp.asarray(msk), jnp.asarray(gps),
+        jnp.asarray(gp0),
+    )
+    lf, ww = pmesh.replicate(mesh, jnp.asarray(logf), jnp.asarray(w))
+    step = pmesh.build_sharded_step(mesh, n_alpha=A)
+    llk, llk0, ab, z0 = step(sc, sm, sg, s0, lf, ww)
+
+    # "b"-axis sharding is exact; "s"-axis psum may reassociate the S-sum,
+    # so compare to tight f64 tolerance (exact when n_s == 1).
+    tol = 0 if n_s == 1 else 1e-9
+    np.testing.assert_allclose(np.asarray(llk), np.asarray(ref_llk), atol=tol, rtol=0)
+    np.testing.assert_allclose(np.asarray(llk0), np.asarray(ref_llk0), atol=tol, rtol=0)
+    np.testing.assert_allclose(np.asarray(ab), np.asarray(ref_ab), atol=tol, rtol=0)
+    np.testing.assert_allclose(np.asarray(z0), np.asarray(ref_00), atol=tol, rtol=0)
+
+
+def test_pad_to_mesh():
+    assert pmesh.pad_to_mesh(10, 4) == 12
+    assert pmesh.pad_to_mesh(16, 4) == 16
+    assert pmesh.pad_to_mesh(1, 8, block=8) == 64
+
+
+def test_dryrun_multichip_entry():
+    import __graft_entry__ as g
+
+    g.dryrun_multichip(8)
