@@ -97,6 +97,16 @@ def build_parser() -> argparse.ArgumentParser:
         choices=["f64", "f32"],
         help="Device compute precision (f64 = reference parity)",
     )
+    g.add_argument(
+        "--mode",
+        default="exact",
+        choices=["exact", "fast"],
+        help=(
+            "exact: f64 kernels, byte-parity outputs. fast: f32 Pallas "
+            "pair-search kernel (TPU production mode; calls identical, LLKs "
+            "approximate in the last printed digit)"
+        ),
+    )
     g.add_argument("--cell-block", type=int, default=1024, help="Cells per device batch")
     g.add_argument(
         "--slot-chunk", type=int, default=512, help="SNP-slot chunk per scan step"
@@ -177,6 +187,7 @@ def main(argv=None) -> int:
         cell_block=args.cell_block,
         slot_chunk=args.slot_chunk,
         dtype=dtype,
+        mode=args.mode,
     )
     res = eng.run(scl)
     stats = cell_stats(scl)

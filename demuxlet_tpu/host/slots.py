@@ -38,12 +38,19 @@ class SlotBlock:
 
 
 def build_slots(
-    scl: PileupData,
+    scl,
     cell_ids: Sequence[int],
     cap_bq: int = 40,
     pad_slots_to: int = 8,
 ) -> SlotBlock:
-    """Slot tensors for the given cells (typically one barcode block)."""
+    """Slot tensors for the given cells (typically one barcode block).
+
+    Accepts either the dict-based PileupData or the CSR pileup (native
+    ingest); the CSR path is vectorized."""
+    if hasattr(scl, "cell_ptr"):
+        from demuxlet_tpu.host.csr import build_slots_csr
+
+        return build_slots_csr(scl, cell_ids, cap_bq, pad_slots_to)
     nq = cap_bq + 1
     nb = 2 * nq
     per_cell: List[List[int]] = [scl.cell_snps(c) for c in cell_ids]

@@ -60,32 +60,54 @@ class DemuxEngine:
         slot_chunk: int = 512,
         dtype=jnp.float64,
         mesh: Optional[jax.sharding.Mesh] = None,
+        mode: str = "exact",
     ):
+        """mode="exact": f64 XLA kernels (byte-parity path).
+        mode="fast": f32 Pallas pair-search kernel + f32 singlet (TPU
+        production path; demux calls identical, LLKs accurate to ~1e-3)."""
         self.gps = np.ascontiguousarray(gps, dtype=np.float64)
         self.gp0 = compute_gp0(self.gps)
         self.grid_alpha = list(grid_alpha)
         self.cap_bq = cap_bq
         self.cell_block = cell_block
         self.slot_chunk = slot_chunk
-        self.dtype = dtype
+        self.dtype = jnp.float32 if mode == "fast" else dtype
         self.mesh = mesh
+        self.mode = mode
         self.logf = luts.singlet_lut(cap_bq)
         self.w = luts.pair_lut(self.grid_alpha, cap_bq)
         self.nv = gps.shape[1]
         self.n_alpha = len(self.grid_alpha)
-        self._gps_dev = jnp.asarray(self.gps)
-        self._gp0_dev = jnp.asarray(self.gp0)
-        self._logf_dev = jnp.asarray(self.logf)
-        self._w_dev = jnp.asarray(self.w)
+        self._gps_dev = jnp.asarray(self.gps, dtype=self.dtype)
+        self._gp0_dev = jnp.asarray(self.gp0, dtype=self.dtype)
+        self._logf_dev = jnp.asarray(self.logf, dtype=self.dtype)
+        self._w_dev = jnp.asarray(self.w, dtype=self.dtype)
+        self._sharded_step = None
+        if mesh is not None and mode == "exact":
+            from demuxlet_tpu.parallel import mesh as pmesh
+
+            self._sharded_step = pmesh.build_sharded_step(
+                mesh, self.n_alpha, slot_chunk=self.slot_chunk, dtype=self.dtype
+            )
 
     # ---- per-block device dispatch ----
 
     def _run_block(self, blk: SlotBlock):
+        if self.mode == "fast":
+            return self._run_block_fast(blk)
         idx = jnp.asarray(blk.idx)
         gps_g = jnp.take(self._gps_dev, idx, axis=0)  # (B,S,V,3)
         gp0_g = jnp.take(self._gp0_dev, idx, axis=0)  # (B,S,3)
         cnt = jnp.asarray(blk.cnt)
         msk = jnp.asarray(blk.msk)
+        if self._sharded_step is not None:
+            from demuxlet_tpu.parallel import mesh as pmesh
+
+            cnt, msk, gps_g, gp0_g = pmesh.shard_block(
+                self.mesh, cnt, msk, gps_g, gp0_g
+            )
+            logf, w = pmesh.replicate(self.mesh, self._logf_dev, self._w_dev)
+            return self._sharded_step(cnt, msk, gps_g, gp0_g, logf, w)
         llk, llk0 = likelihood.singlet_llks(
             cnt, msk, gps_g, gp0_g, self._logf_dev, dtype=self.dtype
         )
@@ -100,6 +122,33 @@ class DemuxEngine:
             dtype=self.dtype,
         )
         return llk, llk0, llk_ab, llk_00
+
+    def _run_block_fast(self, blk: SlotBlock):
+        from demuxlet_tpu.ops.pallas_pair import pack_block, pair_llks_pallas
+
+        idx = jnp.asarray(blk.idx)
+        gps_g = np.asarray(jnp.take(self._gps_dev, idx, axis=0))
+        gp0_g = jnp.take(self._gp0_dev, idx, axis=0)
+        cnt_t, gps_t, wt = pack_block(blk.cnt, blk.msk, gps_g, self.w)
+        interpret = jax.default_backend() not in ("tpu",)
+        llk_ab, llk_00 = pair_llks_pallas(
+            jnp.asarray(cnt_t),
+            jnp.asarray(gps_t),
+            jnp.asarray(wt),
+            self.n_alpha,
+            self.nv,
+            interpret=interpret,
+        )
+        B = blk.cnt.shape[0]
+        llk, llk0 = likelihood.singlet_llks(
+            jnp.asarray(blk.cnt),
+            jnp.asarray(blk.msk),
+            jnp.asarray(gps_g, dtype=jnp.float32),
+            gp0_g,
+            self._logf_dev,
+            dtype=jnp.float32,
+        )
+        return llk, llk0, llk_ab[:B], llk_00[:B]
 
     def run(self, scl: PileupData) -> EngineResult:
         n = scl.nbcs

@@ -1,0 +1,162 @@
+"""Pallas TPU kernel for the doublet pair-search pass (fast mode).
+
+The reference's hot loop (cmd_cram_demuxlet.cpp:671-709) computes, per cell
+and covered SNP, llkAB[j,k,a] += log(sum_lm gps[j,l]*gps[k,m]*pGs[a,l,m]).
+XLA maps this contraction badly: per-(cell,slot) (A*3,3)@(3,V) matmuls have
+<1% MXU utilization, and einsum formulations materialize huge broadcasts.
+
+Division of labor here:
+  * XLA (MXU + fused VPU): count LUT matmul lograw = cnt @ W, exp-normalize
+    -> mixture table t, emitted in (A*9, B, S) layout.
+  * Pallas (VPU): the (l,m,j,k,a) contraction + log + slot reduction, with
+    (cell, slot) mapped onto (sublane, lane): one grid step owns a
+    (32 cells x 128 slots) tile and the tiny loops are unrolled into vector
+    ops over 4096 slots, via the factorization
+        U[j,a,m]     = sum_l g[j,l] * t[a,l,m]        (V*A*3 FMAs)
+        inner[j,k,a] = sum_m g[k,m] * U[j,a,m]        (V*V*A*3 FMAs)
+    Per-(j,k,a) accumulators live in VMEM scratch across slot-tile steps;
+    the lane reduction happens once per cell-tile on the last slot step.
+
+Padded slots are exactly neutral by construction (zero counts => t == 1;
+gps row (1,0,0) => inner == 1 => log == 0), so no mask input is needed.
+
+Precision: f32 ("fast" mode; abs error ~1e-4 relative on O(1e4) LLKs — demux
+calls identical, printed LLKs may differ in the last digit; the alpha=0.5
+symmetric-pair argmax tie can resolve to the mirrored pair). The byte-parity
+path is the f64 XLA kernel in models/likelihood.py.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+TB = 32  # cells per tile (sublanes)
+TS = 128  # slots per tile (lanes)
+
+
+def _pair_kernel(t_ref, g_ref, out_ref, acc_ref, *, V, A, n_s):
+    s_step = pl.program_id(1)
+
+    @pl.when(s_step == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    t = [t_ref[x] for x in range(A * 9)]
+    g = [g_ref[i] for i in range(V * 3)]
+
+    for j in range(V):
+        u = []
+        for a in range(A):
+            for m in range(3):
+                u.append(
+                    g[j * 3] * t[a * 9 + m]
+                    + g[j * 3 + 1] * t[a * 9 + 3 + m]
+                    + g[j * 3 + 2] * t[a * 9 + 6 + m]
+                )
+        for k in range(V):
+            for a in range(A):
+                inner = (
+                    g[k * 3] * u[a * 3]
+                    + g[k * 3 + 1] * u[a * 3 + 1]
+                    + g[k * 3 + 2] * u[a * 3 + 2]
+                )
+                idx = (j * V + k) * A + a
+                acc_ref[idx] = acc_ref[idx] + jnp.log(inner)
+
+    @pl.when(s_step == n_s - 1)
+    def _():
+        cols = []
+        for idx in range(V * V * A):
+            cols.append(jnp.sum(acc_ref[idx], axis=1))
+        out_ref[:] = jnp.stack(cols, axis=1)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_alpha", "n_samples", "interpret")
+)
+def pair_llks_pallas(cnt_t, gps_t, wt, n_alpha, n_samples, interpret=False):
+    """Fast-mode pair-search LLKs.
+
+    cnt_t: (NB, B, S) f32 — slot counts; B %% 32 == 0, S %% 128 == 0,
+           padded slots all-zero.
+    gps_t: (V*3, B, S) f32 — per-slot genotype posteriors ((j,l) major);
+           padded slots carry the neutral row (1,0,0) per sample.
+    wt:    (NB, A*9) f32 — pair LUT (log domain).
+    Returns (llk_ab[B, V, V, A] f32, llk_00[B, A] f32).
+    """
+    NB, B, S = cnt_t.shape
+    V, A = n_samples, n_alpha
+    assert B % TB == 0 and S % TS == 0, (B, S)
+
+    # XLA front: LUT matmul + exp-normalization (telescoped per-UMI renorm +
+    # 1e-6 smoothing, cmd_cram_demuxlet.cpp:626-663), (A*9)-major output.
+    lograw = jnp.einsum(
+        "nbs,nx->xbs", cnt_t, wt, preferred_element_type=jnp.float32
+    )
+    mx = jnp.max(lograw, axis=0, keepdims=True)
+    t = jnp.exp(lograw - mx)
+    t = t + jnp.float32(1e-6)
+    t = t / jnp.max(t, axis=0, keepdims=True)
+
+    # background pair term (llks00, :700-709): g0 = mean over samples
+    g3 = gps_t.reshape(V, 3, B, S)
+    g0 = jnp.mean(g3, axis=0)  # (3, B, S)
+    p0 = (g0[:, None, :, :] * g0[None, :, :, :]).reshape(9, B, S)
+    t00 = jnp.einsum(
+        "qbs,xqbs->xbs",
+        p0,
+        t.reshape(A, 9, B, S),
+        preferred_element_type=jnp.float32,
+    )
+    llk_00 = jnp.sum(jnp.log(t00), axis=2).T  # (B, A)
+
+    n_s = S // TS
+    kernel = functools.partial(_pair_kernel, V=V, A=A, n_s=n_s)
+    out_ab = pl.pallas_call(
+        kernel,
+        grid=(B // TB, n_s),
+        in_specs=[
+            pl.BlockSpec((A * 9, TB, TS), lambda ib, is_: (0, ib, is_)),
+            pl.BlockSpec((V * 3, TB, TS), lambda ib, is_: (0, ib, is_)),
+        ],
+        out_specs=pl.BlockSpec((TB, V * V * A), lambda ib, is_: (ib, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, V * V * A), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((V * V * A, TB, TS), jnp.float32)],
+        interpret=interpret,
+    )(t, gps_t)
+    return out_ab.reshape(B, V, V, A), llk_00
+
+
+def pack_block(cnt, msk, gps_g, w, cap_bq=40):
+    """Host-side packing: SlotBlock tensors -> kernel layouts.
+
+    cnt (B,S,NB) int, msk (B,S) bool, gps_g (B,S,V,3) f64, w (NB, A*9) f64.
+    Pads B to 32, S to 128; padded/masked slots get zero counts and neutral
+    (1,0,0) gps rows. Returns (cnt_t (NB,B,S), gps_t (V*3,B,S), wt (NB,A*9)).
+    """
+    B, S, NB = cnt.shape
+    V = gps_g.shape[2]
+    Bp = -(-B // TB) * TB
+    Sp = -(-S // TS) * TS
+    m = np.asarray(msk, dtype=bool)
+    cnt_t = np.zeros((NB, Bp, Sp), dtype=np.float32)
+    cnt_t[:, :B, :S] = np.transpose(
+        np.asarray(cnt, dtype=np.float32) * m[:, :, None], (2, 0, 1)
+    )
+    neutral = np.zeros((V, 3), dtype=np.float32)
+    neutral[:, 0] = 1.0
+    gps_p = np.broadcast_to(neutral[None, None], (Bp, Sp, V, 3)).copy()
+    gps_p[:B, :S] = np.where(
+        m[..., None, None], np.asarray(gps_g, dtype=np.float32), neutral
+    )
+    gps_t = np.ascontiguousarray(
+        np.transpose(gps_p, (2, 3, 0, 1)).reshape(V * 3, Bp, Sp)
+    )
+    wt = np.ascontiguousarray(np.asarray(w, dtype=np.float32))
+    return cnt_t, gps_t, wt

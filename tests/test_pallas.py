@@ -1,0 +1,91 @@
+"""Pallas fast-mode kernel vs the exact f64 XLA path (interpret mode on CPU)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from demuxlet_tpu.models.likelihood import pair_llks
+from demuxlet_tpu.ops import luts
+from demuxlet_tpu.ops.pallas_pair import pack_block, pair_llks_pallas
+
+
+def _case(B, S, V, A, seed=0):
+    rng = np.random.default_rng(seed)
+    nb = 82
+    cnt = rng.integers(0, 3, size=(B, S, nb)).astype(np.int32)
+    msk = rng.random((B, S)) < 0.8
+    cnt *= msk[:, :, None]
+    gps = rng.dirichlet(np.ones(3), size=(B, S, V))
+    gp0 = gps.mean(axis=2)
+    grid = np.linspace(0, 0.5, A).tolist()
+    w = luts.pair_lut(grid, 40)
+    return cnt, msk, gps, gp0, w
+
+
+@pytest.mark.parametrize("B,S,V,A", [(4, 64, 3, 2), (6, 100, 4, 3)])
+def test_pallas_matches_exact(B, S, V, A):
+    cnt, msk, gps, gp0, w = _case(B, S, V, A)
+    ref_ab, ref_00 = pair_llks(
+        jnp.asarray(cnt), jnp.asarray(msk), jnp.asarray(gps),
+        jnp.asarray(gp0), jnp.asarray(w), A,
+    )
+    cnt_t, gps_t, wt = pack_block(cnt, msk, gps, w)
+    ab, z0 = pair_llks_pallas(
+        jnp.asarray(cnt_t), jnp.asarray(gps_t), jnp.asarray(wt), A, V,
+        interpret=True,
+    )
+    scale = np.maximum(1.0, np.abs(np.asarray(ref_ab)))
+    err = np.abs(np.asarray(ab)[:B] - np.asarray(ref_ab)) / scale
+    assert err.max() < 2e-5, err.max()
+    err0 = np.abs(np.asarray(z0)[:B] - np.asarray(ref_00)) / np.maximum(
+        1.0, np.abs(np.asarray(ref_00))
+    )
+    assert err0.max() < 2e-5
+
+
+def test_fast_engine_same_calls(tmp_path):
+    """Fast-mode engine produces identical .best calls on a synthetic run."""
+    import random
+
+    from demuxlet_tpu.host.pileup import build_pileup
+    from demuxlet_tpu.io.bam import AlignmentReader
+    from demuxlet_tpu.io.vcf import load_snp_table
+    from demuxlet_tpu.models.engine import DemuxEngine, cell_stats
+    from demuxlet_tpu.models import outputs as out_mod
+    from fixtures import random_workload, write_bam, write_vcf
+
+    rng = random.Random(5)
+    contigs, names, variants, reads, truth = random_workload(
+        rng, n_cells=20, n_snps=40, n_samples=3, reads_per_cell=60
+    )
+    vcf = write_vcf(str(tmp_path / "w.vcf"), names, variants, contigs=contigs)
+    bam = write_bam(str(tmp_path / "w.bam"), contigs, reads)
+    table = load_snp_table(vcf, field_name="GT")
+    rdr = AlignmentReader(bam)
+    scl, _ = build_pileup(rdr, table)
+    stats = cell_stats(scl)
+
+    def calls(mode):
+        eng = DemuxEngine(table.gps, [0.0, 0.5], cell_block=8, mode=mode)
+        res = eng.run(scl)
+        import io
+
+        s2, sb = io.StringIO(), io.StringIO()
+        out_mod.write_pass2(
+            stats, table.sample_ids, res.llk_ab, res.llk_00,
+            [0.0, 0.5], 0.5, s2, sb,
+        )
+        out = []
+        for ln in sb.getvalue().splitlines()[1:]:
+            best = ln.split("\t")[5]
+            if best.startswith("DBL-"):
+                # (j,k,0.5) and (k,j,0.5) are the same call: the doublet LLK
+                # is symmetric at alpha=0.5 and the argmax tie is broken by
+                # fp rounding luck (also true of the reference). Canonicalize.
+                _, a, b, al = best.split("-")
+                best = "DBL-%s-%s-%s" % (min(a, b), max(a, b), al)
+            out.append(best)
+        return out
+
+    assert calls("fast") == calls("exact")
