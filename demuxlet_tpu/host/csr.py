@@ -108,6 +108,65 @@ class CsrPileup:
         )
 
 
+def build_codes_block(
+    csr: CsrPileup,
+    cell_ids: Sequence[int],
+    cap_bq: int = 40,
+    pad_slots_to: int = 128,
+    pad_cells_to: int = 32,
+):
+    """Compact per-UMI observation codes for the device fast path.
+
+    Returns (codes, idx, msk):
+      codes (Bp, Sp, U) uint8 — code = allele * (cap_bq+1) + min(bq, cap_bq)
+            for each unique UMI of the slot; NONE (=255) padding. allele==2
+            observations are dropped (skipped by all likelihood loops).
+      idx   (Bp, Sp) int32 SNP ids (0-padded)
+      msk   (Bp, Sp) bool slot validity
+    U is the block's max per-slot UMI count bucketed to a power of two; Bp/Sp
+    are padded to pad_cells_to / pad_slots_to.
+    """
+    nq = cap_bq + 1
+    B = len(cell_ids)
+    per_cell = []
+    smax, umax = 1, 1
+    for c in cell_ids:
+        a, b = csr.cell_ptr[c], csr.cell_ptr[c + 1]
+        snps, inv = np.unique(csr.obs_snp[a:b], return_inverse=True)
+        per_cell.append((a, b, snps, inv))
+        smax = max(smax, len(snps))
+        if len(inv):
+            umax = max(umax, int(np.bincount(inv).max()))
+    # kernel tile requirements: slots %% 128, cells %% 32 (pallas_pair.TB/TS)
+    pad_slots_to = max(pad_slots_to, 128)
+    pad_cells_to = max(pad_cells_to, 32)
+    if pad_cells_to % 32:
+        pad_cells_to = -(-pad_cells_to // 32) * 32
+    Sp = max(pad_slots_to, -(-smax // pad_slots_to) * pad_slots_to)
+    Bp = max(pad_cells_to, -(-B // pad_cells_to) * pad_cells_to)
+    U = 1
+    while U < umax:
+        U *= 2
+    codes = np.full((Bp, Sp, U), 255, dtype=np.uint8)
+    idx = np.zeros((Bp, Sp), dtype=np.int32)
+    msk = np.zeros((Bp, Sp), dtype=bool)
+    for r, (a, b, snps, inv) in enumerate(per_cell):
+        k = len(snps)
+        idx[r, :k] = snps
+        msk[r, :k] = True
+        if not len(inv):
+            continue
+        order = np.argsort(inv, kind="stable")
+        occ = np.arange(len(inv)) - np.searchsorted(inv[order], inv[order])
+        al = csr.obs_allele[a:b][order]
+        bq = np.minimum(csr.obs_bq[a:b][order], cap_bq)
+        sel = al < 2
+        codes[r, inv[order][sel], occ[sel]] = (
+            al[sel].astype(np.int64) * nq + bq[sel]
+        ).astype(np.uint8)
+    return codes, idx, msk
+
+
 def build_slots_csr(csr: CsrPileup, cell_ids: Sequence[int], cap_bq: int = 40,
                     pad_slots_to: int = 8):
     """Vectorized SlotBlock construction from CSR observations."""

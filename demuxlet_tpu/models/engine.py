@@ -82,6 +82,7 @@ class DemuxEngine:
         self._gp0_dev = jnp.asarray(self.gp0, dtype=self.dtype)
         self._logf_dev = jnp.asarray(self.logf, dtype=self.dtype)
         self._w_dev = jnp.asarray(self.w, dtype=self.dtype)
+        self._fast_luts = None
         self._sharded_step = None
         if mesh is not None and mode == "exact":
             from demuxlet_tpu.parallel import mesh as pmesh
@@ -123,34 +124,37 @@ class DemuxEngine:
         )
         return llk, llk0, llk_ab, llk_00
 
-    def _run_block_fast(self, blk: SlotBlock):
-        from demuxlet_tpu.ops.pallas_pair import pack_block, pair_llks_pallas
+    def _run_block_fast(self, scl, cells):
+        from demuxlet_tpu.host.csr import build_codes_block
+        from demuxlet_tpu.ops.pallas_pair import demux_block_fast, extend_luts
 
-        idx = jnp.asarray(blk.idx)
-        gps_g = np.asarray(jnp.take(self._gps_dev, idx, axis=0))
-        gp0_g = jnp.take(self._gp0_dev, idx, axis=0)
-        cnt_t, gps_t, wt = pack_block(blk.cnt, blk.msk, gps_g, self.w)
-        interpret = jax.default_backend() not in ("tpu",)
-        llk_ab, llk_00 = pair_llks_pallas(
-            jnp.asarray(cnt_t),
-            jnp.asarray(gps_t),
-            jnp.asarray(wt),
+        if self._fast_luts is None:
+            self._fast_luts = tuple(
+                jnp.asarray(x) for x in extend_luts(self.w, self.logf)
+            )
+        codes, idx, msk = build_codes_block(
+            scl, cells, cap_bq=self.cap_bq, pad_cells_to=self.cell_block
+        )
+        interpret = jax.default_backend() != "tpu"
+        w_ext, logf_ext = self._fast_luts
+        return demux_block_fast(
+            jnp.asarray(codes),
+            jnp.asarray(idx),
+            jnp.asarray(msk),
+            self._gps_dev,
+            self._gp0_dev,
+            w_ext,
+            logf_ext,
             self.n_alpha,
             self.nv,
             interpret=interpret,
         )
-        B = blk.cnt.shape[0]
-        llk, llk0 = likelihood.singlet_llks(
-            jnp.asarray(blk.cnt),
-            jnp.asarray(blk.msk),
-            jnp.asarray(gps_g, dtype=jnp.float32),
-            gp0_g,
-            self._logf_dev,
-            dtype=jnp.float32,
-        )
-        return llk, llk0, llk_ab[:B], llk_00[:B]
 
     def run(self, scl: PileupData) -> EngineResult:
+        if self.mode == "fast" and not hasattr(scl, "cell_ptr"):
+            from demuxlet_tpu.host.csr import CsrPileup
+
+            scl = CsrPileup.from_pileup(scl)
         n = scl.nbcs
         nv = self.nv
         na = self.n_alpha
@@ -160,9 +164,14 @@ class DemuxEngine:
         llk_00 = np.zeros((n, na), dtype=np.float64)
         for start in range(0, n, self.cell_block):
             cells = list(range(start, min(start + self.cell_block, n)))
-            blk = build_slots(scl, cells, cap_bq=self.cap_bq)
-            blk = _pad_block(blk, self.cell_block, _bucket(blk.idx.shape[1]))
-            a, b, c, d = self._run_block(blk)
+            if self.mode == "fast":
+                a, b, c, d = self._run_block_fast(scl, cells)
+            else:
+                blk = build_slots(scl, cells, cap_bq=self.cap_bq)
+                blk = _pad_block(
+                    blk, self.cell_block, _bucket(blk.idx.shape[1])
+                )
+                a, b, c, d = self._run_block(blk)
             m = len(cells)
             llks[cells] = np.asarray(a)[:m]
             llk0s[cells] = np.asarray(b)[:m]

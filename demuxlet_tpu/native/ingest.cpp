@@ -2,10 +2,19 @@
 //
 // TPU-native replacement for the reference's ingest stack
 // (sam_filtered_reader.cpp + hts_utils.cpp:279-359 + sc_drop_seq.cpp), built
-// from scratch without htslib: a zlib-based BGZF block reader, a BAM record
-// parser, and a single-pass coordinate-sweep pileup with streaming per-SNP
-// finalization (the reference instead keeps every (snp,cell)->umi map alive
-// for the whole run).
+// from scratch without htslib:
+//   * a zlib BGZF block reader with a bounded-window prefetching inflate
+//     pool (blocks are independent gzip members),
+//   * a BAM record parser,
+//   * a BAI index parser (virtual-offset chromosome segments),
+//   * a single-pass coordinate-sweep pileup with streaming per-SNP
+//     finalization (the reference instead keeps every (snp,cell)->umi map
+//     alive for the whole run),
+//   * optional per-chromosome parallel scan: with a .bai present, each
+//     chromosome's file segment is scanned by its own thread with private
+//     pileup state; results merge in chromosome order, reproducing the
+//     sequential first-seen barcode ids and counters exactly (reads never
+//     span chromosomes, so UMI dedup state never crosses a segment).
 //
 // Semantics mirrored exactly (parity contract, see io/bam.py + host/pileup.py
 // which implement the same rules in Python and are cross-checked by tests):
@@ -18,18 +27,17 @@
 //   * UMI dedup: first (snp, cell, umi) occurrence wins; repeats counted as
 //     redundant; per-read accounting counters identical to
 //     cmd_cram_demuxlet.cpp:295-361.
-//
-// Threading: BGZF blocks are inflated by a worker pool (blocks are
-// independent gzip members); record parsing + pileup stay on one thread,
-// preserving file order (required for first-seen barcode ids and
-// first-occurrence UMI dedup).
 
 #include <zlib.h>
 
+#include <algorithm>
 #include <atomic>
+#include <condition_variable>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
+#include <memory>
+#include <mutex>
 #include <string>
 #include <thread>
 #include <unordered_map>
@@ -45,125 +53,279 @@ struct IngestError {
 
 static void fail(const std::string& m) { throw IngestError{m}; }
 
-// ---------------------------------------------------------------- BGZF
-// A BGZF file is a series of gzip members whose extra field carries the
-// compressed block size (BC subfield). We parse headers sequentially (cheap)
-// and inflate payloads on a thread pool.
-struct BgzfBlock {
-  size_t comp_off;   // offset of deflate payload in file buffer
-  size_t comp_len;   // CDATA length
-  uint32_t isize;    // uncompressed size
-};
-
-class BgzfReader {
- public:
-  explicit BgzfReader(const char* path, int n_threads) {
+// ---------------------------------------------------------------- file
+struct FileBuf {
+  std::vector<uint8_t> data;
+  explicit FileBuf(const char* path) {
     FILE* f = fopen(path, "rb");
     if (!f) fail(std::string("cannot open ") + path);
     fseek(f, 0, SEEK_END);
     long sz = ftell(f);
     fseek(f, 0, SEEK_SET);
-    buf_.resize((size_t)sz);
-    if (sz > 0 && fread(buf_.data(), 1, (size_t)sz, f) != (size_t)sz) {
+    data.resize((size_t)sz);
+    if (sz > 0 && fread(data.data(), 1, (size_t)sz, f) != (size_t)sz) {
       fclose(f);
       fail(std::string("short read on ") + path);
     }
     fclose(f);
-    parse_blocks(path);
-    inflate_all(n_threads);
+  }
+};
+
+// ---------------------------------------------------------------- BGZF
+struct BgzfBlock {
+  size_t file_off;   // offset of the gzip member in the file
+  size_t comp_off;   // offset of deflate payload
+  size_t comp_len;   // CDATA length
+  uint32_t isize;    // uncompressed size
+};
+
+static void parse_bgzf_blocks(const std::vector<uint8_t>& buf,
+                              const char* path,
+                              std::vector<BgzfBlock>* blocks) {
+  size_t off = 0;
+  const size_t n = buf.size();
+  while (off + 18 <= n) {
+    const uint8_t* p = &buf[off];
+    if (p[0] != 0x1f || p[1] != 0x8b)
+      fail(std::string(path) + ": bad gzip magic");
+    const uint8_t flg = p[3];
+    size_t hdr = 10;
+    uint32_t bsize = 0;
+    if (flg & 4) {  // FEXTRA
+      uint16_t xlen = (uint16_t)(p[10] | (p[11] << 8));
+      size_t xoff = 12, xend = 12 + xlen;
+      while (xoff + 4 <= xend) {
+        uint8_t si1 = p[xoff], si2 = p[xoff + 1];
+        uint16_t slen = (uint16_t)(p[xoff + 2] | (p[xoff + 3] << 8));
+        if (si1 == 'B' && si2 == 'C' && slen == 2)
+          bsize = (uint32_t)(p[xoff + 4] | (p[xoff + 5] << 8)) + 1;
+        xoff += 4 + slen;
+      }
+      hdr = xend;
+    }
+    if (bsize == 0) fail(std::string(path) + ": not BGZF (no BC subfield)");
+    if (off + bsize > n) fail(std::string(path) + ": truncated BGZF block");
+    const uint8_t* tail = &buf[off + bsize - 4];
+    uint32_t isize = (uint32_t)(tail[0] | (tail[1] << 8) | (tail[2] << 16) |
+                                ((uint32_t)tail[3] << 24));
+    blocks->push_back({off, off + hdr, bsize - hdr - 8, isize});
+    off += bsize;
+  }
+}
+
+// Bounded-window prefetching BGZF stream: worker threads inflate blocks
+// ahead of the consumer; memory = WINDOW blocks (~4 MB), not the whole file.
+class BgzfStream {
+ public:
+  static constexpr size_t WINDOW = 64;
+
+  BgzfStream(const std::vector<uint8_t>& file,
+             const std::vector<BgzfBlock>& blocks, size_t first_block,
+             size_t end_block, int n_threads)
+      : file_(file),
+        blocks_(blocks),
+        begin_(first_block),
+        end_(end_block == 0 ? blocks.size() : end_block),
+        next_claim_(first_block),
+        consumed_(first_block) {
+    slots_.resize(WINDOW);
+    int nw = std::max(1, n_threads);
+    for (int i = 0; i < nw; ++i)
+      workers_.emplace_back([this]() { work(); });
   }
 
-  const std::vector<uint8_t>& data() const { return out_; }
+  ~BgzfStream() {
+    {
+      std::lock_guard<std::mutex> lk(mu_);
+      stop_ = true;
+    }
+    cv_space_.notify_all();
+    for (auto& t : workers_) t.join();
+  }
+
+  // Returns the next inflated block (or nullptr at end). Valid until the
+  // following call.
+  const std::vector<uint8_t>* next_block() {
+    if (consumed_ >= end_) return nullptr;
+    size_t i = consumed_;
+    Slot& s = slots_[i % WINDOW];
+    {
+      std::unique_lock<std::mutex> lk(mu_);
+      cv_ready_.wait(lk, [&] { return s.ready_for == i && s.done; });
+      if (s.error) fail("BGZF inflate failed");
+    }
+    cur_ = std::move(s.data);
+    {
+      std::lock_guard<std::mutex> lk(mu_);
+      s.done = false;
+      s.ready_for = SIZE_MAX;
+      consumed_ = i + 1;
+    }
+    cv_space_.notify_all();
+    return &cur_;
+  }
 
  private:
-  void parse_blocks(const char* path) {
-    size_t off = 0;
-    const size_t n = buf_.size();
-    while (off + 18 <= n) {
-      const uint8_t* p = &buf_[off];
-      if (p[0] != 0x1f || p[1] != 0x8b) fail(std::string(path) + ": bad gzip magic");
-      const uint8_t flg = p[3];
-      size_t hdr = 10;
-      uint32_t bsize = 0;
-      if (flg & 4) {  // FEXTRA
-        uint16_t xlen = (uint16_t)(p[10] | (p[11] << 8));
-        size_t xoff = 12, xend = 12 + xlen;
-        while (xoff + 4 <= xend) {
-          uint8_t si1 = p[xoff], si2 = p[xoff + 1];
-          uint16_t slen = (uint16_t)(p[xoff + 2] | (p[xoff + 3] << 8));
-          if (si1 == 'B' && si2 == 'C' && slen == 2)
-            bsize = (uint32_t)(p[xoff + 4] | (p[xoff + 5] << 8)) + 1;
-          xoff += 4 + slen;
-        }
-        hdr = xend;
-      }
-      if (bsize == 0) fail(std::string(path) + ": not BGZF (no BC subfield)");
-      if (off + bsize > n) fail(std::string(path) + ": truncated BGZF block");
-      const uint8_t* tail = &buf_[off + bsize - 4];
-      uint32_t isize = (uint32_t)(tail[0] | (tail[1] << 8) | (tail[2] << 16) |
-                                  ((uint32_t)tail[3] << 24));
-      BgzfBlock b;
-      b.comp_off = off + hdr;
-      b.comp_len = bsize - hdr - 8;
-      b.isize = isize;
-      blocks_.push_back(b);
-      off += bsize;
-    }
-    size_t total = 0;
-    offsets_.reserve(blocks_.size() + 1);
-    for (auto& b : blocks_) {
-      offsets_.push_back(total);
-      total += b.isize;
-    }
-    offsets_.push_back(total);
-    out_.resize(total);
-  }
+  struct Slot {
+    std::vector<uint8_t> data;
+    size_t ready_for = SIZE_MAX;
+    bool done = false;
+    bool error = false;
+  };
 
-  void inflate_all(int n_threads) {
-    std::atomic<size_t> next{0};
-    std::atomic<bool> bad{false};
-    auto work = [&]() {
-      z_stream zs;
-      memset(&zs, 0, sizeof(zs));
-      if (inflateInit2(&zs, -15) != Z_OK) {
-        bad = true;
-        return;
+  void work() {
+    z_stream zs;
+    memset(&zs, 0, sizeof(zs));
+    if (inflateInit2(&zs, -15) != Z_OK) return;
+    for (;;) {
+      size_t i = next_claim_.fetch_add(1);
+      if (i >= end_) break;
+      Slot& s = slots_[i % WINDOW];
+      {
+        std::unique_lock<std::mutex> lk(mu_);
+        cv_space_.wait(lk, [&] {
+          return stop_ || consumed_ + WINDOW > i;
+        });
+        if (stop_) break;
       }
-      for (;;) {
-        size_t i = next.fetch_add(1);
-        if (i >= blocks_.size()) break;
-        const BgzfBlock& b = blocks_[i];
-        if (b.isize == 0) continue;
+      const BgzfBlock& b = blocks_[i];
+      std::vector<uint8_t> out(b.isize);
+      bool err = false;
+      if (b.isize > 0) {
         inflateReset(&zs);
-        zs.next_in = const_cast<Bytef*>(&buf_[b.comp_off]);
+        zs.next_in = const_cast<Bytef*>(&file_[b.comp_off]);
         zs.avail_in = (uInt)b.comp_len;
-        zs.next_out = &out_[offsets_[i]];
+        zs.next_out = out.data();
         zs.avail_out = b.isize;
         int rc = inflate(&zs, Z_FINISH);
-        if (rc != Z_STREAM_END || zs.avail_out != 0) {
-          bad = true;
-          break;
-        }
+        err = (rc != Z_STREAM_END || zs.avail_out != 0);
       }
-      inflateEnd(&zs);
-    };
-    if (n_threads <= 1) {
-      work();
-    } else {
-      std::vector<std::thread> ts;
-      for (int t = 0; t < n_threads; ++t) ts.emplace_back(work);
-      for (auto& t : ts) t.join();
+      {
+        std::lock_guard<std::mutex> lk(mu_);
+        s.data = std::move(out);
+        s.error = err;
+        s.ready_for = i;
+        s.done = true;
+      }
+      cv_ready_.notify_all();
     }
-    if (bad.load()) fail("BGZF inflate failed");
-    buf_.clear();
-    buf_.shrink_to_fit();
+    inflateEnd(&zs);
   }
 
-  std::vector<uint8_t> buf_;
-  std::vector<BgzfBlock> blocks_;
-  std::vector<size_t> offsets_;
-  std::vector<uint8_t> out_;
+  const std::vector<uint8_t>& file_;
+  const std::vector<BgzfBlock>& blocks_;
+  size_t begin_, end_;
+  std::atomic<size_t> next_claim_;
+  size_t consumed_;
+  std::vector<Slot> slots_;
+  std::vector<std::thread> workers_;
+  std::vector<uint8_t> cur_;
+  std::mutex mu_;
+  std::condition_variable cv_ready_, cv_space_;
+  bool stop_ = false;
 };
+
+// Record-oriented reader over a BgzfStream: stitches records that span
+// block boundaries; tracks virtual offsets for segment bounds.
+class RecordReader {
+ public:
+  RecordReader(const std::vector<uint8_t>& file,
+               const std::vector<BgzfBlock>& blocks, size_t first_block,
+               uint32_t first_uoffset, int n_threads)
+      : stream_(file, blocks, first_block, 0, n_threads),
+        blocks_(blocks) {
+    skip_ = first_uoffset;
+  }
+
+  // Pull `n` bytes into an internal contiguous buffer; returns pointer
+  // (valid until the next pull) or nullptr at EOF.
+  const uint8_t* pull(size_t n) {
+    trim();
+    while (buf_.size() - pos_ < n) {
+      const std::vector<uint8_t>* blk = stream_.next_block();
+      if (!blk) return nullptr;
+      size_t drop = skip_;
+      skip_ = 0;
+      if (drop >= blk->size()) continue;
+      buf_.insert(buf_.end(), blk->begin() + drop, blk->end());
+    }
+    const uint8_t* p = &buf_[pos_];
+    pos_ += n;
+    return p;
+  }
+
+  void unread(size_t n) { pos_ -= n; }
+
+ private:
+  void trim() {
+    if (pos_ > (1u << 20)) {
+      buf_.erase(buf_.begin(), buf_.begin() + pos_);
+      pos_ = 0;
+    }
+  }
+
+  BgzfStream stream_;
+  const std::vector<BgzfBlock>& blocks_;
+  std::vector<uint8_t> buf_;
+  size_t pos_ = 0;
+  size_t skip_ = 0;
+};
+
+// ---------------------------------------------------------------- BAI
+// Per-reference smallest virtual offset, from the linear index (and chunk
+// list as fallback). Used to partition the file into per-chromosome
+// segments for the parallel scan.
+static bool parse_bai_starts(const std::string& bam_path, int n_ref,
+                             std::vector<uint64_t>* starts) {
+  std::string p1 = bam_path + ".bai";
+  FILE* f = fopen(p1.c_str(), "rb");
+  if (!f) {
+    std::string p2 = bam_path;
+    size_t dot = p2.rfind(".bam");
+    if (dot != std::string::npos) p2 = p2.substr(0, dot) + ".bai";
+    f = fopen(p2.c_str(), "rb");
+    if (!f) return false;
+  }
+  auto rd_u32 = [&](uint32_t* v) { return fread(v, 4, 1, f) == 1; };
+  auto rd_u64 = [&](uint64_t* v) { return fread(v, 8, 1, f) == 1; };
+  char magic[4];
+  if (fread(magic, 1, 4, f) != 4 || memcmp(magic, "BAI\1", 4) != 0) {
+    fclose(f);
+    return false;
+  }
+  uint32_t nref;
+  if (!rd_u32(&nref)) {
+    fclose(f);
+    return false;
+  }
+  starts->assign(n_ref, UINT64_MAX);
+  for (uint32_t r = 0; r < nref && r < (uint32_t)n_ref; ++r) {
+    uint32_t n_bin;
+    if (!rd_u32(&n_bin)) break;
+    uint64_t mn = UINT64_MAX;
+    for (uint32_t b = 0; b < n_bin; ++b) {
+      uint32_t bin, n_chunk;
+      rd_u32(&bin);
+      rd_u32(&n_chunk);
+      for (uint32_t c = 0; c < n_chunk; ++c) {
+        uint64_t beg, end;
+        rd_u64(&beg);
+        rd_u64(&end);
+        if (bin != 37450 && beg < mn) mn = beg;  // skip pseudo-bin
+      }
+    }
+    uint32_t n_intv;
+    rd_u32(&n_intv);
+    for (uint32_t i = 0; i < n_intv; ++i) {
+      uint64_t io;
+      rd_u64(&io);
+      if (io && io < mn) mn = io;
+    }
+    (*starts)[r] = mn;
+  }
+  fclose(f);
+  return true;
+}
 
 // ---------------------------------------------------------------- pileup
 constexpr const char* kSeqNt16 = "=ACMGRSVTWYHKDBN";
@@ -193,7 +355,6 @@ static uint64_t hash_bytes(const uint8_t* s, size_t n) {
 }
 
 struct ActiveSnp {
-  // (cell, umi_hash) -> seen; value packs first-wins (allele, bq).
   std::unordered_map<std::pair<int64_t, uint64_t>, uint16_t, PairHash> umis;
 };
 
@@ -210,54 +371,52 @@ struct Result {
   Counters ctr;
 };
 
+struct SnpPanel {
+  std::unordered_map<std::string, int> chrom_index;
+  const int64_t* chrom_ptr;
+  const int64_t* snp_pos;
+  const int32_t* snp_ids;
+  const uint8_t* snp_ref;
+  const uint8_t* snp_alt;
+};
+
+struct Params {
+  int cap_bq, min_bq, min_td, min_mq, excl_flag;
+  bool has_group_tag = false, has_umi_tag = false;
+  char tg[2] = {0, 0}, tu[2] = {0, 0};
+  bool use_group_set = false;
+  std::unordered_set<std::string> group_set;
+};
+
 class Ingest {
  public:
-  Ingest(int n_chroms, const char* chrom_concat, const int64_t* chrom_off,
-         const int64_t* chrom_ptr, const int64_t* snp_pos,
-         const int32_t* snp_ids, const uint8_t* snp_ref,
-         const uint8_t* snp_alt, const char* tag_group, const char* tag_umi,
-         int cap_bq, int min_bq, int min_td, int min_mq, int excl_flag,
-         const char* grp_concat, const int64_t* grp_off, int64_t n_group)
-      : chrom_ptr_(chrom_ptr),
-        snp_pos_(snp_pos),
-        snp_ids_(snp_ids),
-        snp_ref_(snp_ref),
-        snp_alt_(snp_alt),
-        cap_bq_(cap_bq),
-        min_bq_(min_bq),
-        min_td_(min_td),
-        min_mq_(min_mq),
-        excl_flag_(excl_flag) {
-    for (int i = 0; i < n_chroms; ++i)
-      chrom_index_.emplace(
-          std::string(chrom_concat + chrom_off[i],
-                      (size_t)(chrom_off[i + 1] - chrom_off[i])),
-          i);
-    has_group_tag_ = tag_group && tag_group[0];
-    has_umi_tag_ = tag_umi && tag_umi[0];
-    if (has_group_tag_) memcpy(tg_, tag_group, 2);
-    if (has_umi_tag_) memcpy(tu_, tag_umi, 2);
-    if (grp_concat && n_group > 0) {
-      use_group_set_ = true;
-      for (int64_t i = 0; i < n_group; ++i)
-        group_set_.emplace(std::string(grp_concat + grp_off[i],
-                                       (size_t)(grp_off[i + 1] - grp_off[i])));
-    }
-  }
+  Ingest(const SnpPanel& panel, const Params& prm,
+         const std::vector<int>& tid_to_chrom,
+         int32_t tid_max = INT32_MAX)
+      : p_(panel), prm_(prm), tid_to_chrom_(tid_to_chrom),
+        tid_max_(tid_max) {}
 
-  void run_bam(const char* path, int n_threads) {
-    BgzfReader rdr(path, n_threads);
-    const std::vector<uint8_t>& d = rdr.data();
-    size_t off = 0;
-    parse_bam_header(d, off);
-    const size_t n = d.size();
-    while (off + 4 <= n) {
+  // Process records until EOF or (segment mode, tid_max < INT32_MAX) the
+  // first record with tid > tid_max — tids ascend in a sorted BAM, and the
+  // unmapped tail (tid == -1) belongs to the final segment only.
+  void scan(RecordReader& rr) {
+    const bool bounded = tid_max_ != INT32_MAX;
+    for (;;) {
+      const uint8_t* hd = rr.pull(4);
+      if (!hd) break;
       uint32_t block_size;
-      memcpy(&block_size, &d[off], 4);
-      off += 4;
-      if (off + block_size > n) fail("truncated BAM record");
-      process_record(&d[off], block_size);
-      off += block_size;
+      memcpy(&block_size, hd, 4);
+      const uint8_t* rec = rr.pull(block_size);
+      if (!rec) fail("truncated BAM record");
+      if (bounded) {
+        int32_t tid;
+        memcpy(&tid, rec, 4);
+        if (tid > tid_max_ || tid < 0) {
+          rr.unread(block_size + 4);
+          break;
+        }
+      }
+      process_record(rec, block_size);
     }
     finalize_all();
   }
@@ -265,28 +424,6 @@ class Ingest {
   Result take() { return std::move(res_); }
 
  private:
-  void parse_bam_header(const std::vector<uint8_t>& d, size_t& off) {
-    if (d.size() < 12 || memcmp(&d[0], "BAM\1", 4) != 0)
-      fail("not a BAM file (bad magic)");
-    off = 4;
-    int32_t l_text;
-    memcpy(&l_text, &d[off], 4);
-    off += 4 + (size_t)l_text;
-    int32_t n_ref;
-    memcpy(&n_ref, &d[off], 4);
-    off += 4;
-    tid_to_chrom_.assign(n_ref, -1);
-    for (int32_t i = 0; i < n_ref; ++i) {
-      int32_t l_name;
-      memcpy(&l_name, &d[off], 4);
-      off += 4;
-      std::string name((const char*)&d[off], (size_t)(l_name - 1));
-      off += (size_t)l_name + 4;  // name + l_ref
-      auto it = chrom_index_.find(name);
-      if (it != chrom_index_.end()) tid_to_chrom_[i] = it->second;
-    }
-  }
-
   int32_t cell_id(const std::string& bcd) {
     auto it = bc_map_.find(bcd);
     if (it != bc_map_.end()) return it->second;
@@ -299,12 +436,10 @@ class Ingest {
     return id;
   }
 
-  // Streaming finalization: a SNP at pos p can only gain reads with
-  // read.pos <= p; once the sweep's read.pos passes p, flush it.
   void finalize_before(int chrom, int64_t pos) {
     while (active_head_ < active_order_.size()) {
       auto [c, k] = active_order_[active_head_];
-      if (c > chrom || (c == chrom && snp_pos_[k] >= pos)) break;
+      if (c > chrom || (c == chrom && p_.snp_pos[k] >= pos)) break;
       flush_snp(c, k);
       ++active_head_;
     }
@@ -313,14 +448,11 @@ class Ingest {
   void flush_snp(int chrom, int64_t k) {
     auto it = active_.find(((int64_t)chrom << 40) | k);
     if (it == active_.end()) return;
-    const int32_t sid = snp_ids_[k];
+    const int32_t sid = p_.snp_ids[k];
     for (auto& kv : it->second.umis) {
-      Obs o;
-      o.cell = (int32_t)kv.first.first;
-      o.snp = sid;
-      o.allele = (uint8_t)(kv.second >> 8);
-      o.bq = (uint8_t)(kv.second & 0xff);
-      res_.obs.push_back(o);
+      res_.obs.push_back({(int32_t)kv.first.first, sid,
+                          (uint8_t)(kv.second >> 8),
+                          (uint8_t)(kv.second & 0xff)});
     }
     active_.erase(it);
   }
@@ -332,23 +464,22 @@ class Ingest {
     active_head_ = 0;
   }
 
-  // Replicates AlignedRead.base_qual_at (io/bam.py; hts_utils.cpp:279-359).
   static bool base_at(const uint8_t* cig, uint16_t n_cigar, int64_t read_pos,
                       int64_t gpos, int32_t l_qseq, const uint8_t* seq4,
-                      const uint8_t* qual, char* base, int* bq, int32_t* rpos) {
+                      const uint8_t* qual, char* base, int* bq,
+                      int32_t* rpos) {
     int64_t cpos = read_pos;
     int64_t rp = 0;
-    bool hit = false;
     for (uint16_t i = 0; i < n_cigar; ++i) {
       uint32_t c;
       memcpy(&c, cig + 4 * i, 4);
       const uint32_t op = c & 0xF, ln = c >> 4;
+      bool brk = false;
       switch (op) {
         case 0:  // M
           if (cpos <= gpos && gpos <= cpos + (int64_t)ln - 1) {
             rp += gpos - cpos;
-            hit = true;
-            i = n_cigar;  // break out
+            brk = true;
             break;
           }
           cpos += ln;
@@ -358,8 +489,7 @@ class Ingest {
         case 3:  // N
           if (cpos <= gpos && gpos <= cpos + (int64_t)ln - 1) {
             rp = -1;
-            hit = true;
-            i = n_cigar;
+            brk = true;
             break;
           }
           cpos += ln;
@@ -371,8 +501,8 @@ class Ingest {
         default:  // H, P, =, X: advance nothing (parity quirk)
           break;
       }
+      if (brk) break;
     }
-    (void)hit;
     if (rp < 0 || rp >= l_qseq) {
       *rpos = -1;
       return false;
@@ -395,7 +525,7 @@ class Ingest {
     memcpy(&n_cigar, r + 12, 2);
     memcpy(&flag, r + 14, 2);
     memcpy(&l_seq, r + 16, 4);
-    if (mapq < min_mq_ || (flag & excl_flag_)) {
+    if (mapq < prm_.min_mq || (flag & prm_.excl_flag)) {
       res_.ctr.n_skip++;
       return;
     }
@@ -410,7 +540,6 @@ class Ingest {
     const uint8_t* tags = qual + l_seq;
     const uint8_t* end = r + len;
 
-    // endpos: pos + ref-consumed (M/D/N/=/X)
     int64_t rlen = 0;
     for (uint16_t i = 0; i < n_cigar; ++i) {
       uint32_t c;
@@ -420,16 +549,14 @@ class Ingest {
     }
     const int64_t endpos = pos + (rlen ? rlen : 1);
 
-    // tag scan
     const uint8_t* cb = nullptr;
     size_t cb_len = 0;
     const uint8_t* ub = nullptr;
     size_t ub_len = 0;
     scan_tags(tags, end, &cb, &cb_len, &ub, &ub_len);
 
-    // barcode
     int32_t ibcd;
-    if (!has_group_tag_) {
+    if (!prm_.has_group_tag) {
       ibcd = cell_id(".");
     } else {
       std::string sbcd;
@@ -439,7 +566,7 @@ class Ingest {
         res_.ctr.n_no_gtag++;
         sbcd = ".";
       }
-      if (use_group_set_ && !group_set_.count(sbcd)) {
+      if (prm_.use_group_set && !prm_.group_set.count(sbcd)) {
         res_.ctr.n_skip_bcd++;
         return;
       }
@@ -448,7 +575,7 @@ class Ingest {
     res_.ctr.n_tmp++;
 
     uint64_t umih;
-    if (!has_umi_tag_) {
+    if (!prm_.has_umi_tag) {
       umih = umi_counter_++;
     } else if (ub) {
       umih = hash_bytes(ub, ub_len);
@@ -461,8 +588,7 @@ class Ingest {
 
     finalize_before(chrom, pos);
 
-    // overlapping SNPs: binary search in this chrom's sorted positions
-    const int64_t lo0 = chrom_ptr_[chrom], hi0 = chrom_ptr_[chrom + 1];
+    const int64_t lo0 = p_.chrom_ptr[chrom], hi0 = p_.chrom_ptr[chrom + 1];
     int64_t lo = lower_bound(lo0, hi0, pos);
     int64_t hi = lower_bound(lo, hi0, endpos);
 
@@ -471,19 +597,20 @@ class Ingest {
       char base;
       int bq;
       int32_t rpos;
-      if (!base_at(cig, n_cigar, pos, snp_pos_[k], l_seq, seq4, qual, &base,
-                   &bq, &rpos))
+      if (!base_at(cig, n_cigar, pos, p_.snp_pos[k], l_seq, seq4, qual,
+                   &base, &bq, &rpos))
         continue;
       if (base == 'N') continue;
       nv_valid++;
-      if (bq < min_bq_) continue;
-      if (rpos < min_td_ - 1) continue;
-      if (rpos + min_td_ > l_seq) continue;
-      const int32_t sid = snp_ids_[k];
-      const char refc = (char)snp_ref_[sid];
-      const char altc = (char)snp_alt_[sid];
+      if (bq < prm_.min_bq) continue;
+      if (rpos < prm_.min_td - 1) continue;
+      if (rpos + prm_.min_td > l_seq) continue;
+      const int32_t sid = p_.snp_ids[k];
+      const char refc = (char)p_.snp_ref[sid];
+      const char altc = (char)p_.snp_alt[sid];
       const uint8_t allele = base == refc ? 0 : (base == altc ? 1 : 2);
-      const uint8_t cbq = (uint8_t)(bq > cap_bq_ ? cap_bq_ : bq);
+      const uint8_t cbq =
+          (uint8_t)(bq > prm_.cap_bq ? prm_.cap_bq : bq);
       if (add_umi(chrom, k, ibcd, umih, allele, cbq))
         nv_pass++;
       else
@@ -506,10 +633,9 @@ class Ingest {
     const int64_t key = ((int64_t)chrom << 40) | k;
     auto [it, inserted] = active_.try_emplace(key);
     if (inserted) active_order_.emplace_back(chrom, k);
-    auto [uit, fresh] =
-        it->second.umis.try_emplace({cell, umih},
-                                    (uint16_t)(((uint16_t)allele << 8) | bq));
-    if (!fresh) return false;  // redundant: first occurrence wins
+    auto [uit, fresh] = it->second.umis.try_emplace(
+        {cell, umih}, (uint16_t)(((uint16_t)allele << 8) | bq));
+    if (!fresh) return false;
     res_.cell_uniq[cell]++;
     return true;
   }
@@ -517,7 +643,7 @@ class Ingest {
   int64_t lower_bound(int64_t lo, int64_t hi, int64_t val) const {
     while (lo < hi) {
       int64_t mid = (lo + hi) >> 1;
-      if (snp_pos_[mid] < val)
+      if (p_.snp_pos[mid] < val)
         lo = mid + 1;
       else
         hi = mid;
@@ -538,10 +664,11 @@ class Ingest {
           const uint8_t* z = p;
           while (z < end && *z) ++z;
           if (typ == 'Z') {
-            if (has_group_tag_ && t0 == tg_[0] && t1 == tg_[1]) {
+            if (prm_.has_group_tag && t0 == prm_.tg[0] && t1 == prm_.tg[1]) {
               *cb = p;
               *cb_len = (size_t)(z - p);
-            } else if (has_umi_tag_ && t0 == tu_[0] && t1 == tu_[1]) {
+            } else if (prm_.has_umi_tag && t0 == prm_.tu[0] &&
+                       t1 == prm_.tu[1]) {
               *ub = p;
               *ub_len = (size_t)(z - p);
             }
@@ -581,28 +708,181 @@ class Ingest {
     }
   }
 
-  // --- config
-  std::unordered_map<std::string, int> chrom_index_;
-  const int64_t* chrom_ptr_;
-  const int64_t* snp_pos_;
-  const int32_t* snp_ids_;
-  const uint8_t* snp_ref_;
-  const uint8_t* snp_alt_;
-  int cap_bq_, min_bq_, min_td_, min_mq_, excl_flag_;
-  bool has_group_tag_ = false, has_umi_tag_ = false;
-  char tg_[2] = {0, 0}, tu_[2] = {0, 0};
-  bool use_group_set_ = false;
-  std::unordered_set<std::string> group_set_;
+  const SnpPanel& p_;
+  const Params& prm_;
+  const std::vector<int>& tid_to_chrom_;
+  int32_t tid_max_;
   std::unordered_map<std::string, int> bc_map_;
-  std::vector<int> tid_to_chrom_;
   uint64_t umi_counter_ = 0;
-
-  // --- state
   std::unordered_map<int64_t, ActiveSnp> active_;
-  std::vector<std::pair<int, int64_t>> active_order_;  // append order
+  std::vector<std::pair<int, int64_t>> active_order_;
   size_t active_head_ = 0;
   Result res_;
 };
+
+// ---------------------------------------------------------------- driver
+struct BamHeaderInfo {
+  std::vector<int> tid_to_chrom;
+  int n_ref = 0;
+  size_t header_bytes = 0;  // uncompressed length of magic+header+refs
+};
+
+static BamHeaderInfo parse_bam_header(RecordReader& rr,
+                                      const SnpPanel& panel) {
+  BamHeaderInfo info;
+  const uint8_t* p = rr.pull(8);
+  if (!p || memcmp(p, "BAM\1", 4) != 0) fail("not a BAM file (bad magic)");
+  int32_t l_text;
+  memcpy(&l_text, p + 4, 4);
+  if (l_text > 0 && !rr.pull((size_t)l_text)) fail("truncated BAM header");
+  const uint8_t* q = rr.pull(4);
+  if (!q) fail("truncated BAM header");
+  int32_t n_ref;
+  memcpy(&n_ref, q, 4);
+  info.n_ref = n_ref;
+  info.tid_to_chrom.assign(n_ref, -1);
+  for (int32_t i = 0; i < n_ref; ++i) {
+    const uint8_t* a = rr.pull(4);
+    int32_t l_name;
+    memcpy(&l_name, a, 4);
+    const uint8_t* nm = rr.pull((size_t)l_name + 4);
+    std::string name((const char*)nm, (size_t)(l_name - 1));
+    auto it = panel.chrom_index.find(name);
+    if (it != panel.chrom_index.end()) info.tid_to_chrom[i] = it->second;
+  }
+  return info;
+}
+
+static Result merge_results(std::vector<Result>& parts) {
+  Result out;
+  std::unordered_map<std::string, int32_t> bc_map;
+  for (auto& part : parts) {
+    std::vector<int32_t> remap(part.barcodes.size());
+    for (size_t i = 0; i < part.barcodes.size(); ++i) {
+      auto it = bc_map.find(part.barcodes[i]);
+      int32_t gid;
+      if (it == bc_map.end()) {
+        gid = (int32_t)out.barcodes.size();
+        bc_map.emplace(part.barcodes[i], gid);
+        out.barcodes.push_back(part.barcodes[i]);
+        out.cell_totl.push_back(0);
+        out.cell_pass.push_back(0);
+        out.cell_uniq.push_back(0);
+      } else {
+        gid = it->second;
+      }
+      remap[i] = gid;
+      out.cell_totl[gid] += part.cell_totl[i];
+      out.cell_pass[gid] += part.cell_pass[i];
+      out.cell_uniq[gid] += part.cell_uniq[i];
+    }
+    for (auto& o : part.obs)
+      out.obs.push_back({remap[o.cell], o.snp, o.allele, o.bq});
+    part.obs.clear();
+    Counters& c = out.ctr;
+    const Counters& d = part.ctr;
+    c.n_read += d.n_read;
+    c.n_skip += d.n_skip;
+    c.n_skip_bcd += d.n_skip_bcd;
+    c.n_tmp += d.n_tmp;
+    c.n_multi_snps += d.n_multi_snps;
+    c.n_pass += d.n_pass;
+    c.n_redundant += d.n_redundant;
+    c.n_lq += d.n_lq;
+    c.n_n += d.n_n;
+    c.n_no_gtag += d.n_no_gtag;
+    c.n_no_utag += d.n_no_utag;
+  }
+  return out;
+}
+
+static size_t block_index_for_coffset(const std::vector<BgzfBlock>& blocks,
+                                      uint64_t coffset) {
+  size_t lo = 0, hi = blocks.size();
+  while (lo < hi) {
+    size_t mid = (lo + hi) / 2;
+    if (blocks[mid].file_off < coffset)
+      lo = mid + 1;
+    else
+      hi = mid;
+  }
+  return lo;  // first block with file_off >= coffset (expects exact match)
+}
+
+// Full-file ingest; parallel per-chromosome when a .bai is present and
+// n_threads > 1, else sequential streaming.
+static Result run_ingest(const char* path, const SnpPanel& panel,
+                         const Params& prm, int n_threads) {
+  FileBuf file(path);
+  std::vector<BgzfBlock> blocks;
+  parse_bgzf_blocks(file.data, path, &blocks);
+
+  RecordReader hdr_rr(file.data, blocks, 0, 0, std::max(1, n_threads));
+  BamHeaderInfo info = parse_bam_header(hdr_rr, panel);
+
+  std::vector<uint64_t> starts;
+  bool have_bai =
+      n_threads > 1 && parse_bai_starts(path, info.n_ref, &starts);
+
+  if (!have_bai) {
+    Ingest ing(panel, prm, info.tid_to_chrom);
+    ing.scan(hdr_rr);  // continue from the header position
+    return ing.take();
+  }
+
+  // Per-chromosome segments: (tid, voffset). Refs without reads are skipped.
+  struct Seg {
+    int tid;
+    uint64_t voffset;
+  };
+  std::vector<Seg> segs;
+  for (int t = 0; t < info.n_ref; ++t)
+    if (starts[t] != UINT64_MAX) segs.push_back({t, starts[t]});
+  std::sort(segs.begin(), segs.end(),
+            [](const Seg& a, const Seg& b) { return a.voffset < b.voffset; });
+
+  if (segs.empty()) {
+    Ingest ing(panel, prm, info.tid_to_chrom);
+    ing.scan(hdr_rr);
+    return ing.take();
+  }
+
+  // Each worker scans [seg.voffset, next_seg.voffset) by tid bound; the
+  // last worker runs to EOF and also handles the unmapped tail.
+  const int n_seg = (int)segs.size();
+  std::vector<Result> parts(n_seg);
+  std::atomic<int> next{0};
+  std::atomic<bool> bad{false};
+  std::string err_msg;
+  std::mutex err_mu;
+  auto work = [&]() {
+    for (;;) {
+      int si = next.fetch_add(1);
+      if (si >= n_seg) break;
+      try {
+        const Seg& s = segs[si];
+        int32_t tid_max =
+            (si + 1 < n_seg) ? segs[si + 1].tid - 1 : INT32_MAX;
+        size_t bi = block_index_for_coffset(blocks, s.voffset >> 16);
+        RecordReader rr(file.data, blocks, bi,
+                        (uint32_t)(s.voffset & 0xffff), 1);
+        Ingest ing(panel, prm, info.tid_to_chrom, tid_max);
+        ing.scan(rr);
+        parts[si] = ing.take();
+      } catch (const IngestError& e) {
+        std::lock_guard<std::mutex> lk(err_mu);
+        err_msg = e.msg;
+        bad = true;
+      }
+    }
+  };
+  int nw = std::min(n_threads, n_seg);
+  std::vector<std::thread> ts;
+  for (int i = 0; i < nw; ++i) ts.emplace_back(work);
+  for (auto& t : ts) t.join();
+  if (bad.load()) fail(err_msg);
+  return merge_results(parts);
+}
 
 }  // namespace
 
@@ -623,11 +903,35 @@ DmxHandle* dmx_ingest_bam(
     const int64_t* grp_off, int64_t n_group, int32_t n_threads) {
   DmxHandle* h = new DmxHandle();
   try {
-    Ingest ing(n_chroms, chrom_concat, chrom_off, chrom_ptr, snp_pos, snp_ids,
-               snp_ref, snp_alt, tag_group, tag_umi, cap_bq, min_bq, min_td,
-               min_mq, excl_flag, grp_concat, grp_off, n_group);
-    ing.run_bam(path, n_threads);
-    h->res = ing.take();
+    SnpPanel panel;
+    for (int i = 0; i < n_chroms; ++i)
+      panel.chrom_index.emplace(
+          std::string(chrom_concat + chrom_off[i],
+                      (size_t)(chrom_off[i + 1] - chrom_off[i])),
+          i);
+    panel.chrom_ptr = chrom_ptr;
+    panel.snp_pos = snp_pos;
+    panel.snp_ids = snp_ids;
+    panel.snp_ref = snp_ref;
+    panel.snp_alt = snp_alt;
+
+    Params prm;
+    prm.cap_bq = cap_bq;
+    prm.min_bq = min_bq;
+    prm.min_td = min_td;
+    prm.min_mq = min_mq;
+    prm.excl_flag = excl_flag;
+    prm.has_group_tag = tag_group && tag_group[0];
+    prm.has_umi_tag = tag_umi && tag_umi[0];
+    if (prm.has_group_tag) memcpy(prm.tg, tag_group, 2);
+    if (prm.has_umi_tag) memcpy(prm.tu, tag_umi, 2);
+    if (grp_concat && n_group > 0) {
+      prm.use_group_set = true;
+      for (int64_t i = 0; i < n_group; ++i)
+        prm.group_set.emplace(std::string(
+            grp_concat + grp_off[i], (size_t)(grp_off[i + 1] - grp_off[i])));
+    }
+    h->res = run_ingest(path, panel, prm, n_threads < 1 ? 1 : n_threads);
   } catch (const IngestError& e) {
     h->err = e.msg;
   } catch (const std::exception& e) {

@@ -40,12 +40,13 @@ TB = 32  # cells per tile (sublanes)
 TS = 128  # slots per tile (lanes)
 
 
-def _pair_kernel(t_ref, g_ref, out_ref, acc_ref, *, V, A, n_s):
+def _pair_kernel(t_ref, g_ref, out_ref, out0_ref, acc_ref, acc0_ref, *, V, A, n_s):
     s_step = pl.program_id(1)
 
     @pl.when(s_step == 0)
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
+        acc0_ref[:] = jnp.zeros_like(acc0_ref)
 
     t = [t_ref[x] for x in range(A * 9)]
     g = [g_ref[i] for i in range(V * 3)]
@@ -69,12 +70,42 @@ def _pair_kernel(t_ref, g_ref, out_ref, acc_ref, *, V, A, n_s):
                 idx = (j * V + k) * A + a
                 acc_ref[idx] = acc_ref[idx] + jnp.log(inner)
 
+    # background pair term llks00 (reference :700-709): g0 = mean over samples
+    inv_v = jnp.float32(1.0 / V)
+    g0 = []
+    for l in range(3):
+        s = g[l]
+        for j in range(1, V):
+            s = s + g[j * 3 + l]
+        g0.append(s * inv_v)
+    u0 = []
+    for a in range(A):
+        for m in range(3):
+            u0.append(
+                g0[0] * t[a * 9 + m]
+                + g0[1] * t[a * 9 + 3 + m]
+                + g0[2] * t[a * 9 + 6 + m]
+            )
+    for a in range(A):
+        inner0 = g0[0] * u0[a * 3] + g0[1] * u0[a * 3 + 1] + g0[2] * u0[a * 3 + 2]
+        acc0_ref[a] = acc0_ref[a] + jnp.log(inner0)
+
     @pl.when(s_step == n_s - 1)
     def _():
+        # separate outputs, each padded to a 128-multiple lane width — a
+        # single fused odd-width output sends Mosaic into a compile tailspin
         cols = []
         for idx in range(V * V * A):
             cols.append(jnp.sum(acc_ref[idx], axis=1))
+        while len(cols) < out_ref.shape[1]:
+            cols.append(jnp.zeros_like(cols[0]))
         out_ref[:] = jnp.stack(cols, axis=1)
+        cols0 = []
+        for a in range(A):
+            cols0.append(jnp.sum(acc0_ref[a], axis=1))
+        while len(cols0) < out0_ref.shape[1]:
+            cols0.append(jnp.zeros_like(cols0[0]))
+        out0_ref[:] = jnp.stack(cols0, axis=1)
 
 
 @functools.partial(
@@ -104,33 +135,110 @@ def pair_llks_pallas(cnt_t, gps_t, wt, n_alpha, n_samples, interpret=False):
     t = t + jnp.float32(1e-6)
     t = t / jnp.max(t, axis=0, keepdims=True)
 
-    # background pair term (llks00, :700-709): g0 = mean over samples
-    g3 = gps_t.reshape(V, 3, B, S)
-    g0 = jnp.mean(g3, axis=0)  # (3, B, S)
-    p0 = (g0[:, None, :, :] * g0[None, :, :, :]).reshape(9, B, S)
-    t00 = jnp.einsum(
-        "qbs,xqbs->xbs",
-        p0,
-        t.reshape(A, 9, B, S),
-        preferred_element_type=jnp.float32,
-    )
-    llk_00 = jnp.sum(jnp.log(t00), axis=2).T  # (B, A)
+    return _call_pair_kernel(t, gps_t, V, A, interpret)
 
+
+def _call_pair_kernel(t, gps_t, V, A, interpret):
+    """Invoke the pair kernel; each output lane width padded to 128-mult."""
+    _, B, S = t.shape
     n_s = S // TS
+    w_ab = -(-(V * V * A) // 128) * 128
     kernel = functools.partial(_pair_kernel, V=V, A=A, n_s=n_s)
-    out_ab = pl.pallas_call(
+    out, out0 = pl.pallas_call(
         kernel,
         grid=(B // TB, n_s),
         in_specs=[
-            pl.BlockSpec((A * 9, TB, TS), lambda ib, is_: (0, ib, is_)),
-            pl.BlockSpec((V * 3, TB, TS), lambda ib, is_: (0, ib, is_)),
+            pl.BlockSpec((A * 9, TB, TS), lambda ib, is_: (ib * 0, ib, is_)),
+            pl.BlockSpec((V * 3, TB, TS), lambda ib, is_: (ib * 0, ib, is_)),
         ],
-        out_specs=pl.BlockSpec((TB, V * V * A), lambda ib, is_: (ib, 0)),
-        out_shape=jax.ShapeDtypeStruct((B, V * V * A), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((V * V * A, TB, TS), jnp.float32)],
+        out_specs=[
+            pl.BlockSpec((TB, w_ab), lambda ib, is_: (ib, ib * 0)),
+            pl.BlockSpec((TB, 128), lambda ib, is_: (ib, ib * 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, w_ab), jnp.float32),
+            jax.ShapeDtypeStruct((B, 128), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((V * V * A, TB, TS), jnp.float32),
+            pltpu.VMEM((A, TB, TS), jnp.float32),
+        ],
         interpret=interpret,
     )(t, gps_t)
-    return out_ab.reshape(B, V, V, A), llk_00
+    out_ab = out[:, : V * V * A].reshape(B, V, V, A)
+    out_00 = out0[:, :A]
+    return out_ab, out_00
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_alpha", "n_samples", "interpret")
+)
+def demux_block_fast(
+    codes, idx, msk, gps_table, gp0_table, w_ext, logf_ext,
+    n_alpha, n_samples, interpret=False,
+):
+    """Fused fast-mode block step: codes -> (llk, llk0, llk_ab, llk_00).
+
+    codes (B,S,U) uint8 per-UMI observation codes (255 = none);
+    idx (B,S) int32 slot SNP ids; msk (B,S) bool;
+    gps_table (NS,V,3) f32; gp0_table (NS,3) f32;
+    w_ext (NB+1, A*9) f32 pair LUT with a zero "none" row appended;
+    logf_ext (NB+1, 3) f32 singlet LUT with a zero row appended.
+
+    Everything (gather, LUT sums, normalization, Pallas pair kernel, singlet
+    contraction) runs on device in one jit — the host ships only the compact
+    codes. Transfer: B*S*U bytes vs B*S*NB*4 for dense counts.
+    """
+    B, S, U = codes.shape
+    V, A = n_samples, n_alpha
+    none_row = w_ext.shape[0] - 1
+    c = jnp.where(codes == 255, jnp.uint8(none_row), codes).astype(jnp.int32)
+
+    # pair LUT sum over UMIs -> lograw (B,S,A*9)
+    lograw = jnp.take(w_ext, c[..., 0], axis=0)
+    for u in range(1, U):
+        lograw = lograw + jnp.take(w_ext, c[..., u], axis=0)
+    mx = jnp.max(lograw, axis=-1, keepdims=True)
+    t = jnp.exp(lograw - mx)
+    t = t + jnp.float32(1e-6)
+    t = t / jnp.max(t, axis=-1, keepdims=True)
+    t_x = jnp.transpose(t, (2, 0, 1))  # (A*9, B, S)
+
+    # per-slot genotype posteriors; padded/masked slots -> neutral (1,0,0)
+    gps_g = jnp.take(gps_table, idx, axis=0)  # (B,S,V,3)
+    neutral = jnp.zeros((3,), jnp.float32).at[0].set(1.0)
+    gps_g = jnp.where(msk[..., None, None], gps_g, neutral)
+    gps_t = jnp.transpose(gps_g, (2, 3, 0, 1)).reshape(V * 3, B, S)
+
+    llk_ab, llk_00 = _call_pair_kernel(t_x, gps_t, V, A, interpret)
+
+    # singlet pass (pass 1, :415-461): tiny relative to the pair search
+    lograw_s = jnp.take(logf_ext, c[..., 0], axis=0)
+    for u in range(1, U):
+        lograw_s = lograw_s + jnp.take(logf_ext, c[..., u], axis=0)
+    mxs = jnp.max(lograw_s, axis=-1, keepdims=True)
+    gl = jnp.exp(lograw_s - mxs)
+    gl = gl / jnp.sum(gl, axis=-1, keepdims=True)
+    gl = gl + jnp.float32(1e-6)
+    gl = gl / jnp.sum(gl, axis=-1, keepdims=True)
+    mf = msk.astype(jnp.float32)
+    contrib = jnp.log(jnp.einsum("bsg,bsvg->bsv", gl, gps_g))
+    llk = jnp.sum(contrib * mf[..., None], axis=1)
+    gp0_g = jnp.take(gp0_table, idx, axis=0)
+    contrib0 = jnp.log(
+        jnp.maximum(jnp.einsum("bsg,bsg->bs", gl, gp0_g), 1e-30)
+    )
+    llk0 = jnp.sum(contrib0 * mf, axis=1)
+    return llk, llk0, llk_ab, llk_00
+
+
+def extend_luts(w, logf):
+    """Append the zero 'none' row used by code 255."""
+    w_ext = np.zeros((w.shape[0] + 1, w.shape[1]), dtype=np.float32)
+    w_ext[:-1] = w
+    logf_ext = np.zeros((logf.shape[0] + 1, 3), dtype=np.float32)
+    logf_ext[:-1] = logf
+    return w_ext, logf_ext
 
 
 def pack_block(cnt, msk, gps_g, w, cap_bq=40):

@@ -137,10 +137,18 @@ def _encode_cigar(cig: str) -> List[int]:
 
 
 def write_bam(
-    path: str, contigs: List[Tuple[str, int]], reads: List[SimRead]
+    path: str,
+    contigs: List[Tuple[str, int]],
+    reads: List[SimRead],
+    index: bool = True,
 ) -> str:
-    """Minimal spec-compliant BAM writer (BGZF-compressed)."""
+    """Minimal spec-compliant BAM writer (BGZF-compressed).
+
+    Sorts records by (tid, pos) and, with index=True, writes a minimal .bai
+    (no bins, one linear-index entry per covered reference) sufficient for
+    the native ingest's per-chromosome segment partitioning."""
     ref_index = {name: i for i, (name, _) in enumerate(contigs)}
+    reads = sorted(reads, key=lambda r: (ref_index[r.chrom], r.pos0))
     header_text = "@HD\tVN:1.6\tSO:coordinate\n" + "".join(
         f"@SQ\tSN:{n}\tLN:{l}\n" for n, l in contigs
     )
@@ -152,7 +160,9 @@ def write_bam(
     for name, ln in contigs:
         nb = name.encode() + b"\x00"
         buf += struct.pack("<i", len(nb)) + nb + struct.pack("<i", ln)
+    first_uoff = {}  # ref id -> uncompressed offset of its first record
     for i, r in enumerate(reads):
+        first_uoff.setdefault(ref_index[r.chrom], len(buf))
         rec = bytearray()
         name = f"{r.name}{i}".encode() + b"\x00"
         cig = _encode_cigar(r.cigar_str())
@@ -189,8 +199,28 @@ def write_bam(
         if r.ub is not None:
             rec += b"UBZ" + r.ub.encode() + b"\x00"
         buf += struct.pack("<i", len(rec)) + bytes(rec)
-    with BgzfWriter(open(path, "wb")) as w:
-        w.write(bytes(buf))
+    from demuxlet_tpu.io.bgzf import BGZF_EOF, compress_block
+
+    blk = 65280
+    comp = bytearray()
+    comp_off = []  # per 65280-chunk compressed start offset
+    for i in range(0, max(1, len(buf)), blk):
+        comp_off.append(len(comp))
+        comp += compress_block(bytes(buf[i : i + blk]))
+    comp += BGZF_EOF
+    with open(path, "wb") as fh:
+        fh.write(bytes(comp))
+    if index:
+        with open(path + ".bai", "wb") as fh:
+            fh.write(b"BAI\x01" + struct.pack("<i", len(contigs)))
+            for rid in range(len(contigs)):
+                fh.write(struct.pack("<i", 0))  # n_bin
+                if rid in first_uoff:
+                    u = first_uoff[rid]
+                    voff = (comp_off[u // blk] << 16) | (u % blk)
+                    fh.write(struct.pack("<i", 1) + struct.pack("<Q", voff))
+                else:
+                    fh.write(struct.pack("<i", 0))
     return path
 
 

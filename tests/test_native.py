@@ -10,7 +10,7 @@ from demuxlet_tpu.host.pileup import build_pileup
 from demuxlet_tpu.host.slots import build_slots
 from demuxlet_tpu.io.bam import AlignmentReader
 from demuxlet_tpu.io.vcf import load_snp_table
-from fixtures import SimRead, random_workload, write_bam, write_vcf
+from fixtures import SimRead, SimVariant, random_workload, write_bam, write_vcf
 
 native = pytest.importorskip("demuxlet_tpu.native.ingest")
 
@@ -96,3 +96,50 @@ def test_csr_engine_same_output(tmp_path):
     rp = eng.run(scl)
     np.testing.assert_allclose(rn.llks, rp.llks, rtol=0, atol=0)
     np.testing.assert_allclose(rn.llk_ab, rp.llk_ab, rtol=0, atol=0)
+
+
+def test_native_parallel_chrom_segments(tmp_path):
+    """BAI-driven per-chromosome parallel scan == sequential Python ingest."""
+    rng = random.Random(21)
+    chroms = [("chr1", 20000), ("chr2", 20000), ("chr3", 20000)]
+    variants, reads = [], []
+    bases = ["A", "C", "G", "T"]
+    names = ["S0", "S1"]
+    genos = {}
+    for ci, (ch, _) in enumerate(chroms):
+        for k in range(15):
+            p = 100 + k * 97
+            ref, alt = rng.sample(bases, 2)
+            svals = []
+            for s in range(2):
+                g = rng.choice([0, 1, 2])
+                genos[(ch, p, s)] = g
+                svals.append({"GT": ["0/0", "0/1", "1/1"][g]})
+            variants.append(SimVariant(ch, p, ref, alt, svals))
+    for ci, (ch, _) in enumerate(chroms):
+        for j in range(120):
+            p0 = rng.randrange(50, 1600)
+            seq = "".join(rng.choice(bases) for _ in range(40))
+            reads.append(
+                SimRead(
+                    chrom=ch, pos0=p0, seq=seq,
+                    quals=[rng.randrange(20, 41) for _ in range(40)],
+                    cb=f"BC{rng.randrange(6):03d}", ub=f"U{j}",
+                )
+            )
+    vcf = write_vcf(str(tmp_path / "m.vcf"), names, variants,
+                    contigs=chroms)
+    bam = write_bam(str(tmp_path / "m.bam"), chroms, reads)
+    import os.path
+    assert os.path.exists(bam + ".bai")
+    table = load_snp_table(vcf, field_name="GT")
+    csr_n, ctr_n = native.build_pileup(bam, table, n_threads=4)
+    csr_p, ctr_p = _py_csr(bam, table)
+    assert csr_n.barcodes == csr_p.barcodes
+    assert ctr_n == ctr_p
+    np.testing.assert_array_equal(csr_n.cell_uniq, csr_p.cell_uniq)
+    cells = list(range(csr_n.nbcs))
+    bn = build_slots(csr_n, cells)
+    bp = build_slots(csr_p, cells)
+    np.testing.assert_array_equal(bn.idx, bp.idx)
+    np.testing.assert_array_equal(bn.cnt, bp.cnt)
