@@ -97,6 +97,9 @@ def measure_tpu() -> dict:
     """
     import jax
 
+    from demuxlet_tpu.utils.jaxcfg import enable_compilation_cache
+
+    enable_compilation_cache()
     jax.config.update("jax_enable_x64", True)
     import jax.numpy as jnp
 

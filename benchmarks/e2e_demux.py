@@ -1,0 +1,95 @@
+#!/usr/bin/env python
+"""End-to-end demux benchmark at production scale (BASELINE config 5 shape).
+
+Generates a synthetic 100K-barcode scATAC-style pileup (CSR form — ingest is
+benchmarked separately by the native-ingest tests/bench), runs the full
+engine (fast mode) + decision/output rendering, and reports wall-clock
+barcodes/s per pipeline phase.
+
+Usage: python benchmarks/e2e_demux.py [n_cells] [snps_per_cell] [nv] [nalpha]
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+N_CELLS = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
+S_PER_CELL = int(sys.argv[2]) if len(sys.argv) > 2 else 1000
+NV = int(sys.argv[3]) if len(sys.argv) > 3 else 8
+NA = int(sys.argv[4]) if len(sys.argv) > 4 else 5
+NSNPS = 50_000
+UMIS = 2
+
+
+def synth_csr(rng):
+    from demuxlet_tpu.host.csr import CsrPileup
+
+    nobs = N_CELLS * S_PER_CELL * UMIS
+    # each cell covers S_PER_CELL distinct random SNPs, UMIS umis each
+    # (distinct via strided offsets so per-slot UMI counts stay == UMIS)
+    base = rng.integers(0, NSNPS // S_PER_CELL, size=(N_CELLS, S_PER_CELL))
+    snps_per_cell = base + np.arange(S_PER_CELL) * (NSNPS // S_PER_CELL)
+    obs_snp = np.repeat(snps_per_cell.reshape(-1), UMIS).astype(np.int32)
+    obs_cell = np.repeat(
+        np.arange(N_CELLS, dtype=np.int64), S_PER_CELL * UMIS
+    )
+    obs_allele = rng.integers(0, 2, size=nobs).astype(np.uint8)
+    obs_bq = rng.integers(13, 41, size=nobs).astype(np.uint8)
+    barcodes = ["BC%06d" % i for i in range(N_CELLS)]
+    totl = np.full(N_CELLS, S_PER_CELL * UMIS, dtype=np.int64)
+    return CsrPileup.from_arrays(
+        [f"S{i}" for i in range(NV)], NSNPS, barcodes, totl, totl, totl,
+        obs_cell, obs_snp.astype(np.int64), obs_allele, obs_bq,
+    )
+
+
+def main():
+    from demuxlet_tpu.utils.jaxcfg import enable_compilation_cache
+
+    enable_compilation_cache()
+    t0 = time.time()
+    rng = np.random.default_rng(0)
+    csr = synth_csr(rng)
+    gps = rng.dirichlet(np.ones(3), size=(NSNPS, NV))
+    t_gen = time.time() - t0
+    print(f"# workload: {N_CELLS} cells x {S_PER_CELL} SNPs x {UMIS} umis, "
+          f"V={NV} A={NA} (gen {t_gen:.1f}s)", flush=True)
+
+    from demuxlet_tpu.models.engine import DemuxEngine, cell_stats
+    from demuxlet_tpu.models import outputs as out_mod
+
+    grid = np.linspace(0.0, 0.5, NA).tolist()
+    t0 = time.time()
+    eng = DemuxEngine(gps, grid, cell_block=2048, mode="fast")
+    res = eng.run(csr)
+    t_engine = time.time() - t0
+    print(f"# engine (fast): {t_engine:.1f}s -> "
+          f"{N_CELLS / t_engine:.0f} barcodes/s", flush=True)
+
+    t0 = time.time()
+    stats = cell_stats(csr)
+    s2 = io.StringIO()
+    sb = io.StringIO()
+    out_mod.write_pass2(
+        stats, csr.sample_ids, res.llk_ab, res.llk_00, grid, 0.5, s2, sb
+    )
+    t_out = time.time() - t0
+    total = t_gen * 0 + t_engine + t_out
+    print(f"# outputs (.sing2/.best): {t_out:.1f}s", flush=True)
+    print(
+        '{"metric": "e2e_demux_barcodes_per_s", "value": %.1f, '
+        '"unit": "barcodes/s", "engine_s": %.1f, "outputs_s": %.1f, '
+        '"cells": %d}'
+        % (N_CELLS / total, t_engine, t_out, N_CELLS)
+    )
+
+
+if __name__ == "__main__":
+    main()

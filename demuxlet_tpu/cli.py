@@ -80,6 +80,17 @@ def build_parser() -> argparse.ArgumentParser:
 
     g = p.add_argument_group("Cell/droplet filtering options")
     g.add_argument("--group-list", default=None, help="Barcode whitelist file")
+    g.add_argument(
+        "--num-shards",
+        type=int,
+        default=1,
+        help=(
+            "Split barcodes into N deterministic stripes (crc32 hash); this "
+            "process handles stripe --shard-id. The TPU-native analog of "
+            "manual --group-list sharding"
+        ),
+    )
+    g.add_argument("--shard-id", type=int, default=0, help="Stripe index for --num-shards")
     g.add_argument("--min-total", type=int, default=0)
     g.add_argument("--min-uniq", type=int, default=0)
     g.add_argument("--min-snp", type=int, default=0)
@@ -126,6 +137,9 @@ def main(argv=None) -> int:
 
     import jax
 
+    from demuxlet_tpu.utils.jaxcfg import enable_compilation_cache
+
+    enable_compilation_cache()
     if args.device == "cpu":
         jax.config.update("jax_platforms", "cpu")
     if args.precision == "f64":
@@ -246,6 +260,8 @@ def _ingest(args, table, group_set):
             min_mq=args.min_MQ,
             excl_flag=args.excl_flag,
             group_set=group_set,
+            n_shards=args.num_shards,
+            shard_id=args.shard_id,
         )
     from demuxlet_tpu.host.pileup import build_pileup
     from demuxlet_tpu.io.bam import AlignmentReader
@@ -260,6 +276,8 @@ def _ingest(args, table, group_set):
         min_bq=args.min_BQ,
         min_td=args.min_TD,
         group_set=group_set,
+        n_shards=args.num_shards,
+        shard_id=args.shard_id,
     )
 
 
@@ -287,6 +305,8 @@ def _echo_params(args, grid_alpha) -> None:
         ("min-TD", args.min_TD),
         ("excl-flag", args.excl_flag),
         ("group-list", args.group_list or ""),
+        ("num-shards", args.num_shards),
+        ("shard-id", args.shard_id),
         ("min-total", args.min_total),
         ("min-uniq", args.min_uniq),
         ("min-snp", args.min_snp),

@@ -190,6 +190,8 @@ def build_pileup(
     min_td: int = 0,
     group_set: Optional[set] = None,
     verbose_cells: bool = True,
+    n_shards: int = 1,
+    shard_id: int = 0,
 ) -> Tuple[PileupData, IngestCounters]:
     """The ingest sweep (cmd_cram_demuxlet.cpp:195-338).
 
@@ -231,6 +233,9 @@ def build_pileup(
                 ctr.n_no_gtag += 1
                 sbcd = "."
             if group_set is not None and sbcd not in group_set:
+                ctr.n_skip_bcd += 1
+                continue
+            if n_shards > 1 and not _owns(sbcd, shard_id, n_shards):
                 ctr.n_skip_bcd += 1
                 continue
             ibcd = scl.add_cell(sbcd)
@@ -295,6 +300,13 @@ def build_pileup(
     ctr.n_read = reader.n_read
     ctr.n_skip = reader.n_skip
     return scl, ctr
+
+
+def _owns(barcode: str, shard_id: int, n_shards: int) -> bool:
+    """crc32 barcode striping (parallel/multihost.owns_barcode semantics)."""
+    import zlib
+
+    return (zlib.crc32(barcode.encode()) & 0xFFFFFFFF) % n_shards == shard_id
 
 
 def _check_chrom_order(bam_refs: List[str], vcf_chroms: List[str]) -> None:

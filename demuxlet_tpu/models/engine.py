@@ -150,7 +150,12 @@ class DemuxEngine:
             interpret=interpret,
         )
 
-    def run(self, scl: PileupData) -> EngineResult:
+    def run(self, scl: PileupData, pipeline_depth: int = 3) -> EngineResult:
+        """Run all barcode blocks; device dispatch is pipelined — the next
+        block's host prep and dispatch overlap the previous blocks' device
+        compute, and device->host readback happens on worker threads."""
+        from concurrent.futures import ThreadPoolExecutor
+
         if self.mode == "fast" and not hasattr(scl, "cell_ptr"):
             from demuxlet_tpu.host.csr import CsrPileup
 
@@ -162,21 +167,39 @@ class DemuxEngine:
         llk0s = np.zeros(n, dtype=np.float64)
         llk_ab = np.zeros((n, nv, nv, na), dtype=np.float64)
         llk_00 = np.zeros((n, na), dtype=np.float64)
-        for start in range(0, n, self.cell_block):
-            cells = list(range(start, min(start + self.cell_block, n)))
-            if self.mode == "fast":
-                a, b, c, d = self._run_block_fast(scl, cells)
-            else:
-                blk = build_slots(scl, cells, cap_bq=self.cap_bq)
-                blk = _pad_block(
-                    blk, self.cell_block, _bucket(blk.idx.shape[1])
-                )
-                a, b, c, d = self._run_block(blk)
+
+        def fetch(out):
+            return tuple(np.asarray(x) for x in out)
+
+        def store(cells, arrs):
             m = len(cells)
-            llks[cells] = np.asarray(a)[:m]
-            llk0s[cells] = np.asarray(b)[:m]
-            llk_ab[cells] = np.asarray(c)[:m]
-            llk_00[cells] = np.asarray(d)[:m]
+            a, b, c, d = arrs
+            llks[cells] = a[:m]
+            llk0s[cells] = b[:m]
+            llk_ab[cells] = c[:m]
+            llk_00[cells] = d[:m]
+
+        # Dispatch (host prep + async H2D + device enqueue) stays on the
+        # main thread; D2H readback runs on worker threads so the next
+        # block's prep overlaps the previous blocks' compute + transfers.
+        pending = []
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            for start in range(0, n, self.cell_block):
+                cells = list(range(start, min(start + self.cell_block, n)))
+                if self.mode == "fast":
+                    out = self._run_block_fast(scl, cells)
+                else:
+                    blk = build_slots(scl, cells, cap_bq=self.cap_bq)
+                    blk = _pad_block(
+                        blk, self.cell_block, _bucket(blk.idx.shape[1])
+                    )
+                    out = self._run_block(blk)
+                pending.append((cells, pool.submit(fetch, out)))
+                while len(pending) > pipeline_depth:
+                    c0, f0 = pending.pop(0)
+                    store(c0, f0.result())
+            for c0, f0 in pending:
+                store(c0, f0.result())
         return EngineResult(llks, llk0s, llk_ab, llk_00)
 
 

@@ -386,6 +386,7 @@ struct Params {
   char tg[2] = {0, 0}, tu[2] = {0, 0};
   bool use_group_set = false;
   std::unordered_set<std::string> group_set;
+  int32_t n_shards = 1, shard_id = 0;  // crc32(barcode) % n_shards stripe
 };
 
 class Ingest {
@@ -569,6 +570,14 @@ class Ingest {
       if (prm_.use_group_set && !prm_.group_set.count(sbcd)) {
         res_.ctr.n_skip_bcd++;
         return;
+      }
+      if (prm_.n_shards > 1) {
+        uint32_t h = (uint32_t)crc32(0L, (const Bytef*)sbcd.data(),
+                                     (uInt)sbcd.size());
+        if ((int32_t)(h % (uint32_t)prm_.n_shards) != prm_.shard_id) {
+          res_.ctr.n_skip_bcd++;
+          return;
+        }
       }
       ibcd = cell_id(sbcd);
     }
@@ -900,7 +909,8 @@ DmxHandle* dmx_ingest_bam(
     const int32_t* snp_ids, const uint8_t* snp_ref, const uint8_t* snp_alt,
     const char* tag_group, const char* tag_umi, int32_t cap_bq, int32_t min_bq,
     int32_t min_td, int32_t min_mq, int32_t excl_flag, const char* grp_concat,
-    const int64_t* grp_off, int64_t n_group, int32_t n_threads) {
+    const int64_t* grp_off, int64_t n_group, int32_t n_threads,
+    int32_t n_shards, int32_t shard_id) {
   DmxHandle* h = new DmxHandle();
   try {
     SnpPanel panel;
@@ -925,6 +935,8 @@ DmxHandle* dmx_ingest_bam(
     prm.has_umi_tag = tag_umi && tag_umi[0];
     if (prm.has_group_tag) memcpy(prm.tg, tag_group, 2);
     if (prm.has_umi_tag) memcpy(prm.tu, tag_umi, 2);
+    prm.n_shards = n_shards < 1 ? 1 : n_shards;
+    prm.shard_id = shard_id;
     if (grp_concat && n_group > 0) {
       prm.use_group_set = true;
       for (int64_t i = 0; i < n_group; ++i)

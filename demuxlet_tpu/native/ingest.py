@@ -54,6 +54,8 @@ def _load():
         C.POINTER(C.c_int64),  # grp_off
         C.c_int64,  # n_group
         C.c_int32,  # n_threads
+        C.c_int32,  # n_shards
+        C.c_int32,  # shard_id
     ]
     lib.dmx_error.restype = C.c_char_p
     lib.dmx_error.argtypes = [C.c_void_p]
@@ -119,6 +121,8 @@ def build_pileup(
     excl_flag: int = 0x0F04,
     group_set: Optional[set] = None,
     n_threads: int = 0,
+    n_shards: int = 1,
+    shard_id: int = 0,
 ):
     lib = _load()
     if lib is None:
@@ -192,6 +196,8 @@ def build_pileup(
         grp_args[1],
         grp_args[2],
         n_threads,
+        n_shards,
+        shard_id,
     )
     try:
         err = lib.dmx_error(h)

@@ -305,3 +305,102 @@ def random_workload(
     reads.sort(key=lambda r: r.pos0)
     contigs = [(chrom, positions[-1] + 1000)]
     return contigs, sample_names, variants, reads, truth
+
+
+def write_bcf(
+    path: str,
+    sample_names: List[str],
+    variants: List[SimVariant],
+    contigs: Optional[List[Tuple[str, int]]] = None,
+    fmt_keys: Optional[List[str]] = None,
+) -> str:
+    """Minimal spec-compliant BCF2.2 writer (BGZF-compressed).
+
+    Supports GT (int8 allele codes), GP (float32) and PL (int32) FORMAT
+    fields — enough to exercise io/bcf.py against the text VCF path."""
+    from demuxlet_tpu.io.bgzf import BgzfWriter
+
+    contigs = contigs or []
+    lines = ["##fileformat=VCFv4.2", '##FILTER=<ID=PASS,Description="All filters passed">']
+    for name, ln in contigs:
+        lines.append(f"##contig=<ID={name},length={ln}>")
+    lines.append('##FORMAT=<ID=GT,Number=1,Type=String,Description="Genotype">')
+    lines.append('##FORMAT=<ID=GP,Number=G,Type=Float,Description="Posterior">')
+    lines.append('##FORMAT=<ID=PL,Number=G,Type=Integer,Description="Phred GL">')
+    lines.append(
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\t"
+        + "\t".join(sample_names)
+    )
+    text = ("\n".join(lines) + "\n").encode() + b"\x00"
+    fdict = {"PASS": 0, "GT": 1, "GP": 2, "PL": 3}
+    rid_of = {name: i for i, (name, _) in enumerate(contigs)}
+
+    def typed_str(s: bytes) -> bytes:
+        if len(s) >= 15:
+            return bytes([0xF7, 0x11, len(s)]) + s
+        return bytes([(len(s) << 4) | 7]) + s
+
+    def typed_i8v(vals) -> bytes:
+        assert len(vals) < 15
+        return bytes([(len(vals) << 4) | 1]) + bytes(v & 0xFF for v in vals)
+
+    buf = bytearray()
+    buf += b"BCF\x02\x02" + struct.pack("<I", len(text)) + text
+    for v in variants:
+        keys = fmt_keys or sorted({k for s in v.samples for k in s})
+        n_allele = 2
+        shared = bytearray()
+        shared += struct.pack(
+            "<iiifII",
+            rid_of.get(v.chrom, 0),
+            v.pos0,
+            len(v.ref),
+            float(v.qual) if v.qual not in (".", "") else 0.0,
+            (n_allele << 16) | 0,
+            (len(keys) << 24) | len(v.samples),
+        )
+        shared += typed_str(b"")  # ID
+        shared += typed_str(v.ref.encode())
+        shared += typed_str(v.alt.encode())
+        shared += typed_i8v([0])  # FILTER PASS
+        indiv = bytearray()
+        for k in keys:
+            indiv += typed_i8v([fdict[k]])
+            if k == "GT":
+                indiv += bytes([(2 << 4) | 1])
+                for s in v.samples:
+                    gt = s.get("GT", ".")
+                    parts = gt.replace("|", "/").split("/")
+                    codes = []
+                    for p in parts[:2]:
+                        codes.append(0 if p in (".", "") else ((int(p) + 1) << 1))
+                    while len(codes) < 2:
+                        codes.append(-127)  # END_OF_VECTOR
+                    indiv += bytes(c & 0xFF for c in codes)
+            elif k == "GP":
+                indiv += bytes([(3 << 4) | 5])
+                for s in v.samples:
+                    gp = s.get("GP", ".")
+                    if gp == ".":
+                        vals = [struct.pack("<I", 0x7F800001)] * 3
+                    else:
+                        vals = [
+                            struct.pack("<f", float(t)) for t in gp.split(",")
+                        ]
+                    indiv += b"".join(vals[:3])
+            elif k == "PL":
+                indiv += bytes([(3 << 4) | 3])
+                for s in v.samples:
+                    pl = s.get("PL", ".")
+                    if pl == ".":
+                        vals = [-2147483648] * 3
+                    else:
+                        vals = [int(t) if t != "." else -2147483648 for t in pl.split(",")]
+                    while len(vals) < 3:
+                        vals.append(-2147483647)
+                    indiv += struct.pack("<3i", *vals[:3])
+        buf += struct.pack("<II", len(shared), len(indiv))
+        buf += bytes(shared) + bytes(indiv)
+    with BgzfWriter(open(path, "wb")) as w:
+        w.write(bytes(buf))
+    return path

@@ -1,0 +1,62 @@
+"""BCF2 binary reader vs the text VCF path."""
+
+import random
+
+import numpy as np
+
+from demuxlet_tpu.io.vcf import load_snp_table
+from fixtures import SimVariant, random_workload, write_bcf, write_vcf
+
+
+def _variants(seed=3, n=25, ns=3, fields=("GT",)):
+    rng = random.Random(seed)
+    bases = ["A", "C", "G", "T"]
+    out = []
+    for k in range(n):
+        ref, alt = rng.sample(bases, 2)
+        svals = []
+        for _ in range(ns):
+            g = rng.choice([0, 1, 2])
+            d = {}
+            if "GT" in fields:
+                d["GT"] = ["0/0", "0/1", "1/1"][g]
+            if "GP" in fields:
+                p = [0.05, 0.05, 0.05]
+                p[g] = 0.9
+                d["GP"] = ",".join("%.3f" % x for x in p)
+            if "PL" in fields:
+                pl = [60, 60, 60]
+                pl[g] = 0
+                d["PL"] = ",".join(str(x) for x in pl)
+            svals.append(d)
+        out.append(SimVariant("chr1", 100 + 50 * k, ref, alt, svals))
+    return out
+
+
+def _cmp(tmp_path, fields, load_field):
+    names = [f"S{i}" for i in range(3)]
+    variants = _variants(fields=fields)
+    contigs = [("chr1", 100000)]
+    vcf = write_vcf(str(tmp_path / "x.vcf"), names, variants, contigs=contigs,
+                    fmt_keys=list(fields))
+    bcf = write_bcf(str(tmp_path / "x.bcf"), names, variants, contigs=contigs,
+                    fmt_keys=list(fields))
+    tv = load_snp_table(vcf, field_name=load_field)
+    tb = load_snp_table(bcf, field_name=load_field)
+    assert tv.sample_ids == tb.sample_ids
+    assert tv.nsnps == tb.nsnps
+    np.testing.assert_array_equal(tv.pos0, tb.pos0)
+    np.testing.assert_array_equal(tv.ref, tb.ref)
+    np.testing.assert_allclose(tv.gps, tb.gps, rtol=0, atol=0)
+
+
+def test_bcf_gt(tmp_path):
+    _cmp(tmp_path, ("GT",), "GT")
+
+
+def test_bcf_gp(tmp_path):
+    _cmp(tmp_path, ("GP", "GT"), "GP")
+
+
+def test_bcf_pl(tmp_path):
+    _cmp(tmp_path, ("PL", "GT"), "PL")
