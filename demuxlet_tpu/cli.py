@@ -128,6 +128,21 @@ def build_parser() -> argparse.ArgumentParser:
         choices=["auto", "native", "python"],
         help="Host pileup implementation (native C++ if built)",
     )
+    g.add_argument(
+        "--profile",
+        default=None,
+        metavar="DIR",
+        help="Write a JAX profiler trace of the device passes to DIR",
+    )
+    g.add_argument(
+        "--spool",
+        default=None,
+        metavar="DIR",
+        help=(
+            "Spool per-block results to DIR for checkpoint/resume: a rerun "
+            "with the same inputs skips completed blocks"
+        ),
+    )
     return p
 
 
@@ -171,10 +186,13 @@ def main(argv=None) -> int:
             "Finished loading %d droplet/cell barcodes to consider", len(group_set)
         )
 
-    from demuxlet_tpu.io.vcf import load_snp_table
+    from demuxlet_tpu.io.vcf import (
+        expand_chr_pattern,
+        load_snp_table,
+        merge_snp_tables,
+    )
 
-    table = load_snp_table(
-        args.vcf,
+    kw = dict(
         field_name=args.field,
         geno_error=args.geno_error,
         sm_ids=args.sm,
@@ -183,11 +201,24 @@ def main(argv=None) -> int:
         min_callrate=args.min_callrate,
         verbose=args.vcf_verbose,
     )
+    if "-_CHR_-" in args.vcf:
+        from demuxlet_tpu.native.ingest import _bam_refs
+
+        files = expand_chr_pattern(args.vcf, _bam_refs(args.sam))
+        if not files:
+            error("No chunk files found for pattern %s", args.vcf)
+        table = merge_snp_tables([load_snp_table(f, **kw) for f in files])
+    else:
+        table = load_snp_table(args.vcf, **kw)
     if table.nsnps == 0:
         error("Cannot read any single variant from %s", args.vcf)
 
+    t_vcf_done = time.time()
     scl, ctr = _ingest(args, table, group_set)
     ctr.report(scl.nbcs, scl.nsnps)
+    t_ingest_done = time.time()
+    notice("Phase timing: VCF load %.2fs, pileup ingest %.2fs",
+           t_vcf_done - t_start, t_ingest_done - t_vcf_done)
 
     from demuxlet_tpu.models.engine import DemuxEngine, cell_stats
     from demuxlet_tpu.models import outputs as out_mod
@@ -203,7 +234,21 @@ def main(argv=None) -> int:
         dtype=dtype,
         mode=args.mode,
     )
-    res = eng.run(scl)
+    if args.profile:
+        jax.profiler.start_trace(args.profile)
+    t_eng = time.time()
+    res = eng.run(scl, spool_dir=args.spool)
+    t_eng_done = time.time()
+    if args.profile:
+        jax.profiler.stop_trace()
+        notice("Profiler trace written to %s", args.profile)
+    if scl.nbcs:
+        notice(
+            "Device passes: %.2fs (%.0f barcodes/s, mode=%s)",
+            t_eng_done - t_eng,
+            scl.nbcs / max(t_eng_done - t_eng, 1e-9),
+            args.mode,
+        )
     stats = cell_stats(scl)
 
     filt = dict(

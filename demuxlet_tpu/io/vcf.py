@@ -343,3 +343,56 @@ def load_snp_table(
         n_read=n_read,
         n_pass=n_pass,
     )
+
+
+def expand_chr_pattern(pattern: str, chrom_names: Sequence[str]) -> List[str]:
+    """Expand a -_CHR_- filename pattern into per-chromosome files.
+
+    Reference analog: genomeChunk filename patterns (genomeChunk.h:8,
+    genomeChunk.cpp:91-126) — there the chromosome list comes from a FASTA
+    .fai; here it comes from the BAM header (always available to demuxlet).
+    Missing files are skipped with a notice (bcf_chunked_reader.cpp:150-157).
+    """
+    import os
+
+    out = []
+    for ch in chrom_names:
+        f = pattern.replace("-_CHR_-", ch)
+        if os.path.exists(f):
+            out.append(f)
+        else:
+            notice("Skipping missing chunk file %s", f)
+    return out
+
+
+def merge_snp_tables(tables: Sequence[SnpTable]) -> SnpTable:
+    """Concatenate per-chunk SnpTables (same sample panel) in genome order."""
+    if len(tables) == 1:
+        return tables[0]
+    base = tables[0]
+    for t in tables[1:]:
+        if t.sample_ids != base.sample_ids:
+            error("chunked VCF files disagree on sample columns")
+    chroms: List[str] = []
+    chrom_names: List[str] = []
+    seen = set()
+    for t in tables:
+        chroms.extend(t.chroms)
+        for c in t.chrom_names:
+            if c not in seen:
+                seen.add(c)
+                chrom_names.append(c)
+    return SnpTable(
+        sample_ids=base.sample_ids,
+        chroms=chroms,
+        chrom_names=chrom_names,
+        pos0=np.concatenate([t.pos0 for t in tables]),
+        ref=np.concatenate([t.ref for t in tables]),
+        alt=np.concatenate([t.alt for t in tables]),
+        af=np.concatenate([t.af for t in tables]),
+        gps=np.concatenate([t.gps for t in tables])
+        if sum(t.nsnps for t in tables)
+        else base.gps,
+        n_read=sum(t.n_read for t in tables),
+        n_pass=sum(t.n_pass for t in tables),
+    )

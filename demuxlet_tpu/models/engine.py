@@ -150,11 +150,25 @@ class DemuxEngine:
             interpret=interpret,
         )
 
-    def run(self, scl: PileupData, pipeline_depth: int = 3) -> EngineResult:
+    def run(
+        self,
+        scl: PileupData,
+        pipeline_depth: int = 3,
+        spool_dir: Optional[str] = None,
+    ) -> EngineResult:
         """Run all barcode blocks; device dispatch is pipelined — the next
         block's host prep and dispatch overlap the previous blocks' device
-        compute, and device->host readback happens on worker threads."""
+        compute, and device->host readback happens on worker threads.
+
+        spool_dir: per-block result spooling for checkpoint/resume (the
+        reference has no resume story; its analog is manual --group-list
+        splits). Completed blocks are .npz files keyed by block extent;
+        a rerun loads them instead of recomputing."""
+        import os
         from concurrent.futures import ThreadPoolExecutor
+
+        if spool_dir:
+            os.makedirs(spool_dir, exist_ok=True)
 
         if self.mode == "fast" and not hasattr(scl, "cell_ptr"):
             from demuxlet_tpu.host.csr import CsrPileup
@@ -179,6 +193,19 @@ class DemuxEngine:
             llk_ab[cells] = c[:m]
             llk_00[cells] = d[:m]
 
+        def spool_path(cells):
+            return os.path.join(
+                spool_dir, "block_%08d_%d.npz" % (cells[0], len(cells))
+            )
+
+        def fetch_and_spool(cells, out):
+            arrs = fetch(out)
+            if spool_dir:
+                tmp = spool_path(cells) + ".tmp.npz"
+                np.savez(tmp, a=arrs[0], b=arrs[1], c=arrs[2], d=arrs[3])
+                os.replace(tmp, spool_path(cells))
+            return arrs
+
         # Dispatch (host prep + async H2D + device enqueue) stays on the
         # main thread; D2H readback runs on worker threads so the next
         # block's prep overlaps the previous blocks' compute + transfers.
@@ -186,6 +213,10 @@ class DemuxEngine:
         with ThreadPoolExecutor(max_workers=2) as pool:
             for start in range(0, n, self.cell_block):
                 cells = list(range(start, min(start + self.cell_block, n)))
+                if spool_dir and os.path.exists(spool_path(cells)):
+                    z = np.load(spool_path(cells))
+                    store(cells, (z["a"], z["b"], z["c"], z["d"]))
+                    continue
                 if self.mode == "fast":
                     out = self._run_block_fast(scl, cells)
                 else:
@@ -194,7 +225,9 @@ class DemuxEngine:
                         blk, self.cell_block, _bucket(blk.idx.shape[1])
                     )
                     out = self._run_block(blk)
-                pending.append((cells, pool.submit(fetch, out)))
+                pending.append(
+                    (cells, pool.submit(fetch_and_spool, cells, out))
+                )
                 while len(pending) > pipeline_depth:
                     c0, f0 = pending.pop(0)
                     store(c0, f0.result())

@@ -159,3 +159,96 @@ def test_cli_gp_field(tmp_path):
     e_best = open(out + ".best").read().rstrip("\n").split("\n")
     assert canonicalize_best(e_best) == canonicalize_best(o_best)
     assert open(out + ".single").read().rstrip("\n").split("\n") == o_single
+
+
+def test_cli_pl_field(tmp_path):
+    """--field PL end-to-end (10-iteration EM path) recovers truth."""
+    import random as _random
+
+    rng = _random.Random(31)
+    contigs, names, variants, reads, truth = random_workload(
+        rng, n_cells=15, n_snps=40, n_samples=3, reads_per_cell=70
+    )
+    for v in variants:
+        for s in v.samples:
+            g = {"0/0": 0, "0/1": 1, "1/1": 2}[s["GT"]]
+            pl = [60, 60, 60]
+            pl[g] = 0
+            s["PL"] = ",".join(str(x) for x in pl)
+    vcf = write_vcf(str(tmp_path / "pl.vcf"), names, variants,
+                    contigs=contigs, fmt_keys=["GT", "PL"])
+    bam = write_bam(str(tmp_path / "pl.bam"), contigs, reads)
+    rc = cli.main([
+        "--sam", bam, "--vcf", vcf, "--field", "PL",
+        "--out", str(tmp_path / "pl"),
+    ])
+    assert rc == 0
+    ok = 0
+    for line in open(str(tmp_path / "pl") + ".best"):
+        if line.startswith("BARCODE"):
+            continue
+        f = line.split("\t")
+        t = truth[f[0]]
+        if t[0] == t[1] and f[5] == f"SNG-S{t[0]}":
+            ok += 1
+        elif t[0] != t[1] and f[5].startswith("DBL-"):
+            ok += 1
+    assert ok >= 13  # allow a couple of ambiguous calls
+
+
+def test_cli_write_pair_matches_oracle(tmp_path):
+    """--write-pair .pair bytes == NumPy oracle rendering."""
+    import random as _random
+
+    import numpy as np
+
+    rng = _random.Random(37)
+    contigs, names, variants, reads, truth = random_workload(
+        rng, n_cells=10, n_snps=30, n_samples=3, reads_per_cell=40
+    )
+    vcf = write_vcf(str(tmp_path / "wp.vcf"), names, variants, contigs=contigs)
+    bam = write_bam(str(tmp_path / "wp.bam"), contigs, reads)
+    rc = cli.main([
+        "--sam", bam, "--vcf", vcf, "--field", "GT", "--write-pair",
+        "--alpha", "0", "--alpha", "0.3", "--alpha", "0.5",
+        "--out", str(tmp_path / "wp"),
+    ])
+    assert rc == 0
+    pair = open(str(tmp_path / "wp") + ".pair").read()
+    hdr = pair.splitlines()[0].split("\t")
+    assert hdr == ["BARCODE", "SM1.ID", "SM2.ID", "LLK12", "POSTPRB"]
+    # the reference's 5-name/6-column mismatch is reproduced
+    row = pair.splitlines()[1].split("\t")
+    assert len(row) == 6
+
+    table = load_snp_table(vcf, field_name="GT")
+    scl, _ = build_pileup(AlignmentReader(bam), table)
+    gp0s = compute_gp0s(scl)
+    _sing2, ref_pair, _best = pass2_outputs(
+        scl, gp0s, [0.0, 0.3, 0.5], write_pair=True
+    )
+    assert pair == "\n".join(ref_pair) + "\n"
+
+
+def test_cli_sm_subset(tmp_path):
+    """--sm restricts the sample panel (sorted-ID order, resolve_samples)."""
+    import random as _random
+
+    rng = _random.Random(41)
+    contigs, names, variants, reads, truth = random_workload(
+        rng, n_cells=12, n_snps=30, n_samples=4, reads_per_cell=50
+    )
+    vcf = write_vcf(str(tmp_path / "sm.vcf"), names, variants, contigs=contigs)
+    bam = write_bam(str(tmp_path / "sm.bam"), contigs, reads)
+    rc = cli.main([
+        "--sam", bam, "--vcf", vcf, "--field", "GT",
+        "--sm", "S2", "--sm", "S0",
+        "--out", str(tmp_path / "sm"),
+    ])
+    assert rc == 0
+    sms = set()
+    for line in open(str(tmp_path / "sm") + ".single"):
+        if line.startswith("BARCODE"):
+            continue
+        sms.add(line.split("\t")[1])
+    assert sms == {"S0", "S2"}

@@ -140,3 +140,33 @@ def test_cell_with_no_coverage_skipped_in_best():
     assert any("ZZZ_EMPTY" in l for l in e_single)
     assert not any("ZZZ_EMPTY" in l for l in e_best)
     assert not any("ZZZ_EMPTY" in l for l in e_sing2)
+
+
+def test_engine_spool_resume(tmp_path):
+    """Spooled rerun reproduces results without recomputation."""
+    import numpy as np
+
+    from demuxlet_tpu.models.engine import DemuxEngine
+    from demuxlet_tpu.host.csr import CsrPileup
+
+    rng = np.random.default_rng(0)
+    N, S, NSNPS, NV = 20, 10, 50, 3
+    obs_cell = np.repeat(np.arange(N), S)
+    obs_snp = rng.integers(0, NSNPS, size=N * S)
+    csr = CsrPileup.from_arrays(
+        [f"S{i}" for i in range(NV)], NSNPS, ["B%02d" % i for i in range(N)],
+        np.ones(N, np.int64), np.ones(N, np.int64), np.ones(N, np.int64),
+        obs_cell, obs_snp, rng.integers(0, 2, N * S), 
+        rng.integers(13, 41, N * S),
+    )
+    gps = rng.dirichlet(np.ones(3), size=(NSNPS, NV))
+    eng = DemuxEngine(gps, [0.0, 0.5], cell_block=8)
+    spool = str(tmp_path / "spool")
+    r1 = eng.run(csr, spool_dir=spool)
+    import os
+
+    files = sorted(os.listdir(spool))
+    assert len(files) == 3  # ceil(20/8) blocks
+    r2 = eng.run(csr, spool_dir=spool)  # resume: loads every block
+    np.testing.assert_array_equal(r1.llk_ab, r2.llk_ab)
+    np.testing.assert_array_equal(r1.llks, r2.llks)

@@ -149,3 +149,38 @@ def test_sample_subset_sorted_order(tmp_path):
     # M is column 2 (1/1), Z is column 0 (0/0)
     assert t.gps[0, 0, 2] > 0.9  # M: AA
     assert t.gps[0, 1, 0] > 0.9  # Z: RR
+
+
+def test_chr_pattern_chunked_load(tmp_path):
+    """-_CHR_- pattern expansion == single concatenated VCF (and missing
+    chunk files are skipped)."""
+    import numpy as np
+
+    from demuxlet_tpu.io.vcf import (
+        expand_chr_pattern,
+        load_snp_table,
+        merge_snp_tables,
+    )
+    from fixtures import SimVariant, write_vcf
+
+    names = ["S0", "S1"]
+    v1 = [SimVariant("chr1", 100 + i * 10, "A", "C",
+                     [{"GT": "0/1"}, {"GT": "0/0"}]) for i in range(5)]
+    v2 = [SimVariant("chr2", 200 + i * 10, "G", "T",
+                     [{"GT": "1/1"}, {"GT": "0/1"}]) for i in range(4)]
+    write_vcf(str(tmp_path / "x.chr1.vcf"), names, v1,
+              contigs=[("chr1", 10000)])
+    write_vcf(str(tmp_path / "x.chr2.vcf"), names, v2,
+              contigs=[("chr2", 10000)])
+    write_vcf(str(tmp_path / "all.vcf"), names, v1 + v2,
+              contigs=[("chr1", 10000), ("chr2", 10000)])
+
+    files = expand_chr_pattern(
+        str(tmp_path / "x.-_CHR_-.vcf"), ["chr1", "chr2", "chrM"]
+    )
+    assert len(files) == 2  # chrM chunk missing -> skipped
+    merged = merge_snp_tables([load_snp_table(f, field_name="GT") for f in files])
+    ref = load_snp_table(str(tmp_path / "all.vcf"), field_name="GT")
+    assert merged.chrom_names == ref.chrom_names
+    np.testing.assert_array_equal(merged.pos0, ref.pos0)
+    np.testing.assert_allclose(merged.gps, ref.gps, rtol=0, atol=0)
