@@ -111,11 +111,15 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument(
         "--mode",
         default="exact",
-        choices=["exact", "fast"],
+        choices=["exact", "fast", "parity"],
         help=(
-            "exact: f64 kernels, byte-parity outputs. fast: f32 Pallas "
-            "pair-search kernel (TPU production mode; calls identical, LLKs "
-            "approximate in the last printed digit)"
+            "exact: f64 device kernels (printed values reference-identical; "
+            "exact ulp-ties between mirrored (j,k,0.5) doublet pairs may "
+            "resolve to the mirrored order). fast: f32 Pallas pair-search "
+            "kernel (TPU production mode; calls identical, LLKs approximate "
+            "in the last printed digit). parity: bit-faithful host oracle "
+            "replicating the reference's per-UMI scalar loop order — "
+            "byte-exact outputs incl. tie direction (small inputs)"
         ),
     )
     g.add_argument("--cell-block", type=int, default=1024, help="Cells per device batch")
@@ -224,6 +228,8 @@ def main(argv=None) -> int:
     from demuxlet_tpu.models import outputs as out_mod
 
     notice("Starting to identify best matching individual IDs")
+    if args.mode == "parity":
+        return _run_parity(args, scl, table, grid_alpha, t_start)
     dtype = jnp.float64 if args.precision == "f64" else jnp.float32
     eng = DemuxEngine(
         table.gps,
@@ -279,9 +285,47 @@ def main(argv=None) -> int:
     return 0
 
 
+def _run_parity(args, scl, table, grid_alpha, t_start):
+    """Byte-exact host path: the NumPy oracle's reference-ordered scalar
+    loops (oracle/numpy_oracle.py implements cmd_cram_demuxlet.cpp:415-875
+    op-for-op, including per-UMI normalization order and ulp-tie behavior).
+    Requires the dict pileup (python ingest)."""
+    from oracle import numpy_oracle as O
+
+    if not hasattr(scl, "umis"):
+        error(
+            "--mode parity requires the Python ingest (per-UMI order); "
+            "rerun with --ingest python"
+        )
+    gp0s = O.compute_gp0s(scl)
+    llks, llk0s = O.pass1_singlet(scl, gp0s)
+    filt = dict(
+        min_total=args.min_total, min_uniq=args.min_uniq, min_snp=args.min_snp
+    )
+    single = O.write_single(scl, llks, llk0s, **filt)
+    sing2, pair, best = O.pass2_outputs(
+        scl, gp0s, grid_alpha, doublet_prior=args.doublet_prior,
+        write_pair=args.write_pair, **filt,
+    )
+    with open(args.out + ".single", "w") as fh:
+        fh.write("\n".join(single) + "\n")
+    with open(args.out + ".sing2", "w") as fh:
+        fh.write("\n".join(sing2) + "\n")
+    with open(args.out + ".best", "w") as fh:
+        fh.write("\n".join(best) + "\n")
+    if args.write_pair and pair is not None:
+        with open(args.out + ".pair", "w") as fh:
+            fh.write("\n".join(pair) + "\n")
+    notice("Finished writing output files")
+    notice("Total wall-clock time: %.3fs", time.time() - t_start)
+    return 0
+
+
 def _ingest(args, table, group_set):
     """Dispatch host pileup: native C++ ingest if available, else Python."""
     use_native = False
+    if args.mode == "parity" and args.ingest == "auto":
+        args.ingest = "python"  # parity needs the per-UMI dict pileup
     if args.ingest in ("auto", "native"):
         try:
             from demuxlet_tpu.native import ingest as native_ingest

@@ -62,9 +62,12 @@ class DemuxEngine:
         mesh: Optional[jax.sharding.Mesh] = None,
         mode: str = "exact",
     ):
-        """mode="exact": f64 XLA kernels (byte-parity path).
+        """mode="exact": f64 XLA kernels (byte-parity path); an optional
+        ("b","s") mesh shards blocks across devices (parallel/mesh.py).
         mode="fast": f32 Pallas pair-search kernel + f32 singlet (TPU
-        production path; demux calls identical, LLKs accurate to ~1e-3)."""
+        production path; demux calls identical, LLKs accurate to ~1e-3).
+        Fast mode is single-device per process — multi-chip/multi-host
+        scale-out shards barcodes across processes (parallel/multihost.py)."""
         self.gps = np.ascontiguousarray(gps, dtype=np.float64)
         self.gp0 = compute_gp0(self.gps)
         self.grid_alpha = list(grid_alpha)

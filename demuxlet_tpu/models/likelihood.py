@@ -67,40 +67,36 @@ def _pair_block(cnt, msk, gps_g, gp0_g, w, n_alpha, dtype):
     t = jnp.exp(lograw - mx)
     t = t + 1e-6
     t = t / jnp.max(t, axis=-1, keepdims=True)
+    t = t.reshape(B, S, A, 3, 3)
     m = msk.astype(dtype)
 
-    # Structure the (l, m) genotype contraction as two batched matmuls so XLA
-    # never materializes a broadcast product (the naive einsum blows up to
-    # (B,S,V,V,A)-sized broadcasts pre-reduction):
-    #   u[b,s,(a,l),k] = sum_m t[b,s,(a,l),m] * gps[b,s,k,m]
-    #   inner[b,s,j,(a,k)] = sum_l gps[b,s,j,l] * u[b,s,l,(a,k)]
-    t2 = t.reshape(B, S, A * 3, 3)
-    gps_t = jnp.swapaxes(gps_g, -1, -2)  # (B,S,3,V)
-    u = jax.lax.dot_general(
-        t2, gps_t,
-        dimension_numbers=(((3,), (2,)), ((0, 1), (0, 1))),
-        preferred_element_type=dtype,
-    )  # (B,S,A*3,V)
-    u = u.reshape(B, S, A, 3, V)
-    u = jnp.swapaxes(u, 2, 3).reshape(B, S, 3, A * V)  # l-major
-    inner = jax.lax.dot_general(
-        gps_g, u,
-        dimension_numbers=(((3,), (2,)), ((0, 1), (0, 1))),
-        preferred_element_type=dtype,
-    )  # (B,S,V,A*V)
-    contrib = jnp.log(inner) * m[:, :, None, None]
-    llk_jak = jnp.sum(contrib, axis=1).reshape(B, V, A, V)
-    llk_ab = jnp.transpose(llk_jak, (0, 1, 3, 2))  # (B, V(j), V(k), A)
+    # The (l,m,j,k,a) contraction unrolls over the tiny sample/genotype axes
+    # into pure VPU broadcast arithmetic: batched (A*3,3)@(3,V) matmuls
+    # waste >99% of the MXU and the einsum form materializes (B,S,V,V,A)
+    # broadcasts; this form is ~2.8x faster on-chip in emulated f64.
+    # Term products and summation ORDER mirror the reference scalar loop
+    # (cmd_cram_demuxlet.cpp:671-684: (l,m) l-major, product
+    # (g_j[l]*g_k[m])*pGs) so that exact symmetric-pair ulp ties at
+    # alpha=0.5 resolve the same way the reference's do.
+    cols = []
+    for j in range(V):
+        for k in range(V):
+            inner = None
+            for l in range(3):
+                for mm in range(3):
+                    p = gps_g[:, :, j, l] * gps_g[:, :, k, mm]  # (B,S)
+                    term = p[:, :, None] * t[:, :, :, l, mm]  # (B,S,A)
+                    inner = term if inner is None else inner + term
+            cols.append(jnp.sum(jnp.log(inner) * m[:, :, None], axis=1))
+    llk_ab = jnp.stack(cols, axis=1).reshape(B, V, V, A)
 
-    # Background pair term: sum_lm gp0[l] gp0[m] t[a,l,m] as one matmul over
-    # the 9-dim (l,m) axis.
-    g00 = (gp0_g[:, :, :, None] * gp0_g[:, :, None, :]).reshape(B, S, 9, 1)
-    t3 = t.reshape(B, S, A, 9)
-    t00 = jax.lax.dot_general(
-        t3, g00,
-        dimension_numbers=(((3,), (2,)), ((0, 1), (0, 1))),
-        preferred_element_type=dtype,
-    )[..., 0]  # (B,S,A)
+    # Background pair term llks00 (:700-709), same sequential (l,m) order.
+    t00 = None
+    for l in range(3):
+        for mm in range(3):
+            p = gp0_g[:, :, l] * gp0_g[:, :, mm]
+            term = p[:, :, None] * t[:, :, :, l, mm]
+            t00 = term if t00 is None else t00 + term
     llk_00 = jnp.sum(jnp.log(t00) * m[:, :, None], axis=1)
     return llk_ab, llk_00
 

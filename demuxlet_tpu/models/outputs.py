@@ -114,46 +114,57 @@ def write_pass2(
         dbl_mask[j, j, :] = False
     dbl_mask[:, :, 0] = False
 
+    # ---- vectorized decision pass over all cells (the per-cell math of
+    # cmd_cram_demuxlet.cpp:713-828, batched; the render loop below only
+    # formats). Weight layout identical to the scalar loops.
+    AB = np.asarray(llk_ab, dtype=np.float64)
+    Z0 = np.asarray(llk_00, dtype=np.float64)
+    ncell = AB.shape[0]
+    v_max_llk = np.maximum(AB.reshape(ncell, -1).max(axis=1), -1e300)
+    sing_col = AB[:, :, 0, 0]  # (n, nv)
+    v_sum_single = (
+        np.exp(sing_col - v_max_llk[:, None]).sum(axis=1)
+        * (1.0 - doublet_prior)
+        / nv
+    )
+    dbl_w = np.zeros((nv, nv, na))
+    for n in range(1, na):
+        dbl_w[:, :, n] = (
+            doublet_prior
+            / nv
+            / (nv - 1)
+            / (na - 1)
+            / (2.0 if grid_alpha[n] == 0.5 else 1.0)
+        )
+    for j in range(nv):
+        dbl_w[j, j, :] = 0.0
+    v_sum_double = np.einsum(
+        "cjkn,jkn->c", np.exp(AB - v_max_llk[:, None, None, None]), dbl_w
+    )
+    # running strict-< argmax semantics == first-occurrence argmax; the
+    # second best is the first-occurrence argmax with the winner masked
+    v_i1 = np.argmax(sing_col, axis=1)
+    masked = sing_col.copy()
+    masked[np.arange(ncell), v_i1] = -np.inf
+    v_i2 = np.argmax(masked, axis=1)
+    flat = np.where(dbl_mask.reshape(-1)[None, :], AB.reshape(ncell, -1), -np.inf)
+    v_best = np.argmax(flat, axis=1)
+
     for bc, i in stats.bc_order():
         if not _passes(stats, i, min_total, min_uniq, min_snp):
             continue
         if stats.nsnp[i] == 0:
             continue  # reference `snps.empty()` skip (:592)
-        ab = np.asarray(llk_ab[i], dtype=np.float64)
-        z0 = np.asarray(llk_00[i], dtype=np.float64)
+        ab = AB[i]
+        z0 = Z0[i]
+        max_llk = v_max_llk[i]
+        sum_single = v_sum_single[i]
+        sum_double = v_sum_double[i]
+        i_sing1 = int(v_i1[i])
+        i_sing2 = int(v_i2[i])
 
-        max_llk = max(float(ab.max()), -1e300)
-
-        sum_single = 0.0
-        for j in range(nv):
-            sum_single += (
-                math.exp(ab[j, 0, 0] - max_llk) * (1.0 - doublet_prior) / nv
-            )
-        sum_double = 0.0
-        for j in range(nv):
-            for k in range(nv):
-                if j == k:
-                    continue
-                for n in range(1, na):
-                    sum_double += (
-                        math.exp(ab[j, k, n] - max_llk)
-                        * doublet_prior
-                        / nv
-                        / (nv - 1)
-                        / (na - 1)
-                        / (2.0 if grid_alpha[n] == 0.5 else 1.0)
-                    )
-
-        # running strict-< argmax over singlet column (first-wins ties)
-        i_sing1 = i_sing2 = -1
-        max_sing1 = max_sing2 = -1e300
         for j in range(nv):
             v = ab[j, 0, 0]
-            if max_sing1 < v:
-                max_sing2, i_sing2 = max_sing1, i_sing1
-                i_sing1, max_sing1 = j, v
-            elif max_sing2 < v:
-                i_sing2, max_sing2 = j, v
             wsing2.write(
                 "%s\t%s\t%d\t%d\t%d\t%d\t%.4f\t%.4f\t%.3g\n"
                 % (
@@ -208,9 +219,7 @@ def write_pass2(
                             )
                         )
 
-        masked = np.where(dbl_mask, ab, -np.inf)
-        flat_best = int(np.argmax(masked))
-        j_best, k_best, alpha_best = np.unravel_index(flat_best, ab.shape)
+        j_best, k_best, alpha_best = np.unravel_index(int(v_best[i]), ab.shape)
 
         sing_llk1 = ab[i_sing1, 0, 0]
         sing_llk2 = ab[i_sing2, 0, 0]

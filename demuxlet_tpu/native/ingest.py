@@ -94,7 +94,9 @@ def _bam_refs(path: str):
     import gzip
     import struct
 
-    op = gzip.open if open(path, "rb").read(2) == b"\x1f\x8b" else open
+    with open(path, "rb") as probe:
+        magic = probe.read(2)
+    op = gzip.open if magic == b"\x1f\x8b" else open
     with op(path, "rb") as fh:
         if fh.read(4) != b"BAM\x01":
             error("%s is not a BAM file (bad magic)", path)

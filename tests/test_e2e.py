@@ -252,3 +252,18 @@ def test_cli_sm_subset(tmp_path):
             continue
         sms.add(line.split("\t")[1])
     assert sms == {"S0", "S2"}
+
+
+def test_cli_parity_mode(tmp_path, workload):
+    """--mode parity output is byte-identical to the oracle, including the
+    ulp-tie pair-order behavior the device kernels can't guarantee."""
+    tmp, vcf, bam, truth = workload
+    rc = cli.main([
+        "--sam", bam, "--vcf", vcf, "--field", "GT", "--mode", "parity",
+        "--out", str(tmp_path / "par"),
+    ])
+    assert rc == 0
+    single, sing2, pair, best = _oracle_files(vcf, bam)
+    assert open(str(tmp_path / "par") + ".best").read() == "\n".join(best) + "\n"
+    assert open(str(tmp_path / "par") + ".single").read() == "\n".join(single) + "\n"
+    assert open(str(tmp_path / "par") + ".sing2").read() == "\n".join(sing2) + "\n"
