@@ -42,7 +42,10 @@ DTYPE_NAME = os.environ.get("BENCH_DTYPE", "f64")
 
 
 def measure_cpp_baseline() -> float:
-    """Compile + run the single-thread C++ replica; returns barcodes/s."""
+    """Compile + run the single-thread C++ replica; returns barcodes/s.
+
+    Best of two runs — the baseline deserves its peak rate on a possibly
+    contended host."""
     exe = os.path.join(ROOT, "bench", "ref_pairsearch")
     src = os.path.join(ROOT, "bench", "ref_pairsearch.cpp")
     if not os.path.exists(exe) or os.path.getmtime(exe) < os.path.getmtime(src):
@@ -50,21 +53,24 @@ def measure_cpp_baseline() -> float:
             ["g++", "-O2", "-march=native", "-o", exe, src, "-lm"],
             check=True,
         )
-    out = subprocess.run(
-        [
-            exe,
-            str(BASE_CELLS),
-            str(S_PER_CELL),
-            str(UMIS_PER_SNP),
-            str(NV),
-            str(NALPHA),
-            str(NSNPS),
-        ],
-        check=True,
-        capture_output=True,
-        text=True,
-    )
-    return float(json.loads(out.stdout)["barcodes_per_s"])
+    best = 0.0
+    for _ in range(2):
+        out = subprocess.run(
+            [
+                exe,
+                str(BASE_CELLS),
+                str(S_PER_CELL),
+                str(UMIS_PER_SNP),
+                str(NV),
+                str(NALPHA),
+                str(NSNPS),
+            ],
+            check=True,
+            capture_output=True,
+            text=True,
+        )
+        best = max(best, float(json.loads(out.stdout)["barcodes_per_s"]))
+    return best
 
 
 def _synth_block(B: int, rng: np.random.Generator):
