@@ -20,7 +20,7 @@ import struct
 from dataclasses import dataclass
 from typing import Iterator, List, Optional, Tuple
 
-from demuxlet_tpu.utils.logging_utils import error, notice
+from demuxlet_tpu.utils.logging_utils import error
 
 SEQ_NT16 = "=ACMGRSVTWYHKDBN"
 CIGAR_OPS = "MIDNSHP=X"

@@ -17,7 +17,7 @@ max-renormalize (:626-663).
 
 from __future__ import annotations
 
-import functools
+
 
 import jax
 import jax.numpy as jnp
