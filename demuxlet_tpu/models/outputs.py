@@ -128,16 +128,17 @@ def write_pass2(
         / nv
     )
     dbl_w = np.zeros((nv, nv, na))
-    for n in range(1, na):
-        dbl_w[:, :, n] = (
-            doublet_prior
-            / nv
-            / (nv - 1)
-            / (na - 1)
-            / (2.0 if grid_alpha[n] == 0.5 else 1.0)
-        )
-    for j in range(nv):
-        dbl_w[j, j, :] = 0.0
+    if nv > 1 and na > 1:  # reference loops never execute otherwise (:726)
+        for n in range(1, na):
+            dbl_w[:, :, n] = (
+                doublet_prior
+                / nv
+                / (nv - 1)
+                / (na - 1)
+                / (2.0 if grid_alpha[n] == 0.5 else 1.0)
+            )
+        for j in range(nv):
+            dbl_w[j, j, :] = 0.0
     v_sum_double = np.einsum(
         "cjkn,jkn->c", np.exp(AB - v_max_llk[:, None, None, None]), dbl_w
     )
@@ -147,6 +148,9 @@ def write_pass2(
     masked = sing_col.copy()
     masked[np.arange(ncell), v_i1] = -np.inf
     v_i2 = np.argmax(masked, axis=1)
+    # second-best VALUE from the masked max, seeded at -1e300 like the
+    # reference's running maxSing2 (degenerate nv==1: no second sample)
+    v_max2 = np.maximum(masked[np.arange(ncell), v_i2], -1e300)
     flat = np.where(dbl_mask.reshape(-1)[None, :], AB.reshape(ncell, -1), -np.inf)
     v_best = np.argmax(flat, axis=1)
 
@@ -222,7 +226,7 @@ def write_pass2(
         j_best, k_best, alpha_best = np.unravel_index(int(v_best[i]), ab.shape)
 
         sing_llk1 = ab[i_sing1, 0, 0]
-        sing_llk2 = ab[i_sing2, 0, 0]
+        sing_llk2 = float(v_max2[i])
         sing_llk0 = z0[0]
         pair_llk12 = ab[j_best, k_best, alpha_best]
         pair_llk1 = ab[j_best, 0, 0]

@@ -267,3 +267,29 @@ def test_cli_parity_mode(tmp_path, workload):
     assert open(str(tmp_path / "par") + ".best").read() == "\n".join(best) + "\n"
     assert open(str(tmp_path / "par") + ".single").read() == "\n".join(single) + "\n"
     assert open(str(tmp_path / "par") + ".sing2").read() == "\n".join(sing2) + "\n"
+
+
+def test_cli_single_sample_and_single_alpha(tmp_path):
+    """Degenerate panels must not crash: nv==1 (doublet search empty, best
+    call SNG per the reference's running-max seeding) and a 1-point alpha
+    grid (sumDouble loop empty)."""
+    import random as _random
+
+    rng = _random.Random(3)
+    contigs, names, variants, reads, truth = random_workload(
+        rng, n_cells=6, n_snps=20, n_samples=1, reads_per_cell=30
+    )
+    vcf = write_vcf(str(tmp_path / "n1.vcf"), names, variants, contigs=contigs)
+    bam = write_bam(str(tmp_path / "n1.bam"), contigs, reads)
+    rc = cli.main([
+        "--sam", bam, "--vcf", vcf, "--field", "GT",
+        "--out", str(tmp_path / "n1"),
+    ])
+    assert rc == 0
+    rows = open(str(tmp_path / "n1") + ".best").read().splitlines()[1:]
+    assert rows and all(r.split("\t")[5] == "SNG-S0" for r in rows)
+    rc = cli.main([
+        "--sam", bam, "--vcf", vcf, "--field", "GT", "--alpha", "0",
+        "--out", str(tmp_path / "a1"),
+    ])
+    assert rc == 0
