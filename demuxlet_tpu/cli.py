@@ -326,6 +326,8 @@ def _ingest(args, table, group_set):
     use_native = False
     if args.mode == "parity" and args.ingest == "auto":
         args.ingest = "python"  # parity needs the per-UMI dict pileup
+    if args.sam.endswith(".cram") and args.ingest == "auto":
+        args.ingest = "python"  # CRAM decode is Python-only for now
     if args.ingest in ("auto", "native"):
         try:
             from demuxlet_tpu.native import ingest as native_ingest
@@ -353,9 +355,18 @@ def _ingest(args, table, group_set):
             shard_id=args.shard_id,
         )
     from demuxlet_tpu.host.pileup import build_pileup
-    from demuxlet_tpu.io.bam import AlignmentReader
 
-    rdr = AlignmentReader(args.sam, min_mq=args.min_MQ, excl_flag=args.excl_flag)
+    if args.sam.endswith(".cram"):
+        from demuxlet_tpu.io.cram import CramReader
+
+        notice("CRAM input: using the Python CRAM 3.0 subset reader")
+        rdr = CramReader(args.sam, min_mq=args.min_MQ, excl_flag=args.excl_flag)
+    else:
+        from demuxlet_tpu.io.bam import AlignmentReader
+
+        rdr = AlignmentReader(
+            args.sam, min_mq=args.min_MQ, excl_flag=args.excl_flag
+        )
     return build_pileup(
         rdr,
         table,

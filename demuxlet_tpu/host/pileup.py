@@ -265,7 +265,11 @@ def build_pileup(
         nv_valid = 0
         for k in range(lo, hi):
             sid = int(snp_idx[k])
-            base, qual, rpos = r.base_qual_at(int(pos_arr[k]))
+            ref_c = chr(table.ref[sid])
+            alt_c = chr(table.alt[sid])
+            # ref_c resolves CRAM match positions (VCF REF == genome base
+            # at the SNP); BAM/SAM reads ignore it
+            base, qual, rpos = r.base_qual_at(int(pos_arr[k]), ref_c)
             if rpos == READ_INDEX_NA:
                 continue
             if base == "N":
@@ -277,8 +281,6 @@ def build_pileup(
                 continue
             if rpos + min_td > r.l_qseq:
                 continue
-            ref_c = chr(table.ref[sid])
-            alt_c = chr(table.alt[sid])
             allele = 0 if base == ref_c else (1 if base == alt_c else 2)
             bq = cap_bq if qual > cap_bq else qual
             if scl.add_read(sid, ibcd, umi, allele, bq):

@@ -48,11 +48,13 @@ class AlignedRead:
                 rlen += ln
         return self.pos + (rlen if rlen else 1)
 
-    def base_qual_at(self, gpos: int) -> Tuple[str, int, int]:
+    def base_qual_at(self, gpos: int, ref_base: str = "N") -> Tuple[str, int, int]:
         """The reference pileup primitive (hts_utils.cpp:279-359).
 
         Returns (base_char, phred_qual, rpos); rpos == READ_INDEX_NA means
-        no informative base (deletion/refskip/out of read).
+        no informative base (deletion/refskip/out of read). ref_base is
+        unused here (BAM stores bases); the CRAM read type resolves match
+        positions through it.
         """
         cpos = self.pos
         rpos = 0

@@ -404,3 +404,249 @@ def write_bcf(
     with BgzfWriter(open(path, "wb")) as w:
         w.write(bytes(buf))
     return path
+
+
+# ---------------------------------------------------------------- CRAM
+def _itf8(v: int) -> bytes:
+    v &= 0xFFFFFFFF
+    if v < 0x80:
+        return bytes([v])
+    if v < 0x4000:
+        return bytes([0x80 | (v >> 8), v & 0xFF])
+    if v < 0x200000:
+        return bytes([0xC0 | (v >> 16), (v >> 8) & 0xFF, v & 0xFF])
+    if v < 0x10000000:
+        return bytes([0xE0 | (v >> 24), (v >> 16) & 0xFF, (v >> 8) & 0xFF, v & 0xFF])
+    return bytes([
+        0xF0 | ((v >> 28) & 0x0F), (v >> 20) & 0xFF, (v >> 12) & 0xFF,
+        (v >> 4) & 0xFF, v & 0x0F,
+    ])
+
+
+def _ltf8(v: int) -> bytes:
+    if v < 0x80:
+        return bytes([v])
+    nbytes = (v.bit_length() + 7) // 8
+    # prefix byte carries only the leading-ones count; value in full bytes
+    return bytes([(0xFF << (8 - nbytes)) & 0xFF]) + v.to_bytes(nbytes, "big")
+
+
+def _cram_block(ctype: int, cid: int, data: bytes) -> bytes:
+    body = bytes([0, ctype]) + _itf8(cid) + _itf8(len(data)) + _itf8(len(data)) + data
+    return body + struct.pack("<I", 0)  # CRC not checked by our reader
+
+
+def _enc_external(cid: int) -> bytes:
+    p = _itf8(cid)
+    return _itf8(1) + _itf8(len(p)) + p
+
+
+def _enc_bas(stop: int, cid: int) -> bytes:
+    p = bytes([stop]) + _itf8(cid)
+    return _itf8(5) + _itf8(len(p)) + p
+
+
+_CRAM_IDS = dict(BF=1, CF=2, RL=3, AP=4, RG=5, RN=6, TL=7, FN=8, FC=9,
+                 FP=10, BS=11, DL=12, RS=13, IN=14, SC=15, HC=16, PD=17,
+                 BA=18, QS=19, MF=20, NS=21, NP=22, TS=23, MQ=24)
+
+
+def write_cram(
+    path: str,
+    contigs: List[Tuple[str, int]],
+    reads: List[SimRead],
+    ref_seqs: dict,
+) -> str:
+    """Spec-structured CRAM 3.0 writer (EXTERNAL/BYTE_ARRAY_STOP encodings,
+    raw blocks, one slice) for testing io/cram.py. ref_seqs: chrom -> str
+    genome sequence (reads are encoded as substitution features vs it)."""
+    ref_index = {name: i for i, (name, _) in enumerate(contigs)}
+    reads = sorted(reads, key=lambda r: (ref_index[r.chrom], r.pos0))
+    bases_order = "ACGTN"
+
+    def sub_code(ref_b: str, read_b: str):
+        others = [c for c in bases_order if c != ref_b][:4]
+        return others.index(read_b) if read_b in others else 0
+
+    sm = bytes([0x1B] * 5)  # code j == j-th other base, every row
+
+    # tag dictionary: distinct tag signatures in first-seen order
+    td_lines, td_index = [], {}
+    tag_ids = {}
+    next_tag_cid = 30
+    streams = {cid: bytearray() for cid in _CRAM_IDS.values()}
+
+    def tag_sig(r):
+        sig = []
+        if r.cb is not None:
+            sig.append(("CB", "Z"))
+        if r.ub is not None:
+            sig.append(("UB", "Z"))
+        return tuple(sig)
+
+    for r in reads:
+        sig = tag_sig(r)
+        if sig not in td_index:
+            td_index[sig] = len(td_lines)
+            td_lines.append(sig)
+            for tag, typ in sig:
+                if (tag, typ) not in tag_ids:
+                    tag_ids[(tag, typ)] = next_tag_cid
+                    streams[next_tag_cid] = bytearray()
+                    next_tag_cid += 1
+
+    nrec = 0
+    min_start = reads[0].pos0 + 1 if reads else 1
+    for i, r in enumerate(reads):
+        nrec += 1
+        S = streams
+        S[_CRAM_IDS["BF"]] += _itf8(r.flag)
+        S[_CRAM_IDS["CF"]] += _itf8(0x1 | 0x2)  # quals stored + detached
+        S[_CRAM_IDS["RL"]] += _itf8(len(r.seq))
+        S[_CRAM_IDS["AP"]] += _itf8(r.pos0 + 1)  # absolute (AP pres False)
+        S[_CRAM_IDS["RG"]] += _itf8(-1)
+        S[_CRAM_IDS["RN"]] += f"{r.name}{i}".encode() + b"\x00"
+        S[_CRAM_IDS["MF"]] += _itf8(0)
+        S[_CRAM_IDS["NS"]] += _itf8(-1)
+        S[_CRAM_IDS["NP"]] += _itf8(0)
+        S[_CRAM_IDS["TS"]] += _itf8(0)
+        S[_CRAM_IDS["TL"]] += _itf8(td_index[tag_sig(r)])
+        for tag, typ in tag_sig(r):
+            val = r.cb if tag == "CB" else r.ub
+            streams[tag_ids[(tag, typ)]] += val.encode() + b"\x09"
+        # features from CIGAR + seq vs reference
+        feats = []  # (code, read_pos_1based, payload_fn)
+        genome = ref_seqs[r.chrom]
+        rpos = 0
+        gpos = r.pos0
+        for ch, ln in _iter_cigar(r.cigar_str()):
+            if ch == "M":
+                for o in range(ln):
+                    rb = genome[gpos + o]
+                    sb = r.seq[rpos + o]
+                    if sb != rb:
+                        feats.append(("X", rpos + o + 1, sub_code(rb, sb)))
+                gpos += ln
+                rpos += ln
+            elif ch == "S":
+                feats.append(("S", rpos + 1, r.seq[rpos : rpos + ln]))
+                rpos += ln
+            elif ch == "I":
+                feats.append(("I", rpos + 1, r.seq[rpos : rpos + ln]))
+                rpos += ln
+            elif ch == "D":
+                feats.append(("D", rpos + 1, ln))
+                gpos += ln
+            elif ch == "N":
+                feats.append(("N", rpos + 1, ln))
+                gpos += ln
+            elif ch == "H":
+                feats.append(("H", rpos + 1, ln))
+            elif ch == "P":
+                feats.append(("P", rpos + 1, ln))
+        S[_CRAM_IDS["FN"]] += _itf8(len(feats))
+        prev = 0
+        for code, p, payload in feats:
+            S[_CRAM_IDS["FC"]] += code.encode()
+            S[_CRAM_IDS["FP"]] += _itf8(p - prev)
+            prev = p
+            if code == "X":
+                S[_CRAM_IDS["BS"]] += bytes([payload])
+            elif code == "D":
+                S[_CRAM_IDS["DL"]] += _itf8(payload)
+            elif code == "N":
+                S[_CRAM_IDS["RS"]] += _itf8(payload)
+            elif code == "I":
+                S[_CRAM_IDS["IN"]] += payload.encode() + b"\x00"
+            elif code == "S":
+                S[_CRAM_IDS["SC"]] += payload.encode() + b"\x00"
+            elif code == "H":
+                S[_CRAM_IDS["HC"]] += _itf8(payload)
+            elif code == "P":
+                S[_CRAM_IDS["PD"]] += _itf8(payload)
+        S[_CRAM_IDS["MQ"]] += _itf8(r.mapq)
+        S[_CRAM_IDS["QS"]] += bytes(r.quals)
+
+    # compression header
+    td_blob = b"".join(
+        b"".join(t.encode() + y.encode() for t, y in line) + b"\x00"
+        for line in td_lines
+    )
+    pres_entries = [
+        (b"RN", bytes([1])),
+        (b"AP", bytes([0])),
+        (b"RR", bytes([0])),
+        (b"SM", sm),
+        (b"TD", _itf8(len(td_blob)) + td_blob),
+    ]
+    pres = _itf8(len(pres_entries))
+    for k, v in pres_entries:
+        pres += k + v
+    pres = _itf8(len(pres)) + pres
+    ds_entries = []
+    for key, cid in _CRAM_IDS.items():
+        if key in ("RN", "IN", "SC"):
+            ds_entries.append((key.encode(), _enc_bas(0x00, cid)))
+        else:
+            ds_entries.append((key.encode(), _enc_external(cid)))
+    ds = _itf8(len(ds_entries))
+    for k, e in ds_entries:
+        ds += k + e
+    ds = _itf8(len(ds)) + ds
+    te_entries = []
+    for (tag, typ), cid in tag_ids.items():
+        key = (ord(tag[0]) << 16) | (ord(tag[1]) << 8) | ord(typ)
+        te_entries.append((key, _enc_bas(0x09, cid)))
+    te = _itf8(len(te_entries))
+    for k, e in te_entries:
+        te += _itf8(k) + e
+    te = _itf8(len(te)) + te
+    chdr = pres + ds + te
+
+    # slice header (single-chromosome fixtures: concrete ref id)
+    used = sorted(cid for cid in streams if streams[cid])
+    rid = ref_index[reads[0].chrom] if reads else -1
+    slice_hdr = (
+        _itf8(rid) + _itf8(min_start) + _itf8(0) + _itf8(nrec)
+        + _ltf8(0) + _itf8(len(used)) + b"".join(_itf8(c) for c in used)
+        + _itf8(-1) + b"\x00" * 16
+    )
+
+    blocks = _cram_block(1, 0, chdr) + _cram_block(2, 0, slice_hdr)
+    for cid in used:
+        blocks += _cram_block(4, cid, bytes(streams[cid]))
+
+    def container(ref_id, start, nrec_, blocks_bytes, nblocks):
+        hdr = (
+            struct.pack("<i", len(blocks_bytes))
+            + _itf8(ref_id) + _itf8(start) + _itf8(0) + _itf8(nrec_)
+            + _ltf8(0) + _ltf8(0) + _itf8(nblocks) + _itf8(0)
+            + struct.pack("<I", 0)
+        )
+        return hdr + blocks_bytes
+
+    # SAM header container
+    text = ("@HD\tVN:1.6\tSO:coordinate\n" + "".join(
+        f"@SQ\tSN:{n}\tLN:{l}\n" for n, l in contigs)).encode()
+    hblock = _cram_block(0, 0, struct.pack("<i", len(text)) + text)
+
+    out = b"CRAM\x03\x00" + b"\x00" * 20
+    out += container(-1, 0, 1, hblock, 1)
+    out += container(
+        ref_index[reads[0].chrom] if reads else -1,
+        min_start, nrec, blocks, 2 + len(used),
+    )
+    out += container(-1, 0, 0, b"", 0)  # EOF
+    with open(path, "wb") as fh:
+        fh.write(out)
+    return path
+
+
+def _iter_cigar(cig: str):
+    num = ""
+    for ch in cig:
+        if ch.isdigit():
+            num += ch
+        else:
+            yield ch, int(num)
+            num = ""

@@ -1,0 +1,115 @@
+"""CRAM 3.0 subset reader vs the BAM path: identical pileups and outputs.
+
+A synthetic genome is generated; reads carry genome-consistent bases with
+planted substitutions, indels, clips and skips. The same reads are written
+as BAM (explicit bases) and CRAM (features vs the genome); the demux pileup
+must be identical — CRAM match positions resolve through the VCF REF allele
+(io/cram.py docstring), which the fixture guarantees equals the genome base.
+"""
+
+import random
+
+import numpy as np
+import pytest
+
+from demuxlet_tpu.host.csr import CsrPileup
+from demuxlet_tpu.host.pileup import build_pileup
+from demuxlet_tpu.host.slots import build_slots
+from demuxlet_tpu.io.bam import AlignmentReader
+from demuxlet_tpu.io.cram import CramReader
+from demuxlet_tpu.io.vcf import load_snp_table
+from fixtures import SimRead, SimVariant, write_bam, write_cram, write_vcf
+
+
+def _genome(rng, n):
+    return "".join(rng.choice("ACGT") for _ in range(n))
+
+
+def _workload(tmp_path, seed=23, n_cells=12, n_snps=30):
+    rng = random.Random(seed)
+    glen = 8000
+    g = list(_genome(rng, glen))
+    positions = sorted(rng.sample(range(100, glen - 100), n_snps))
+    names = ["S0", "S1", "S2"]
+    variants = []
+    genos = []
+    for p in positions:
+        ref = g[p]
+        alt = rng.choice([b for b in "ACGT" if b != ref])
+        row = [rng.choice([0, 1, 2]) for _ in names]
+        genos.append((p, ref, alt, row))
+        variants.append(
+            SimVariant("chr1", p, ref, alt,
+                       [{"GT": ["0/0", "0/1", "1/1"][x]} for x in row])
+        )
+    genome = "".join(g)
+    reads = []
+    for c in range(n_cells):
+        bc = "CB%04d" % c
+        src = c % 3
+        for j in range(50):
+            p, ref, alt, row = genos[rng.randrange(n_snps)]
+            start = max(0, p - rng.randrange(1, 40))
+            ln = 50
+            seq = list(genome[start : start + ln])
+            # plant the allele at the SNP
+            gcode = row[src]
+            want_ref = rng.random() < [1.0, 0.5, 0.0][gcode]
+            seq[p - start] = ref if want_ref else alt
+            # random extra mismatch elsewhere
+            if rng.random() < 0.3:
+                off = rng.randrange(ln)
+                seq[off] = rng.choice("ACGT")
+            reads.append(
+                SimRead("chr1", start, "".join(seq),
+                        [rng.randrange(25, 41) for _ in range(ln)],
+                        cb=bc, ub=f"u{c}_{j}")
+            )
+    # adversarial CIGARs over the genome
+    p0 = positions[0]
+    reads.append(SimRead("chr1", p0 - 3, genome[p0 - 3 : p0] + genome[p0 + 5 : p0 + 12],
+                         [30] * 10, cigar="3M5D7M", cb="CB0000", ub="ux1"))
+    reads.append(SimRead("chr1", p0 - 2, "TT" + genome[p0 - 2 : p0 + 6],
+                         [30] * 10, cigar="2S8M", cb="CB0001", ub="ux2"))
+    reads.append(SimRead("chr1", p0 - 4, genome[p0 - 4 : p0 - 1] + "GGG" + genome[p0 - 1 : p0 + 3],
+                         [30] * 10, cigar="3M3I4M", cb="CB0002", ub="ux3"))
+    reads.append(SimRead("chr1", p0 - 2, genome[p0 - 2 : p0 + 2] + genome[p0 + 30 : p0 + 36],
+                         [30] * 10, cigar="4M28N6M", cb="CB0003", ub="ux4"))
+    contigs = [("chr1", glen)]
+    vcf = write_vcf(str(tmp_path / "c.vcf"), names, variants, contigs=contigs)
+    bam = write_bam(str(tmp_path / "c.bam"), contigs, reads)
+    cram = write_cram(str(tmp_path / "c.cram"), contigs, reads,
+                      {"chr1": genome})
+    return vcf, bam, cram
+
+
+def test_cram_pileup_matches_bam(tmp_path):
+    vcf, bam, cram = _workload(tmp_path)
+    table = load_snp_table(vcf, field_name="GT")
+    scl_b, ctr_b = build_pileup(AlignmentReader(bam), table)
+    scl_c, ctr_c = build_pileup(CramReader(cram), table)
+    assert scl_c.barcodes == scl_b.barcodes
+    assert ctr_c == ctr_b
+    cb = CsrPileup.from_pileup(scl_b)
+    cc = CsrPileup.from_pileup(scl_c)
+    np.testing.assert_array_equal(cb.cell_uniq, cc.cell_uniq)
+    cells = list(range(cb.nbcs))
+    bb, bc2 = build_slots(cb, cells), build_slots(cc, cells)
+    np.testing.assert_array_equal(bb.idx, bc2.idx)
+    np.testing.assert_array_equal(bb.cnt, bc2.cnt)
+
+
+def test_cram_cli_end_to_end(tmp_path):
+    from demuxlet_tpu import cli
+
+    vcf, bam, cram = _workload(tmp_path, seed=29)
+    rc = cli.main(["--sam", cram, "--vcf", vcf, "--field", "GT",
+                   "--out", str(tmp_path / "cr")])
+    assert rc == 0
+    rc = cli.main(["--sam", bam, "--vcf", vcf, "--field", "GT",
+                   "--out", str(tmp_path / "ba"), "--ingest", "python"])
+    assert rc == 0
+    assert (
+        open(str(tmp_path / "cr") + ".best").read()
+        == open(str(tmp_path / "ba") + ".best").read()
+    )

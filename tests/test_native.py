@@ -143,3 +143,43 @@ def test_native_parallel_chrom_segments(tmp_path):
     bp = build_slots(csr_p, cells)
     np.testing.assert_array_equal(bn.idx, bp.idx)
     np.testing.assert_array_equal(bn.cnt, bp.cnt)
+
+
+def test_native_adversarial_cigars_and_flags(tmp_path):
+    """Edge battery: SNP at pos 0 and chromosome end, D/N/I/S/H spanning
+    SNPs, excluded flags (unmapped/duplicate), low MQ, missing CB/UB tags —
+    native must equal Python byte-for-byte."""
+    from demuxlet_tpu.host.csr import CsrPileup
+
+    contigs = [("chr1", 50000)]
+    names = ["S0", "S1"]
+    variants = [
+        SimVariant("chr1", p, "A", "G", [{"GT": "0/0"}, {"GT": "1/1"}])
+        for p in (0, 100, 200, 49999)
+    ]
+    vcf = write_vcf(str(tmp_path / "adv.vcf"), names, variants, contigs=contigs)
+    table = load_snp_table(vcf, field_name="GT")
+    reads = [
+        SimRead("chr1", 0, "AAAA", [30] * 4, cb="B0", ub="u0"),
+        SimRead("chr1", 95, "A" * 10, [30] * 10, cigar="5M10D5M", cb="B0", ub="u1"),
+        SimRead("chr1", 95, "A" * 10, [30] * 10, cigar="5M10N5M", cb="B1", ub="u2"),
+        SimRead("chr1", 195, "CCCCGCCCCC", [30] * 10, cigar="4M2I4M", cb="B1", ub="u3"),
+        SimRead("chr1", 198, "TTGAAA", [30] * 6, cigar="2S4M", cb="B2", ub="u4"),
+        SimRead("chr1", 49995, "AAAAA", [30] * 5, cb="B2", ub="u5"),
+        SimRead("chr1", 100, "AAAA", [30] * 4, flag=4, cb="B3", ub="u6"),
+        SimRead("chr1", 100, "AAAA", [30] * 4, flag=1024, cb="B3", ub="u7"),
+        SimRead("chr1", 100, "AAAA", [30] * 4, mapq=5, cb="B3", ub="u8"),
+        SimRead("chr1", 200, "GAAA", [30] * 4, cigar="3H4M2H", cb="B4", ub="u9"),
+        SimRead("chr1", 200, "GAAA", [30] * 4, cb=None, ub="u10"),
+        SimRead("chr1", 200, "GAAA", [30] * 4, cb="B5", ub=None),
+    ]
+    bam = write_bam(str(tmp_path / "adv.bam"), contigs, reads)
+    scl, ctr_p = build_pileup(AlignmentReader(bam), table)
+    csr_p = CsrPileup.from_pileup(scl)
+    csr_n, ctr_n = native.build_pileup(bam, table)
+    assert csr_n.barcodes == csr_p.barcodes
+    assert ctr_n == ctr_p
+    cells = list(range(csr_p.nbcs))
+    bp, bn = build_slots(csr_p, cells), build_slots(csr_n, cells)
+    np.testing.assert_array_equal(bp.cnt, bn.cnt)
+    np.testing.assert_array_equal(bp.idx, bn.idx)
