@@ -364,8 +364,12 @@ class CramReader:
             import lzma
 
             data = lzma.decompress(payload)
+        elif method == RANS:
+            from demuxlet_tpu.io import rans
+
+            data = rans.decompress(payload)
         else:
-            error("CRAM: block compression method %d not supported (rANS TBD)", method)
+            error("CRAM: block compression method %d not supported", method)
         if len(data) != rsize:
             error("CRAM: block size mismatch (%d != %d)", len(data), rsize)
         return ctype, cid, data

@@ -431,8 +431,19 @@ def _ltf8(v: int) -> bytes:
     return bytes([(0xFF << (8 - nbytes)) & 0xFF]) + v.to_bytes(nbytes, "big")
 
 
-def _cram_block(ctype: int, cid: int, data: bytes) -> bytes:
-    body = bytes([0, ctype]) + _itf8(cid) + _itf8(len(data)) + _itf8(len(data)) + data
+def _cram_block(ctype: int, cid: int, data: bytes, method: int = 0) -> bytes:
+    if method == 1:
+        import gzip as _gz
+
+        comp = _gz.compress(data)
+    elif method == 4:
+        from demuxlet_tpu.io import rans
+
+        comp = rans.compress(data, order=1 if len(data) >= 4 else 0)
+    else:
+        comp = data
+    body = (bytes([method, ctype]) + _itf8(cid) + _itf8(len(comp))
+            + _itf8(len(data)) + comp)
     return body + struct.pack("<I", 0)  # CRC not checked by our reader
 
 
@@ -456,6 +467,7 @@ def write_cram(
     contigs: List[Tuple[str, int]],
     reads: List[SimRead],
     ref_seqs: dict,
+    method: int = 0,
 ) -> str:
     """Spec-structured CRAM 3.0 writer (EXTERNAL/BYTE_ARRAY_STOP encodings,
     raw blocks, one slice) for testing io/cram.py. ref_seqs: chrom -> str
@@ -614,7 +626,7 @@ def write_cram(
 
     blocks = _cram_block(1, 0, chdr) + _cram_block(2, 0, slice_hdr)
     for cid in used:
-        blocks += _cram_block(4, cid, bytes(streams[cid]))
+        blocks += _cram_block(4, cid, bytes(streams[cid]), method=method)
 
     def container(ref_id, start, nrec_, blocks_bytes, nblocks):
         hdr = (

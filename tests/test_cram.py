@@ -25,7 +25,10 @@ def _genome(rng, n):
     return "".join(rng.choice("ACGT") for _ in range(n))
 
 
-def _workload(tmp_path, seed=23, n_cells=12, n_snps=30):
+def _workload(tmp_path, seed=23, n_cells=12, n_snps=30, method=0):
+    import os
+
+    os.makedirs(str(tmp_path), exist_ok=True)
     rng = random.Random(seed)
     glen = 8000
     g = list(_genome(rng, glen))
@@ -79,7 +82,7 @@ def _workload(tmp_path, seed=23, n_cells=12, n_snps=30):
     vcf = write_vcf(str(tmp_path / "c.vcf"), names, variants, contigs=contigs)
     bam = write_bam(str(tmp_path / "c.bam"), contigs, reads)
     cram = write_cram(str(tmp_path / "c.cram"), contigs, reads,
-                      {"chr1": genome})
+                      {"chr1": genome}, method=method)
     return vcf, bam, cram
 
 
@@ -113,3 +116,20 @@ def test_cram_cli_end_to_end(tmp_path):
         open(str(tmp_path / "cr") + ".best").read()
         == open(str(tmp_path / "ba") + ".best").read()
     )
+
+
+@pytest.mark.parametrize("method", [1, 4])  # gzip, rANS 4x8
+def test_cram_compressed_blocks(tmp_path, method):
+    """gzip- and rANS-compressed external blocks decode identically to BAM."""
+    vcf, bam, cram = _workload(tmp_path / ("m%d" % method), seed=31,
+                               method=method)
+    table = load_snp_table(vcf, field_name="GT")
+    scl_b, ctr_b = build_pileup(AlignmentReader(bam), table)
+    scl_c, ctr_c = build_pileup(CramReader(cram), table)
+    assert scl_c.barcodes == scl_b.barcodes
+    assert ctr_c == ctr_b
+    cb = CsrPileup.from_pileup(scl_b)
+    cc = CsrPileup.from_pileup(scl_c)
+    cells = list(range(cb.nbcs))
+    bb, bc2 = build_slots(cb, cells), build_slots(cc, cells)
+    np.testing.assert_array_equal(bb.cnt, bc2.cnt)
