@@ -170,10 +170,7 @@ def _call_pair_kernel(t, gps_t, V, A, interpret):
     return out_ab, out_00
 
 
-@functools.partial(
-    jax.jit, static_argnames=("n_alpha", "n_samples", "interpret")
-)
-def demux_block_fast(
+def demux_block_fast_impl(
     codes, idx, msk, gps_table, gp0_table, w_ext, logf_ext,
     n_alpha, n_samples, interpret=False,
 ):
@@ -230,6 +227,12 @@ def demux_block_fast(
     )
     llk0 = jnp.sum(contrib0 * mf, axis=1)
     return llk, llk0, llk_ab, llk_00
+
+
+demux_block_fast = jax.jit(
+    demux_block_fast_impl,
+    static_argnames=("n_alpha", "n_samples", "interpret"),
+)
 
 
 def extend_luts(w, logf):

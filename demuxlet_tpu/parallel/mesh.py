@@ -129,3 +129,51 @@ def pad_to_mesh(n: int, shard: int, block: int = 1) -> int:
     per = math.ceil(n / shard)
     per = ((per + block - 1) // block) * block
     return per * shard
+
+
+def build_sharded_fast_step(
+    mesh: Mesh,
+    n_alpha: int,
+    n_samples: int,
+    interpret: bool = False,
+):
+    """Fast-mode (f32 Pallas) demux step sharded over the "b" barcode axis:
+    each device runs the kernel on its barcode shard; genotype tables are
+    replicated. No collectives needed until the output merge — barcodes are
+    embarrassingly parallel (the reference's --group-list decomposition).
+
+    Signature: step(codes, idx, msk, gps_table, gp0_table, w_ext, logf_ext)
+    -> (llk, llk0, llk_ab, llk_00). The global batch must split into
+    per-device multiples of 32 cells.
+    """
+    from demuxlet_tpu.ops.pallas_pair import demux_block_fast_impl
+
+    def body(codes, idx, msk, gps_table, gp0_table, w_ext, logf_ext):
+        return demux_block_fast_impl(
+            codes, idx, msk, gps_table, gp0_table, w_ext, logf_ext,
+            n_alpha, n_samples, interpret=interpret,
+        )
+
+    rep2 = P(None, None)
+    rep3 = P(None, None, None)
+    fn = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(
+            P("b", None, None),  # codes (B,S,U)
+            P("b", None),        # idx
+            P("b", None),        # msk
+            rep3,                # gps_table (NS,V,3)
+            rep2,                # gp0_table (NS,3)
+            rep2,                # w_ext
+            rep2,                # logf_ext
+        ),
+        out_specs=(
+            P("b", None),
+            P("b"),
+            P("b", None, None, None),
+            P("b", None),
+        ),
+        check_vma=False,
+    )
+    return jax.jit(fn)

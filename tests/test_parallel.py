@@ -79,3 +79,36 @@ def test_dryrun_multichip_entry():
     import __graft_entry__ as g
 
     g.dryrun_multichip(8)
+
+
+def test_sharded_fast_step_matches_single_device():
+    """Fast-mode Pallas step under shard_map over 'b' == single device."""
+    if len(jax.devices()) < 4:
+        pytest.skip("needs virtual devices")
+    from demuxlet_tpu.ops import luts
+    from demuxlet_tpu.ops.pallas_pair import demux_block_fast, extend_luts
+
+    rng = np.random.default_rng(3)
+    B, S, U, V, A, NS = 128, 128, 2, 4, 3, 50
+    codes = rng.integers(0, 82, size=(B, S, U)).astype(np.uint8)
+    codes[rng.random((B, S, U)) < 0.3] = 255
+    idx = rng.integers(0, NS, size=(B, S)).astype(np.int32)
+    msk = rng.random((B, S)) < 0.9
+    gps = rng.dirichlet(np.ones(3), size=(NS, V)).astype(np.float32)
+    gp0 = gps.mean(axis=1)
+    grid = np.linspace(0, 0.5, A).tolist()
+    w_ext, logf_ext = extend_luts(
+        luts.pair_lut(grid, 40), luts.singlet_lut(40)
+    )
+    args = tuple(
+        jnp.asarray(x) for x in (codes, idx, msk, gps, gp0, w_ext, logf_ext)
+    )
+    ref = demux_block_fast(*args, A, V, interpret=True)
+
+    mesh = pmesh.make_mesh(n_b=4, n_s=1)
+    step = pmesh.build_sharded_fast_step(mesh, A, V, interpret=True)
+    out = step(*args)
+    for a, b in zip(out, ref):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=0, atol=1e-5
+        )
