@@ -378,6 +378,7 @@ def _ingest(args, table, group_set):
         group_set=group_set,
         n_shards=args.num_shards,
         shard_id=args.shard_id,
+        sam_verbose=args.sam_verbose,
     )
 
 

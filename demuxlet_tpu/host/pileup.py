@@ -192,6 +192,7 @@ def build_pileup(
     verbose_cells: bool = True,
     n_shards: int = 1,
     shard_id: int = 0,
+    sam_verbose: int = 1000000,
 ) -> Tuple[PileupData, IngestCounters]:
     """The ingest sweep (cmd_cram_demuxlet.cpp:195-338).
 
@@ -221,6 +222,14 @@ def build_pileup(
     for r in reader.filtered():
         ctr.n_read = reader.n_read
         ctr.n_skip = reader.n_skip
+        if sam_verbose and reader.n_read % sam_verbose == 0:
+            # sam_filtered_reader.cpp:182-189 progress notice
+            notice(
+                "Processing %d reads at %s:%d",
+                reader.n_read,
+                tid_to_chrom.get(r.tid, "?"),
+                r.pos + 1,
+            )
         chrom = tid_to_chrom.get(r.tid)
         if chrom is None or chrom not in by_chrom:
             continue
