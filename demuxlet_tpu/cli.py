@@ -243,7 +243,12 @@ def main(argv=None) -> int:
     if args.profile:
         jax.profiler.start_trace(args.profile)
     t_eng = time.time()
-    res = eng.run(scl, spool_dir=args.spool)
+    compact = None
+    if args.mode == "fast" and not args.write_pair and not args.spool:
+        # device-side decision pass: ~16x less device->host traffic
+        llks_c, llk0s_c, compact = eng.run_compact(scl, args.doublet_prior)
+    else:
+        res = eng.run(scl, spool_dir=args.spool)
     t_eng_done = time.time()
     if args.profile:
         jax.profiler.stop_trace()
@@ -262,24 +267,38 @@ def main(argv=None) -> int:
     )
     with open(args.out + ".single", "w") as fh:
         out_mod.write_single(
-            fh, stats, table.sample_ids, res.llks, res.llk0s, **filt
-        )
-    wpair = open(args.out + ".pair", "w") if args.write_pair else None
-    with open(args.out + ".sing2", "w") as s2, open(args.out + ".best", "w") as sb:
-        out_mod.write_pass2(
-            stats,
-            table.sample_ids,
-            res.llk_ab,
-            res.llk_00,
-            grid_alpha,
-            args.doublet_prior,
-            s2,
-            sb,
-            wpair,
+            fh, stats, table.sample_ids,
+            llks_c if compact is not None else res.llks,
+            llk0s_c if compact is not None else res.llk0s,
             **filt,
         )
-    if wpair is not None:
-        wpair.close()
+    if compact is not None:
+        with open(args.out + ".sing2", "w") as s2, open(
+            args.out + ".best", "w"
+        ) as sb:
+            out_mod.write_pass2_compact(
+                stats, table.sample_ids, compact, grid_alpha,
+                args.doublet_prior, s2, sb, **filt,
+            )
+    else:
+        wpair = open(args.out + ".pair", "w") if args.write_pair else None
+        with open(args.out + ".sing2", "w") as s2, open(
+            args.out + ".best", "w"
+        ) as sb:
+            out_mod.write_pass2(
+                stats,
+                table.sample_ids,
+                res.llk_ab,
+                res.llk_00,
+                grid_alpha,
+                args.doublet_prior,
+                s2,
+                sb,
+                wpair,
+                **filt,
+            )
+        if wpair is not None:
+            wpair.close()
     notice("Finished writing output files")
     notice("Total wall-clock time: %.3fs", time.time() - t_start)
     return 0

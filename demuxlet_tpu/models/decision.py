@@ -1,0 +1,160 @@
+"""Device-side decision pass (SURVEY.md §7 "kernel 3").
+
+Computes, on device, everything the .sing2/.best renderers need per cell —
+posterior sums, singlet argmaxes, best-doublet argmax and its associated
+LLK columns (cmd_cram_demuxlet.cpp:713-828) — so the fast path ships ~30
+scalars per cell to the host instead of the full (V,V,A) LLK tensor
+(~16x less device->host traffic; the .pair writer still needs the full
+tensor, so --write-pair keeps the full fetch).
+
+Decision semantics mirror models/outputs.py's vectorized host pass:
+first-occurrence argmaxes (== the reference's running strict-< loops),
+-1e300-seeded second best, doublet weights zeroed for j==k / alpha==0 and
+empty when nv==1 or nA==1.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclass
+class CompactResult:
+    """Per-cell decision outputs (numpy, trimmed to real cells)."""
+
+    sing_col: np.ndarray  # (n, V)   llkAB[j,0,0]
+    llk_00: np.ndarray  # (n, A)
+    max_llk: np.ndarray  # (n,)
+    sum_single: np.ndarray  # (n,)
+    sum_double: np.ndarray  # (n,)
+    i_sing1: np.ndarray  # (n,) int
+    i_sing2: np.ndarray  # (n,) int
+    max_sing2: np.ndarray  # (n,)  second-best value (seeded -1e300)
+    best_flat: np.ndarray  # (n,) int flat (j,k,a) argmax over doublet mask
+    pair_llk12: np.ndarray  # (n,)
+    pair_llk10: np.ndarray  # (n,)  llkAB[j_best, 0, a_best] (reference quirk)
+    pair_llk20: np.ndarray  # (n,)  llkAB[k_best, 0, a_best]
+
+
+def doublet_weights(nv: int, grid_alpha: Sequence[float], doublet_prior: float):
+    """(V,V,A) posterior weights of cmd_cram_demuxlet.cpp:724-734."""
+    na = len(grid_alpha)
+    w = np.zeros((nv, nv, na))
+    if nv > 1 and na > 1:
+        for n in range(1, na):
+            w[:, :, n] = (
+                doublet_prior
+                / nv
+                / (nv - 1)
+                / (na - 1)
+                / (2.0 if grid_alpha[n] == 0.5 else 1.0)
+            )
+        for j in range(nv):
+            w[j, j, :] = 0.0
+    return w
+
+
+def doublet_mask(nv: int, na: int) -> np.ndarray:
+    """(V,V,A) bool argmax mask: j != k, alpha index >= 1 (:799-814) —
+    independent of the posterior weights (which can be all-zero)."""
+    m = np.ones((nv, nv, na), dtype=bool)
+    for j in range(nv):
+        m[j, j, :] = False
+    m[:, :, 0] = False
+    return m
+
+
+def decide(llk_ab, llk_00, dbl_w, dbl_msk, doublet_prior):
+    """Traceable decision pass. llk_ab (B,V,V,A), llk_00 (B,A),
+    dbl_w/dbl_msk (V,V,A) host-built. Returns a dict of per-cell arrays."""
+    B, V, _, A = llk_ab.shape
+    flat = llk_ab.reshape(B, -1)
+    max_llk = jnp.maximum(jnp.max(flat, axis=1), -1e300)
+    sing_col = llk_ab[:, :, 0, 0]
+    sum_single = (
+        jnp.sum(jnp.exp(sing_col - max_llk[:, None]), axis=1)
+        * (1.0 - doublet_prior)
+        / V
+    )
+    sum_double = jnp.einsum(
+        "cjkn,jkn->c", jnp.exp(llk_ab - max_llk[:, None, None, None]), dbl_w
+    )
+    i1 = jnp.argmax(sing_col, axis=1)
+    masked = sing_col.at[jnp.arange(B), i1].set(-jnp.inf)
+    i2 = jnp.argmax(masked, axis=1)
+    max2 = jnp.maximum(masked[jnp.arange(B), i2], -1e300)
+    flat_masked = jnp.where(dbl_msk.reshape(-1)[None, :], flat, -jnp.inf)
+    best = jnp.argmax(flat_masked, axis=1)
+    jb = best // (V * A)
+    kb = (best // A) % V
+    ab_ = best % A
+    rows = jnp.arange(B)
+    return dict(
+        sing_col=sing_col,
+        llk_00=llk_00,
+        max_llk=max_llk,
+        sum_single=sum_single,
+        sum_double=sum_double,
+        i_sing1=i1,
+        i_sing2=i2,
+        max_sing2=max2,
+        best_flat=best,
+        pair_llk12=llk_ab[rows, jb, kb, ab_],
+        pair_llk10=llk_ab[rows, jb, 0, ab_],
+        pair_llk20=llk_ab[rows, kb, 0, ab_],
+    )
+
+
+def trim(out: dict, m: int) -> dict:
+    return {k: np.asarray(v)[:m] for k, v in out.items()}
+
+
+def concat(parts: Sequence[dict]) -> CompactResult:
+    cat = lambda k: np.concatenate([p[k] for p in parts])
+    return CompactResult(
+        sing_col=cat("sing_col").astype(np.float64),
+        llk_00=cat("llk_00").astype(np.float64),
+        max_llk=cat("max_llk").astype(np.float64),
+        sum_single=cat("sum_single").astype(np.float64),
+        sum_double=cat("sum_double").astype(np.float64),
+        i_sing1=cat("i_sing1").astype(np.int64),
+        i_sing2=cat("i_sing2").astype(np.int64),
+        max_sing2=cat("max_sing2").astype(np.float64),
+        best_flat=cat("best_flat").astype(np.int64),
+        pair_llk12=cat("pair_llk12").astype(np.float64),
+        pair_llk10=cat("pair_llk10").astype(np.float64),
+        pair_llk20=cat("pair_llk20").astype(np.float64),
+    )
+
+
+import functools
+
+import jax
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_alpha", "n_samples", "doublet_prior", "interpret"),
+)
+def demux_block_fast_compact(
+    codes, idx, msk, gps_table, gp0_table, w_ext, logf_ext, dbl_w, dbl_msk,
+    n_alpha, n_samples, doublet_prior, interpret=False,
+):
+    """Fused fast block step + device decision pass: ships ~30 scalars per
+    cell instead of the (V,V,A) tensor. Returns (llk, llk0, compact_dict)."""
+    from demuxlet_tpu.ops.pallas_pair import demux_block_fast_impl
+
+    llk, llk0, llk_ab, llk_00 = demux_block_fast_impl(
+        codes, idx, msk, gps_table, gp0_table, w_ext, logf_ext,
+        n_alpha, n_samples, interpret=interpret,
+    )
+    out = decide(
+        llk_ab.astype(jnp.float64),
+        llk_00.astype(jnp.float64),
+        dbl_w, dbl_msk, doublet_prior,
+    )
+    return llk, llk0, out

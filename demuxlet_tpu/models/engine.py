@@ -97,8 +97,6 @@ class DemuxEngine:
     # ---- per-block device dispatch ----
 
     def _run_block(self, blk: SlotBlock):
-        if self.mode == "fast":
-            return self._run_block_fast(blk)
         idx = jnp.asarray(blk.idx)
         gps_g = jnp.take(self._gps_dev, idx, axis=0)  # (B,S,V,3)
         gp0_g = jnp.take(self._gp0_dev, idx, axis=0)  # (B,S,3)
@@ -152,6 +150,63 @@ class DemuxEngine:
             self.nv,
             interpret=interpret,
         )
+
+    def run_compact(self, scl, doublet_prior: float, pipeline_depth: int = 3):
+        """Fast-mode pipeline with the device-side decision pass (kernel 3):
+        returns (llks, llk0s, decision.CompactResult). ~16x less
+        device->host traffic than run(); requires mode == 'fast'."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        from demuxlet_tpu.host.csr import CsrPileup, build_codes_block
+        from demuxlet_tpu.models import decision as D
+        from demuxlet_tpu.ops.pallas_pair import extend_luts
+
+        assert self.mode == "fast", "run_compact is the fast-mode path"
+        if not hasattr(scl, "cell_ptr"):
+            scl = CsrPileup.from_pileup(scl)
+        if self._fast_luts is None:
+            self._fast_luts = tuple(
+                jnp.asarray(x) for x in extend_luts(self.w, self.logf)
+            )
+        w_ext, logf_ext = self._fast_luts
+        dbl_w = jnp.asarray(
+            D.doublet_weights(self.nv, self.grid_alpha, doublet_prior)
+        )
+        dbl_msk = jnp.asarray(D.doublet_mask(self.nv, self.n_alpha))
+        interpret = jax.default_backend() != "tpu"
+
+        n = scl.nbcs
+        llks = np.zeros((n, self.nv), dtype=np.float64)
+        llk0s = np.zeros(n, dtype=np.float64)
+        parts = []
+
+        def fetch(cells, out):
+            a, b, c = out
+            m = len(cells)
+            llks[cells] = np.asarray(a)[:m]
+            llk0s[cells] = np.asarray(b)[:m]
+            return D.trim(c, m)
+
+        pending = []
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            for start in range(0, n, self.cell_block):
+                cells = list(range(start, min(start + self.cell_block, n)))
+                codes, idx, msk = build_codes_block(
+                    scl, cells, cap_bq=self.cap_bq,
+                    pad_cells_to=self.cell_block,
+                )
+                out = D.demux_block_fast_compact(
+                    jnp.asarray(codes), jnp.asarray(idx), jnp.asarray(msk),
+                    self._gps_dev, self._gp0_dev, w_ext, logf_ext,
+                    dbl_w, dbl_msk, self.n_alpha, self.nv, doublet_prior,
+                    interpret=interpret,
+                )
+                pending.append(pool.submit(fetch, cells, out))
+                while len(pending) > pipeline_depth:
+                    parts.append(pending.pop(0).result())
+            for f in pending:
+                parts.append(f.result())
+        return llks, llk0s, D.concat(parts)
 
     def run(
         self,

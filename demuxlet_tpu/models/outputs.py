@@ -284,3 +284,122 @@ def write_pass2(
                 post_sng,
             )
         )
+
+
+def write_pass2_compact(
+    stats: CellStats,
+    sample_ids: Sequence[str],
+    compact,
+    grid_alpha: Sequence[float],
+    doublet_prior: float,
+    wsing2: IO[str],
+    wbest: IO[str],
+    min_total: int = 0,
+    min_uniq: int = 0,
+    min_snp: int = 0,
+) -> None:
+    """Render .sing2/.best from the device-side decision pass
+    (models/decision.CompactResult) — byte-identical to write_pass2 without
+    ever fetching the full (V,V,A) LLK tensor. .pair needs the full tensor
+    (use write_pass2 with --write-pair)."""
+    nv = len(sample_ids)
+    na = len(grid_alpha)
+    wsing2.write(
+        "BARCODE\tSM_ID\tRD.TOTL\tRD.PASS\tRD.UNIQ\tN.SNP\tLLK1\tLLK0\tPOSTPRB\n"
+    )
+    wbest.write(
+        "BARCODE\tRD.TOTL\tRD.PASS\tRD.UNIQ\tN.SNP\tBEST\tSNG.1ST\tSNG.LLK1\t"
+        "SNG.2ND\tSNG.LLK2\tSNG.LLK0\tDBL.1ST\tDBL.2ND\tALPHA\tLLK12\tLLK1\t"
+        "LLK2\tLLK10\tLLK20\tLLK00\tPRB.DBL\tPRB.SNG1\n"
+    )
+    C = compact
+    for bc, i in stats.bc_order():
+        if not _passes(stats, i, min_total, min_uniq, min_snp):
+            continue
+        if stats.nsnp[i] == 0:
+            continue
+        max_llk = C.max_llk[i]
+        sum_single = C.sum_single[i]
+        sum_double = C.sum_double[i]
+        z0_0 = C.llk_00[i, 0]
+        for j in range(nv):
+            v = C.sing_col[i, j]
+            wsing2.write(
+                "%s\t%s\t%d\t%d\t%d\t%d\t%.4f\t%.4f\t%.3g\n"
+                % (
+                    bc,
+                    sample_ids[j],
+                    stats.totl[i],
+                    stats.pass_[i],
+                    stats.uniq[i],
+                    stats.nsnp[i],
+                    v,
+                    z0_0,
+                    math.exp(v - max_llk) * (1.0 - doublet_prior) / nv / sum_single,
+                )
+            )
+        i_sing1 = int(C.i_sing1[i])
+        i_sing2 = int(C.i_sing2[i])
+        best = int(C.best_flat[i])
+        j_best, k_best, alpha_best = (
+            best // (nv * na),
+            (best // na) % nv,
+            best % na,
+        )
+        sing_llk1 = C.sing_col[i, i_sing1]
+        sing_llk2 = float(C.max_sing2[i])
+        pair_llk12 = C.pair_llk12[i]
+        pair_llk1 = C.sing_col[i, j_best]
+        pair_llk2 = C.sing_col[i, k_best]
+        pair_llk10 = C.pair_llk10[i]
+        pair_llk20 = C.pair_llk20[i]
+        pair_llk00 = C.llk_00[i, alpha_best]
+        post_dbl = sum_double / (sum_single + sum_double)
+        post_sng = (
+            math.exp(sing_llk1 - max_llk) * (1.0 - doublet_prior) / nv / sum_single
+        )
+        wbest.write(
+            "%s\t%d\t%d\t%d\t%d\t"
+            % (bc, stats.totl[i], stats.pass_[i], stats.uniq[i], stats.nsnp[i])
+        )
+        if (
+            pair_llk12 > pair_llk1
+            and pair_llk12 > pair_llk2
+            and pair_llk12 > sing_llk1 + 2
+        ):
+            wbest.write(
+                "DBL-%s-%s-%.3f"
+                % (sample_ids[j_best], sample_ids[k_best], grid_alpha[alpha_best])
+            )
+        elif sing_llk1 > sing_llk2 + 2:
+            wbest.write("SNG-%s" % sample_ids[i_sing1])
+        else:
+            wbest.write(
+                "AMB-%s-%s-%s/%s"
+                % (
+                    sample_ids[i_sing1],
+                    sample_ids[i_sing2],
+                    sample_ids[j_best],
+                    sample_ids[k_best],
+                )
+            )
+        wbest.write("\t%s\t%.4f" % (sample_ids[i_sing1], sing_llk1))
+        wbest.write(
+            "\t%s\t%.4f\t%.4f" % (sample_ids[i_sing2], sing_llk2, z0_0)
+        )
+        wbest.write(
+            "\t%s\t%s\t%.3f\t%.4f\t%.4f\t%.4f\t%.4f\t%.4f\t%.4f\t%.3g\t%.3g\n"
+            % (
+                sample_ids[j_best],
+                sample_ids[k_best],
+                grid_alpha[alpha_best],
+                pair_llk12,
+                pair_llk1,
+                pair_llk2,
+                pair_llk10,
+                pair_llk20,
+                pair_llk00,
+                post_dbl,
+                post_sng,
+            )
+        )

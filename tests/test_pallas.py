@@ -89,3 +89,46 @@ def test_fast_engine_same_calls(tmp_path):
         return out
 
     assert calls("fast") == calls("exact")
+
+
+def test_compact_decision_path_bytes(tmp_path):
+    """run_compact + write_pass2_compact == run + write_pass2 byte-for-byte
+    in fast mode (the device decision pass ships ~30 scalars/cell)."""
+    import io
+    import random
+
+    from demuxlet_tpu.host.pileup import build_pileup
+    from demuxlet_tpu.io.bam import AlignmentReader
+    from demuxlet_tpu.io.vcf import load_snp_table
+    from demuxlet_tpu.models import outputs as out_mod
+    from demuxlet_tpu.models.engine import DemuxEngine, cell_stats
+    from fixtures import random_workload, write_bam, write_vcf
+
+    rng = random.Random(8)
+    contigs, names, variants, reads, truth = random_workload(
+        rng, n_cells=22, n_snps=40, n_samples=3, reads_per_cell=60
+    )
+    vcf = write_vcf(str(tmp_path / "w.vcf"), names, variants, contigs=contigs)
+    bam = write_bam(str(tmp_path / "w.bam"), contigs, reads)
+    table = load_snp_table(vcf, field_name="GT")
+    scl, _ = build_pileup(AlignmentReader(bam), table)
+    stats = cell_stats(scl)
+    grid = [0.0, 0.3, 0.5]
+    eng = DemuxEngine(table.gps, grid, cell_block=8, mode="fast")
+
+    res = eng.run(scl)
+    s2a, sba = io.StringIO(), io.StringIO()
+    out_mod.write_pass2(
+        stats, table.sample_ids, res.llk_ab, res.llk_00, grid, 0.5, s2a, sba
+    )
+
+    llks, llk0s, compact = eng.run_compact(scl, doublet_prior=0.5)
+    s2b, sbb = io.StringIO(), io.StringIO()
+    out_mod.write_pass2_compact(
+        stats, table.sample_ids, compact, grid, 0.5, s2b, sbb
+    )
+    assert s2b.getvalue() == s2a.getvalue()
+    assert sbb.getvalue() == sba.getvalue()
+    import numpy as np
+
+    np.testing.assert_allclose(llks, res.llks, rtol=0, atol=0)
