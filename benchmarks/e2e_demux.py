@@ -68,17 +68,17 @@ def main():
     grid = np.linspace(0.0, 0.5, NA).tolist()
     t0 = time.time()
     eng = DemuxEngine(gps, grid, cell_block=2048, mode="fast")
-    res = eng.run(csr)
+    llks, llk0s, compact = eng.run_compact(csr, doublet_prior=0.5)
     t_engine = time.time() - t0
-    print(f"# engine (fast): {t_engine:.1f}s -> "
+    print(f"# engine (fast+device decisions): {t_engine:.1f}s -> "
           f"{N_CELLS / t_engine:.0f} barcodes/s", flush=True)
 
     t0 = time.time()
     stats = cell_stats(csr)
     s2 = io.StringIO()
     sb = io.StringIO()
-    out_mod.write_pass2(
-        stats, csr.sample_ids, res.llk_ab, res.llk_00, grid, 0.5, s2, sb
+    out_mod.write_pass2_compact(
+        stats, csr.sample_ids, compact, grid, 0.5, s2, sb
     )
     t_out = time.time() - t0
     total = t_gen * 0 + t_engine + t_out
