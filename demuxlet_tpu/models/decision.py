@@ -136,6 +136,12 @@ import functools
 import jax
 
 
+_PACK_KEYS = (
+    "max_llk", "sum_single", "sum_double", "i_sing1", "i_sing2",
+    "max_sing2", "best_flat", "pair_llk12", "pair_llk10", "pair_llk20",
+)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("n_alpha", "n_samples", "doublet_prior", "interpret"),
@@ -144,8 +150,13 @@ def demux_block_fast_compact(
     codes, idx, msk, gps_table, gp0_table, w_ext, logf_ext, dbl_w, dbl_msk,
     n_alpha, n_samples, doublet_prior, interpret=False,
 ):
-    """Fused fast block step + device decision pass: ships ~30 scalars per
-    cell instead of the (V,V,A) tensor. Returns (llk, llk0, compact_dict)."""
+    """Fused fast block step + device decision pass, packed into ONE
+    (B, 2V+A+11) f64 array — a single device->host buffer per block (the
+    tunneled backend pays per-transfer latency, and the data is ~16x less
+    than the full (V,V,A) tensor anyway).
+
+    Layout: [sing_col(V), llk_00(A), _PACK_KEYS(10), llks(V), llk0s(1)];
+    integer fields ride as exact small f64s."""
     from demuxlet_tpu.ops.pallas_pair import demux_block_fast_impl
 
     llk, llk0, llk_ab, llk_00 = demux_block_fast_impl(
@@ -157,4 +168,23 @@ def demux_block_fast_compact(
         llk_00.astype(jnp.float64),
         dbl_w, dbl_msk, doublet_prior,
     )
-    return llk, llk0, out
+    cols = [out["sing_col"], out["llk_00"]]
+    for k in _PACK_KEYS:
+        cols.append(out[k].astype(jnp.float64)[:, None])
+    cols.append(llk.astype(jnp.float64))
+    cols.append(llk0.astype(jnp.float64)[:, None])
+    return jnp.concatenate(cols, axis=1)
+
+
+def unpack_block(packed: np.ndarray, n_samples: int, n_alpha: int):
+    """Split the packed (m, 2V+A+11) array back into (llks, llk0s, dict)."""
+    V, A = n_samples, n_alpha
+    o = 0
+    out = {}
+    out["sing_col"] = packed[:, o : o + V]; o += V
+    out["llk_00"] = packed[:, o : o + A]; o += A
+    for k in _PACK_KEYS:
+        out[k] = packed[:, o]; o += 1
+    llks = packed[:, o : o + V]; o += V
+    llk0s = packed[:, o]; o += 1
+    return llks, llk0s, out

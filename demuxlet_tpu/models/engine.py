@@ -180,12 +180,14 @@ class DemuxEngine:
         llk0s = np.zeros(n, dtype=np.float64)
         parts = []
 
-        def fetch(cells, out):
-            a, b, c = out
+        def fetch(cells, packed):
             m = len(cells)
-            llks[cells] = np.asarray(a)[:m]
-            llk0s[cells] = np.asarray(b)[:m]
-            return D.trim(c, m)
+            a, b, c = D.unpack_block(
+                np.asarray(packed)[:m], self.nv, self.n_alpha
+            )
+            llks[cells] = a
+            llk0s[cells] = b
+            return c
 
         pending = []
         with ThreadPoolExecutor(max_workers=2) as pool:
@@ -195,13 +197,13 @@ class DemuxEngine:
                     scl, cells, cap_bq=self.cap_bq,
                     pad_cells_to=self.cell_block,
                 )
-                out = D.demux_block_fast_compact(
+                packed = D.demux_block_fast_compact(
                     jnp.asarray(codes), jnp.asarray(idx), jnp.asarray(msk),
                     self._gps_dev, self._gp0_dev, w_ext, logf_ext,
                     dbl_w, dbl_msk, self.n_alpha, self.nv, doublet_prior,
                     interpret=interpret,
                 )
-                pending.append(pool.submit(fetch, cells, out))
+                pending.append(pool.submit(fetch, cells, packed))
                 while len(pending) > pipeline_depth:
                     parts.append(pending.pop(0).result())
             for f in pending:
