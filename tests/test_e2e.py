@@ -293,3 +293,50 @@ def test_cli_single_sample_and_single_alpha(tmp_path):
         "--out", str(tmp_path / "a1"),
     ])
     assert rc == 0
+
+
+def test_cli_gp_field_8_samples_fast(tmp_path):
+    """BASELINE config 2/4 shape: GP-field input, 8 samples, 5-alpha grid,
+    fast mode vs exact mode — identical calls."""
+    import random as _random
+
+    rng = _random.Random(61)
+    contigs, names, variants, reads, truth = random_workload(
+        rng, n_cells=16, n_snps=60, n_samples=8, reads_per_cell=80
+    )
+    for v in variants:
+        for s in v.samples:
+            g = {"0/0": 0, "0/1": 1, "1/1": 2}[s["GT"]]
+            p = [0.02, 0.02, 0.02]
+            p[g] = 0.96
+            s["GP"] = ",".join("%.4f" % x for x in p)
+    vcf = write_vcf(str(tmp_path / "gp8.vcf"), names, variants,
+                    contigs=contigs, fmt_keys=["GT", "GP"])
+    bam = write_bam(str(tmp_path / "gp8.bam"), contigs, reads)
+    alphas = []
+    for a in (0.0, 0.1, 0.2, 0.3, 0.5):
+        alphas += ["--alpha", str(a)]
+    base = ["--sam", bam, "--vcf", vcf, "--field", "GP"] + alphas
+
+    def calls(out, *extra):
+        rc = cli.main(base + ["--out", str(tmp_path / out)] + list(extra))
+        assert rc == 0
+        from parity_utils import canonicalize_best_line
+
+        return [
+            canonicalize_best_line(l).split("\t")[5]
+            for l in open(str(tmp_path / out) + ".best").read().splitlines()[1:]
+        ]
+
+    exact = calls("e")
+    fast = calls("f", "--mode", "fast")
+    assert fast == exact
+    ok = 0
+    for line in open(str(tmp_path / "e") + ".best").read().splitlines()[1:]:
+        f = line.split("\t")
+        t = truth[f[0]]
+        if t[0] == t[1]:
+            ok += f[5] == f"SNG-S{t[0]}"
+        else:
+            ok += f[5].startswith("DBL-")
+    assert ok >= 14
