@@ -133,3 +133,35 @@ def test_cram_compressed_blocks(tmp_path, method):
     cells = list(range(cb.nbcs))
     bb, bc2 = build_slots(cb, cells), build_slots(cc, cells)
     np.testing.assert_array_equal(bb.cnt, bc2.cnt)
+
+
+def test_cramread_feature_walk_direct():
+    """Hand-built feature lists: 'b' (explicit base run) and 'i' (single-base
+    insertion) walk correctly; matches resolve through ref_base."""
+    from demuxlet_tpu.io.cram import CramRead, Feature, _SubCode
+
+    # read at pos 10, len 10: 2 match, b-run "GT" at read pos 3-4, 3 match,
+    # single-base insertion at pos 8, 2 match
+    r = CramRead(
+        tid=0, pos=10, mapq=60, flag=0, l_qseq=10,
+        features=[
+            Feature("b", 3, b"GT"),
+            Feature("i", 8, 1),
+        ],
+        quals=bytes(range(30, 40)),
+        tags={},
+    )
+    # genomic: 10,11 match; 12,13 are the b-run; 14,15,16 match (read 5,6,7);
+    # read 7 (0-based) is the inserted base (consumes no ref); 17,18 match
+    assert r.base_qual_at(10, "A") == ("A", 30, 0)
+    assert r.base_qual_at(12, "C") == ("G", 32, 2)
+    assert r.base_qual_at(13, "C") == ("T", 33, 3)
+    assert r.base_qual_at(14, "C") == ("C", 34, 4)
+    base, q, rp = r.base_qual_at(17, "T")
+    assert (base, rp) == ("T", 8)  # after the insertion, ref resumes at read 8
+    assert r.endpos() == 10 + 9  # 10 read bases, 1 is an insertion
+
+    # substitution resolution through the matrix
+    table = {"A": "CGTN"}
+    sc = _SubCode(table, 1)
+    assert sc("A") == "G"
