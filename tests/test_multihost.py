@@ -1,6 +1,7 @@
 """Barcode-shard invariance: N-shard merged outputs == unsharded outputs."""
 
 import io
+import pytest
 import random
 
 import numpy as np
@@ -99,3 +100,26 @@ def test_gather_results_single_process():
     m = mh.gather_results(r)
     assert m.barcodes == ["B1", "B2"]
     assert list(m.totl) == [1, 2]
+
+
+def test_shard_merge_invariance_native(tmp_path):
+    """Same shard-merge invariance through the native C++ ingest."""
+    pytest.importorskip("demuxlet_tpu.native.ingest")
+    from demuxlet_tpu.native import ingest as native
+
+    if not native.available():
+        pytest.skip("native ingest not built")
+    rng = random.Random(19)
+    contigs, names, variants, reads, truth = random_workload(
+        rng, n_cells=20, n_snps=30, n_samples=3, reads_per_cell=40
+    )
+    vcf = write_vcf(str(tmp_path / "w.vcf"), names, variants, contigs=contigs)
+    bam = write_bam(str(tmp_path / "w.bam"), contigs, reads)
+    table = load_snp_table(vcf, field_name="GT")
+    full, _ = native.build_pileup(bam, table)
+    bcs = []
+    for k in range(3):
+        s, _ = native.build_pileup(bam, table, n_shards=3, shard_id=k)
+        bcs.extend(s.barcodes)
+    assert sorted(bcs) == sorted(full.barcodes)
+    assert len(bcs) == len(set(bcs))
