@@ -109,6 +109,7 @@ class BcfReader:
 
     def _parse_header_text(self, text: str) -> None:
         idx_map = {}
+        id_to_idx = {}  # one shared IDX per ID across FILTER/INFO/FORMAT
         seq = 0
         saw_pass = False
         for line in text.split("\n"):
@@ -127,16 +128,24 @@ class BcfReader:
                         if kind == "FILTER" and key == "PASS":
                             saw_pass = True
                         if idx is None:
-                            if not saw_pass and seq == 0:
-                                # implicit PASS occupies IDX 0
-                                idx_map[0] = "PASS"
-                                seq = 1
-                                saw_pass = True
-                            idx = seq
-                            seq += 1
+                            if key in id_to_idx:
+                                # BCF2 spec: an ID in multiple dictionary
+                                # lines (e.g. DP in INFO+FORMAT) shares one
+                                # index; do not consume a new slot.
+                                idx = id_to_idx[key]
+                            else:
+                                if not saw_pass and seq == 0:
+                                    # implicit PASS occupies IDX 0
+                                    idx_map[0] = "PASS"
+                                    id_to_idx["PASS"] = 0
+                                    seq = 1
+                                    saw_pass = True
+                                idx = seq
+                                seq += 1
                         else:
                             seq = max(seq, idx + 1)
                         idx_map[idx] = key
+                        id_to_idx[key] = idx
                 if line.startswith("##contig=<"):
                     inner = line[len("##contig=<") :].rstrip(">")
                     for kv in _split_meta(inner):

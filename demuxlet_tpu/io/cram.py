@@ -2,11 +2,12 @@
 
 Reference analog: the CRAM half of SAMFilteredReader (via htslib cram_*).
 This decoder covers the containers/blocks/slice structure, ITF8/LTF8
-varints, raw/gzip block compression, and the EXTERNAL / HUFFMAN(single
-symbol) / BYTE_ARRAY_STOP / BYTE_ARRAY_LEN encodings — the combination our
-spec-structured fixture writer emits (tests/fixtures.write_cram) and a
-common subset of real-world files. rANS-compressed blocks and core-bitstream
-codecs (BETA/GAMMA/SUBEXP) are not yet implemented and raise a clear error.
+varints, raw/gzip/rANS-4x8 block compression (io/rans.py), and the
+EXTERNAL / HUFFMAN(single symbol) / BYTE_ARRAY_STOP / BYTE_ARRAY_LEN
+encodings — the combination our spec-structured fixture writer emits
+(tests/fixtures.write_cram) and a common subset of real-world files.
+Core-bitstream codecs (BETA/GAMMA/SUBEXP, multi-symbol HUFFMAN) raise a
+clear error when encountered.
 
 Key demuxlet-specific design point: CRAM stores reads as features (diffs)
 against the reference genome, and the FASTA is not a demuxlet input. But the
@@ -490,14 +491,21 @@ class CramReader:
         sb.itf8()  # span
         nrec = sb.itf8()
         sb.ltf8()  # counter
-        ndata = sb.itf8()
-        cids = [sb.itf8() for _ in range(ndata)]
+        # CRAM 3.0 slice header: 'number of blocks' (core + external),
+        # then a separately-counted content-id array (externals only).
+        nblocks = sb.itf8()
+        ncids = sb.itf8()
+        cids = [sb.itf8() for _ in range(ncids)]
         sb.itf8_signed()  # embedded ref id
         sb.bytes(16)  # MD5
         streams: Dict[int, _Buf] = {}
-        for _ in range(ndata):
+        core = _Buf(b"")
+        for _ in range(nblocks):
             btype, bcid, bdata = self._block(b)
-            streams[bcid] = _Buf(bdata)
+            if btype == CORE:
+                core = _Buf(bdata)
+            else:
+                streams[bcid] = _Buf(bdata)
 
         def series(key: str) -> _Series:
             enc = ds.get(key)

@@ -318,8 +318,13 @@ def decompress(blob: bytes) -> bytes:
     if rsize == 0:
         return b""
     rd = _Rd(blob, 9)
-    if order == 0:
-        return _decompress_o0(rd, rsize)
-    if order == 1:
-        return _decompress_o1(rd, rsize)
+    try:
+        if order == 0:
+            return _decompress_o0(rd, rsize)
+        if order == 1:
+            return _decompress_o1(rd, rsize)
+    except (IndexError, struct.error):
+        # truncated/corrupt payload: surface the clean parser error path
+        # instead of a bare IndexError from _Rd.u8 mid-decode
+        error("rANS: truncated stream")
     error("rANS: unknown order %d", order)

@@ -125,8 +125,12 @@ def pair_llks_pallas(cnt_t, gps_t, wt, n_alpha, n_samples, interpret=False):
     V, A = n_samples, n_alpha
     assert B % TB == 0 and S % TS == 0, (B, S)
 
-    # XLA front: LUT matmul + exp-normalization (telescoped per-UMI renorm +
-    # 1e-6 smoothing, cmd_cram_demuxlet.cpp:626-663), (A*9)-major output.
+    # XLA front: LUT matmul + exp-normalization, (A*9)-major output. The
+    # reference divides by the running max after each UMI and applies the
+    # 1e-6 smoothing ONCE after all UMIs (cmd_cram_demuxlet.cpp:631-663);
+    # the per-UMI max-divisions telescope to this single max-shift, so the
+    # smoothing order here matches the reference exactly in real
+    # arithmetic — fast mode's only approximation is f32 rounding.
     lograw = jnp.einsum(
         "nbs,nx->xbs", cnt_t, wt, preferred_element_type=jnp.float32
     )

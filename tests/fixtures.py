@@ -313,17 +313,23 @@ def write_bcf(
     variants: List[SimVariant],
     contigs: Optional[List[Tuple[str, int]]] = None,
     fmt_keys: Optional[List[str]] = None,
+    dup_dp_header: bool = False,
 ) -> str:
     """Minimal spec-compliant BCF2.2 writer (BGZF-compressed).
 
     Supports GT (int8 allele codes), GP (float32) and PL (int32) FORMAT
-    fields — enough to exercise io/bcf.py against the text VCF path."""
+    fields — enough to exercise io/bcf.py against the text VCF path.
+    dup_dp_header=True inserts DP as both an INFO and a FORMAT line with no
+    explicit IDX; per BCF2 spec both share ONE implicit dictionary index."""
     from demuxlet_tpu.io.bgzf import BgzfWriter
 
     contigs = contigs or []
     lines = ["##fileformat=VCFv4.2", '##FILTER=<ID=PASS,Description="All filters passed">']
     for name, ln in contigs:
         lines.append(f"##contig=<ID={name},length={ln}>")
+    if dup_dp_header:
+        lines.append('##INFO=<ID=DP,Number=1,Type=Integer,Description="Depth">')
+        lines.append('##FORMAT=<ID=DP,Number=1,Type=Integer,Description="Depth">')
     lines.append('##FORMAT=<ID=GT,Number=1,Type=String,Description="Genotype">')
     lines.append('##FORMAT=<ID=GP,Number=G,Type=Float,Description="Posterior">')
     lines.append('##FORMAT=<ID=PL,Number=G,Type=Integer,Description="Phred GL">')
@@ -332,7 +338,10 @@ def write_bcf(
         + "\t".join(sample_names)
     )
     text = ("\n".join(lines) + "\n").encode() + b"\x00"
-    fdict = {"PASS": 0, "GT": 1, "GP": 2, "PL": 3}
+    if dup_dp_header:
+        fdict = {"PASS": 0, "DP": 1, "GT": 2, "GP": 3, "PL": 4}
+    else:
+        fdict = {"PASS": 0, "GT": 1, "GP": 2, "PL": 3}
     rid_of = {name: i for i, (name, _) in enumerate(contigs)}
 
     def typed_str(s: bytes) -> bytes:
@@ -618,9 +627,12 @@ def write_cram(
     # slice header (single-chromosome fixtures: concrete ref id)
     used = sorted(cid for cid in streams if streams[cid])
     rid = ref_index[reads[0].chrom] if reads else -1
+    # CRAM 3.0: 'number of blocks' field, then a separately-counted
+    # content-id array (externals only; no core block in these fixtures).
     slice_hdr = (
         _itf8(rid) + _itf8(min_start) + _itf8(0) + _itf8(nrec)
-        + _ltf8(0) + _itf8(len(used)) + b"".join(_itf8(c) for c in used)
+        + _ltf8(0) + _itf8(len(used))
+        + _itf8(len(used)) + b"".join(_itf8(c) for c in used)
         + _itf8(-1) + b"\x00" * 16
     )
 

@@ -60,3 +60,20 @@ def test_bcf_gp(tmp_path):
 
 def test_bcf_pl(tmp_path):
     _cmp(tmp_path, ("PL", "GT"), "PL")
+
+
+def test_bcf_shared_implicit_idx(tmp_path):
+    """BCF2 spec: an ID in multiple dictionary lines (DP in INFO+FORMAT)
+    without explicit IDX= shares ONE implicit index; later FORMAT keys
+    (GT/GP/PL) must not be shifted."""
+    names = [f"S{i}" for i in range(3)]
+    variants = _variants(fields=("GT", "GP"))
+    contigs = [("chr1", 100000)]
+    vcf = write_vcf(str(tmp_path / "x.vcf"), names, variants, contigs=contigs,
+                    fmt_keys=["GT", "GP"])
+    bcf = write_bcf(str(tmp_path / "x.bcf"), names, variants, contigs=contigs,
+                    fmt_keys=["GT", "GP"], dup_dp_header=True)
+    tv = load_snp_table(vcf, field_name="GP")
+    tb = load_snp_table(bcf, field_name="GP")
+    assert tv.sample_ids == tb.sample_ids
+    np.testing.assert_allclose(tv.gps, tb.gps, rtol=0, atol=0)
