@@ -17,6 +17,38 @@ import numpy as np
 from demuxlet_tpu.utils.logging_utils import error, notice
 
 
+class _BgzfText:
+    """Text adapter over the BGZF writer for compressed outputs."""
+
+    def __init__(self, path: str):
+        from demuxlet_tpu.io.bgzf import BgzfWriter
+
+        self._w = BgzfWriter(open(path, "wb"))
+
+    def write(self, s: str) -> None:
+        self._w.write(s.encode())
+
+    def close(self) -> None:
+        self._w.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+def _open_out(prefix: str, ext: str):
+    """Open an output file for the given prefix + extension.
+
+    A prefix ending in .gz implies BGZF-compressed outputs (the reference's
+    hprintf writes through bgzf when the htsFile was opened compressed,
+    hts_utils.cpp:1013-1034): --out x.gz writes x.single.gz etc."""
+    if prefix.endswith(".gz"):
+        return _BgzfText(prefix[:-3] + ext + ".gz")
+    return open(prefix + ext, "w")
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="demuxlet-tpu",
@@ -52,6 +84,21 @@ def build_parser() -> argparse.ArgumentParser:
         "--sm", action="append", default=[], help="Sample ID to include (repeatable)"
     )
     g.add_argument("--sm-list", default=None, help="File with sample IDs to include")
+    g.add_argument(
+        "--ref",
+        default=None,
+        help=(
+            "FASTA (with .fai) or .fai giving chromosome lengths for "
+            "-_BEG_-/-_END_- chunk patterns (genomeChunk.cpp:91-126); "
+            "defaults to lengths from the BAM header"
+        ),
+    )
+    g.add_argument(
+        "--chunk-unit",
+        type=int,
+        default=None,
+        help="Chunk size in bp for -_BEG_-/-_END_- VCF filename patterns",
+    )
 
     g = p.add_argument_group("Output Options")
     g.add_argument("--out", required=True, help="Output file prefix")
@@ -191,7 +238,7 @@ def main(argv=None) -> int:
         )
 
     from demuxlet_tpu.io.vcf import (
-        expand_chr_pattern,
+        expand_chunk_pattern,
         load_snp_table,
         merge_snp_tables,
     )
@@ -205,10 +252,19 @@ def main(argv=None) -> int:
         min_callrate=args.min_callrate,
         verbose=args.vcf_verbose,
     )
-    if "-_CHR_-" in args.vcf:
-        from demuxlet_tpu.native.ingest import _bam_refs
+    if any(t in args.vcf for t in ("-_CHR_-", "-_BEG_-", "-_END_-")):
+        from demuxlet_tpu.native.ingest import _bam_refs_len
 
-        files = expand_chr_pattern(args.vcf, _bam_refs(args.sam))
+        if args.ref:
+            from demuxlet_tpu.utils.intervals import read_fai
+
+            fai = args.ref if args.ref.endswith(".fai") else args.ref + ".fai"
+            chrom_lengths = read_fai(fai)
+        else:
+            chrom_lengths = _bam_refs_len(args.sam)
+        files = expand_chunk_pattern(
+            args.vcf, chrom_lengths, unit=args.chunk_unit
+        )
         if not files:
             error("No chunk files found for pattern %s", args.vcf)
         table = merge_snp_tables([load_snp_table(f, **kw) for f in files])
@@ -265,7 +321,7 @@ def main(argv=None) -> int:
     filt = dict(
         min_total=args.min_total, min_uniq=args.min_uniq, min_snp=args.min_snp
     )
-    with open(args.out + ".single", "w") as fh:
+    with _open_out(args.out, ".single") as fh:
         out_mod.write_single(
             fh, stats, table.sample_ids,
             llks_c if compact is not None else res.llks,
@@ -273,18 +329,14 @@ def main(argv=None) -> int:
             **filt,
         )
     if compact is not None:
-        with open(args.out + ".sing2", "w") as s2, open(
-            args.out + ".best", "w"
-        ) as sb:
+        with _open_out(args.out, ".sing2") as s2, _open_out(args.out, ".best") as sb:
             out_mod.write_pass2_compact(
                 stats, table.sample_ids, compact, grid_alpha,
                 args.doublet_prior, s2, sb, **filt,
             )
     else:
-        wpair = open(args.out + ".pair", "w") if args.write_pair else None
-        with open(args.out + ".sing2", "w") as s2, open(
-            args.out + ".best", "w"
-        ) as sb:
+        wpair = _open_out(args.out, ".pair") if args.write_pair else None
+        with _open_out(args.out, ".sing2") as s2, _open_out(args.out, ".best") as sb:
             out_mod.write_pass2(
                 stats,
                 table.sample_ids,
@@ -326,14 +378,14 @@ def _run_parity(args, scl, table, grid_alpha, t_start):
         scl, gp0s, grid_alpha, doublet_prior=args.doublet_prior,
         write_pair=args.write_pair, **filt,
     )
-    with open(args.out + ".single", "w") as fh:
+    with _open_out(args.out, ".single") as fh:
         fh.write("\n".join(single) + "\n")
-    with open(args.out + ".sing2", "w") as fh:
+    with _open_out(args.out, ".sing2") as fh:
         fh.write("\n".join(sing2) + "\n")
-    with open(args.out + ".best", "w") as fh:
+    with _open_out(args.out, ".best") as fh:
         fh.write("\n".join(best) + "\n")
     if args.write_pair and pair is not None:
-        with open(args.out + ".pair", "w") as fh:
+        with _open_out(args.out, ".pair") as fh:
             fh.write("\n".join(pair) + "\n")
     notice("Finished writing output files")
     notice("Total wall-clock time: %.3fs", time.time() - t_start)
@@ -372,6 +424,7 @@ def _ingest(args, table, group_set):
             group_set=group_set,
             n_shards=args.num_shards,
             shard_id=args.shard_id,
+            sam_verbose=args.sam_verbose,
         )
     from demuxlet_tpu.host.pileup import build_pileup
 

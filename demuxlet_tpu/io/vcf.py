@@ -353,15 +353,57 @@ def expand_chr_pattern(pattern: str, chrom_names: Sequence[str]) -> List[str]:
     .fai; here it comes from the BAM header (always available to demuxlet).
     Missing files are skipped with a notice (bcf_chunked_reader.cpp:150-157).
     """
+    return expand_chunk_pattern(
+        pattern, [(c, 1) for c in chrom_names], unit=None
+    )
+
+
+def expand_chunk_pattern(
+    pattern: str,
+    chrom_lengths: Sequence[tuple],
+    unit: Optional[int] = None,
+) -> List[str]:
+    """Expand -_CHR_- / -_BEG_- / -_END_- filename patterns into the
+    per-interval file list, in genome order.
+
+    Reference semantics (genomeChunk.cpp:3-126, setFileName :181-202):
+    -_BEG_- and -_END_- must appear together or not at all; with them the
+    genome is chunked into `unit`-bp intervals per chromosome and the
+    placeholders substitute beg1/end0 of each interval; without them each
+    chromosome is one interval (unit = INT_MAX). chrom_lengths: [(chrom,
+    length)] from a FASTA .fai or the BAM header. Missing files are skipped
+    with a notice (bcf_chunked_reader.cpp:150-157)."""
     import os
 
+    beg_used = "-_BEG_-" in pattern
+    end_used = "-_END_-" in pattern
+    if beg_used != end_used:
+        error(
+            "Cannot parse %s because both -_BEG_- and -_END_- do not exist",
+            pattern,
+        )
+    if beg_used and (unit is None or unit <= 0):
+        error(
+            "Pattern %s uses -_BEG_-/-_END_- but no positive --chunk-unit "
+            "was given", pattern,
+        )
     out = []
-    for ch in chrom_names:
-        f = pattern.replace("-_CHR_-", ch)
-        if os.path.exists(f):
-            out.append(f)
+    for ch, ln in chrom_lengths:
+        if beg_used:
+            starts = range(1, max(ln, 1) + 1, unit)
         else:
-            notice("Skipping missing chunk file %s", f)
+            starts = [1]
+        for beg1 in starts:
+            end0 = min(beg1 + unit - 1, ln) if beg_used else ln
+            f = (
+                pattern.replace("-_CHR_-", ch)
+                .replace("-_BEG_-", str(beg1))
+                .replace("-_END_-", str(end0))
+            )
+            if os.path.exists(f):
+                out.append(f)
+            else:
+                notice("Skipping missing chunk file %s", f)
     return out
 
 

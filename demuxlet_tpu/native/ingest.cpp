@@ -28,9 +28,14 @@
 //     redundant; per-read accounting counters identical to
 //     cmd_cram_demuxlet.cpp:295-361.
 
+#include <fcntl.h>
+#include <sys/mman.h>
+#include <sys/stat.h>
+#include <unistd.h>
 #include <zlib.h>
 
 #include <algorithm>
+#include <ctime>
 #include <atomic>
 #include <condition_variable>
 #include <cstdint>
@@ -54,20 +59,41 @@ struct IngestError {
 static void fail(const std::string& m) { throw IngestError{m}; }
 
 // ---------------------------------------------------------------- file
+// Read-only mmap view: RSS stays bounded by the page cache (the kernel
+// evicts cold pages), so a 100+ GB BAM never has to fit in RAM — unlike a
+// whole-file slurp.
 struct FileBuf {
-  std::vector<uint8_t> data;
+  const uint8_t* data = nullptr;
+  size_t size = 0;
+  int fd = -1;
+
   explicit FileBuf(const char* path) {
-    FILE* f = fopen(path, "rb");
-    if (!f) fail(std::string("cannot open ") + path);
-    fseek(f, 0, SEEK_END);
-    long sz = ftell(f);
-    fseek(f, 0, SEEK_SET);
-    data.resize((size_t)sz);
-    if (sz > 0 && fread(data.data(), 1, (size_t)sz, f) != (size_t)sz) {
-      fclose(f);
-      fail(std::string("short read on ") + path);
+    fd = open(path, O_RDONLY);
+    if (fd < 0) fail(std::string("cannot open ") + path);
+    struct stat st;
+    if (fstat(fd, &st) != 0) {
+      close(fd);
+      fd = -1;
+      fail(std::string("cannot stat ") + path);
     }
-    fclose(f);
+    size = (size_t)st.st_size;
+    if (size > 0) {
+      void* m = mmap(nullptr, size, PROT_READ, MAP_PRIVATE, fd, 0);
+      if (m == MAP_FAILED) {
+        close(fd);
+        fd = -1;
+        fail(std::string("cannot mmap ") + path);
+      }
+      data = (const uint8_t*)m;
+    }
+  }
+
+  FileBuf(const FileBuf&) = delete;
+  FileBuf& operator=(const FileBuf&) = delete;
+
+  ~FileBuf() {
+    if (data) munmap((void*)data, size);
+    if (fd >= 0) close(fd);
   }
 };
 
@@ -79,11 +105,10 @@ struct BgzfBlock {
   uint32_t isize;    // uncompressed size
 };
 
-static void parse_bgzf_blocks(const std::vector<uint8_t>& buf,
+static void parse_bgzf_blocks(const uint8_t* buf, size_t n,
                               const char* path,
                               std::vector<BgzfBlock>* blocks) {
   size_t off = 0;
-  const size_t n = buf.size();
   while (off + 18 <= n) {
     const uint8_t* p = &buf[off];
     if (p[0] != 0x1f || p[1] != 0x8b)
@@ -119,7 +144,7 @@ class BgzfStream {
  public:
   static constexpr size_t WINDOW = 64;
 
-  BgzfStream(const std::vector<uint8_t>& file,
+  BgzfStream(const uint8_t* file,
              const std::vector<BgzfBlock>& blocks, size_t first_block,
              size_t end_block, int n_threads)
       : file_(file),
@@ -193,7 +218,7 @@ class BgzfStream {
       bool err = false;
       if (b.isize > 0) {
         inflateReset(&zs);
-        zs.next_in = const_cast<Bytef*>(&file_[b.comp_off]);
+        zs.next_in = const_cast<Bytef*>(file_ + b.comp_off);
         zs.avail_in = (uInt)b.comp_len;
         zs.next_out = out.data();
         zs.avail_out = b.isize;
@@ -212,7 +237,7 @@ class BgzfStream {
     inflateEnd(&zs);
   }
 
-  const std::vector<uint8_t>& file_;
+  const uint8_t* file_;
   const std::vector<BgzfBlock>& blocks_;
   size_t begin_, end_;
   std::atomic<size_t> next_claim_;
@@ -229,7 +254,7 @@ class BgzfStream {
 // block boundaries; tracks virtual offsets for segment bounds.
 class RecordReader {
  public:
-  RecordReader(const std::vector<uint8_t>& file,
+  RecordReader(const uint8_t* file,
                const std::vector<BgzfBlock>& blocks, size_t first_block,
                uint32_t first_uoffset, int n_threads)
       : stream_(file, blocks, first_block, 0, n_threads),
@@ -387,15 +412,42 @@ struct Params {
   bool use_group_set = false;
   std::unordered_set<std::string> group_set;
   int32_t n_shards = 1, shard_id = 0;  // crc32(barcode) % n_shards stripe
+  int64_t sam_verbose = 0;  // 0 = quiet; else notice every N reads
 };
+
+// Shared (cross-thread) progress counters for --sam-verbose notices.
+struct Progress {
+  std::atomic<int64_t> reads{0};
+  std::atomic<int64_t> skips{0};
+};
+
+// Reference-format timestamped progress notice
+// (sam_filtered_reader.cpp:182-189 semantics, Error.cpp:71-86 format).
+static void progress_notice(int64_t n_read, int64_t n_skip, bool unmapped,
+                            const char* chrom, int64_t pos1) {
+  char buff[64];
+  time_t t = time(nullptr);
+  struct tm tmv;
+  localtime_r(&t, &tmv);
+  strftime(buff, sizeof(buff), "%Y/%m/%d %H:%M:%S", &tmv);
+  if (unmapped)
+    fprintf(stderr, "NOTICE [%s] - Reading %lld reads (unmapped) and skipping %lld\n",
+            buff, (long long)n_read, (long long)n_skip);
+  else
+    fprintf(stderr, "NOTICE [%s] - Reading %lld reads at %s:%lld and skipping %lld\n",
+            buff, (long long)n_read, chrom, (long long)pos1,
+            (long long)n_skip);
+  fflush(stderr);
+}
 
 class Ingest {
  public:
   Ingest(const SnpPanel& panel, const Params& prm,
          const std::vector<int>& tid_to_chrom,
-         int32_t tid_max = INT32_MAX)
+         int32_t tid_max = INT32_MAX, Progress* progress = nullptr,
+         const std::vector<std::string>* ref_names = nullptr)
       : p_(panel), prm_(prm), tid_to_chrom_(tid_to_chrom),
-        tid_max_(tid_max) {}
+        tid_max_(tid_max), progress_(progress), ref_names_(ref_names) {}
 
   // Process records until EOF or (segment mode, tid_max < INT32_MAX) the
   // first record with tid > tid_max — tids ascend in a sorted BAM, and the
@@ -526,8 +578,22 @@ class Ingest {
     memcpy(&n_cigar, r + 12, 2);
     memcpy(&flag, r + 14, 2);
     memcpy(&l_seq, r + 16, 4);
+    if (progress_ && prm_.sam_verbose > 0) {
+      int64_t n =
+          progress_->reads.fetch_add(1, std::memory_order_relaxed);
+      if (n % prm_.sam_verbose == 0) {
+        const bool unmapped = (flag & 0x04) || tid < 0 ||
+                              !ref_names_ ||
+                              tid >= (int32_t)ref_names_->size();
+        progress_notice(
+            n, progress_->skips.load(std::memory_order_relaxed), unmapped,
+            unmapped ? "" : (*ref_names_)[tid].c_str(), (int64_t)pos + 1);
+      }
+    }
     if (mapq < prm_.min_mq || (flag & prm_.excl_flag)) {
       res_.ctr.n_skip++;
+      if (progress_)
+        progress_->skips.fetch_add(1, std::memory_order_relaxed);
       return;
     }
     const int chrom = (tid >= 0 && tid < (int32_t)tid_to_chrom_.size())
@@ -721,6 +787,8 @@ class Ingest {
   const Params& prm_;
   const std::vector<int>& tid_to_chrom_;
   int32_t tid_max_;
+  Progress* progress_;
+  const std::vector<std::string>* ref_names_;
   std::unordered_map<std::string, int> bc_map_;
   uint64_t umi_counter_ = 0;
   std::unordered_map<int64_t, ActiveSnp> active_;
@@ -732,6 +800,7 @@ class Ingest {
 // ---------------------------------------------------------------- driver
 struct BamHeaderInfo {
   std::vector<int> tid_to_chrom;
+  std::vector<std::string> ref_names;
   int n_ref = 0;
   size_t header_bytes = 0;  // uncompressed length of magic+header+refs
 };
@@ -758,6 +827,7 @@ static BamHeaderInfo parse_bam_header(RecordReader& rr,
     std::string name((const char*)nm, (size_t)(l_name - 1));
     auto it = panel.chrom_index.find(name);
     if (it != panel.chrom_index.end()) info.tid_to_chrom[i] = it->second;
+    info.ref_names.push_back(std::move(name));
   }
   return info;
 }
@@ -824,7 +894,7 @@ static Result run_ingest(const char* path, const SnpPanel& panel,
                          const Params& prm, int n_threads) {
   FileBuf file(path);
   std::vector<BgzfBlock> blocks;
-  parse_bgzf_blocks(file.data, path, &blocks);
+  parse_bgzf_blocks(file.data, file.size, path, &blocks);
 
   RecordReader hdr_rr(file.data, blocks, 0, 0, std::max(1, n_threads));
   BamHeaderInfo info = parse_bam_header(hdr_rr, panel);
@@ -833,8 +903,10 @@ static Result run_ingest(const char* path, const SnpPanel& panel,
   bool have_bai =
       n_threads > 1 && parse_bai_starts(path, info.n_ref, &starts);
 
+  Progress progress;
   if (!have_bai) {
-    Ingest ing(panel, prm, info.tid_to_chrom);
+    Ingest ing(panel, prm, info.tid_to_chrom, INT32_MAX, &progress,
+               &info.ref_names);
     ing.scan(hdr_rr);  // continue from the header position
     return ing.take();
   }
@@ -851,7 +923,8 @@ static Result run_ingest(const char* path, const SnpPanel& panel,
             [](const Seg& a, const Seg& b) { return a.voffset < b.voffset; });
 
   if (segs.empty()) {
-    Ingest ing(panel, prm, info.tid_to_chrom);
+    Ingest ing(panel, prm, info.tid_to_chrom, INT32_MAX, &progress,
+               &info.ref_names);
     ing.scan(hdr_rr);
     return ing.take();
   }
@@ -875,7 +948,8 @@ static Result run_ingest(const char* path, const SnpPanel& panel,
         size_t bi = block_index_for_coffset(blocks, s.voffset >> 16);
         RecordReader rr(file.data, blocks, bi,
                         (uint32_t)(s.voffset & 0xffff), 1);
-        Ingest ing(panel, prm, info.tid_to_chrom, tid_max);
+        Ingest ing(panel, prm, info.tid_to_chrom, tid_max, &progress,
+                   &info.ref_names);
         ing.scan(rr);
         parts[si] = ing.take();
       } catch (const IngestError& e) {
@@ -910,7 +984,7 @@ DmxHandle* dmx_ingest_bam(
     const char* tag_group, const char* tag_umi, int32_t cap_bq, int32_t min_bq,
     int32_t min_td, int32_t min_mq, int32_t excl_flag, const char* grp_concat,
     const int64_t* grp_off, int64_t n_group, int32_t n_threads,
-    int32_t n_shards, int32_t shard_id) {
+    int32_t n_shards, int32_t shard_id, int64_t sam_verbose) {
   DmxHandle* h = new DmxHandle();
   try {
     SnpPanel panel;
@@ -937,6 +1011,7 @@ DmxHandle* dmx_ingest_bam(
     if (prm.has_umi_tag) memcpy(prm.tu, tag_umi, 2);
     prm.n_shards = n_shards < 1 ? 1 : n_shards;
     prm.shard_id = shard_id;
+    prm.sam_verbose = sam_verbose;
     if (grp_concat && n_group > 0) {
       prm.use_group_set = true;
       for (int64_t i = 0; i < n_group; ++i)

@@ -56,6 +56,7 @@ def _load():
         C.c_int32,  # n_threads
         C.c_int32,  # n_shards
         C.c_int32,  # shard_id
+        C.c_int64,  # sam_verbose (0 = quiet)
     ]
     lib.dmx_error.restype = C.c_char_p
     lib.dmx_error.argtypes = [C.c_void_p]
@@ -89,8 +90,8 @@ def _p64(a):
     return a.ctypes.data_as(C.POINTER(C.c_int64))
 
 
-def _bam_refs(path: str):
-    """Header-only BAM parse for the chromosome-order check."""
+def _bam_refs_len(path: str):
+    """Header-only BAM parse: [(chrom, length)] in header order."""
     import gzip
     import struct
 
@@ -106,9 +107,15 @@ def _bam_refs(path: str):
         refs = []
         for _ in range(n_ref):
             (l_name,) = struct.unpack("<i", fh.read(4))
-            refs.append(fh.read(l_name)[:-1].decode())
-            fh.read(4)
+            name = fh.read(l_name)[:-1].decode()
+            (l_ref,) = struct.unpack("<i", fh.read(4))
+            refs.append((name, l_ref))
         return refs
+
+
+def _bam_refs(path: str):
+    """Header-only BAM parse for the chromosome-order check."""
+    return [name for name, _ in _bam_refs_len(path)]
 
 
 def build_pileup(
@@ -125,6 +132,7 @@ def build_pileup(
     n_threads: int = 0,
     n_shards: int = 1,
     shard_id: int = 0,
+    sam_verbose: int = 0,
 ):
     lib = _load()
     if lib is None:
@@ -200,6 +208,7 @@ def build_pileup(
         n_threads,
         n_shards,
         shard_id,
+        sam_verbose,
     )
     try:
         err = lib.dmx_error(h)

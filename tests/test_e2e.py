@@ -340,3 +340,25 @@ def test_cli_gp_field_8_samples_fast(tmp_path):
         else:
             ok += f[5].startswith("DBL-")
     assert ok >= 14
+
+
+def test_cli_bgzf_output(workload):
+    """--out x.gz writes BGZF-compressed x.single.gz/.sing2.gz/.best.gz
+    whose decompressed bytes equal the plain-text outputs."""
+    import gzip
+
+    tmp, vcf, bam, truth = workload
+    plain = str(tmp / "plain")
+    rc = cli.main(["--sam", bam, "--vcf", vcf, "--field", "GT",
+                   "--out", plain, "--write-pair", "--device", "cpu"])
+    assert rc == 0
+    comp = str(tmp / "comp.gz")
+    rc = cli.main(["--sam", bam, "--vcf", vcf, "--field", "GT",
+                   "--out", comp, "--write-pair", "--device", "cpu"])
+    assert rc == 0
+    for ext in (".single", ".sing2", ".best", ".pair"):
+        with open(plain + ext, "rb") as fh:
+            want = fh.read()
+        with gzip.open(str(tmp / "comp") + ext + ".gz", "rb") as fh:
+            got = fh.read()
+        assert got == want, ext

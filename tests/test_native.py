@@ -183,3 +183,53 @@ def test_native_adversarial_cigars_and_flags(tmp_path):
     bp, bn = build_slots(csr_p, cells), build_slots(csr_n, cells)
     np.testing.assert_array_equal(bp.cnt, bn.cnt)
     np.testing.assert_array_equal(bp.idx, bn.idx)
+
+
+def test_native_sam_verbose_notices(tmp_path, capfd):
+    """--sam-verbose progress notices are emitted by the C++ scan in the
+    reference's format (sam_filtered_reader.cpp:182-189)."""
+    bam, table = _workload(tmp_path)
+    native.build_pileup(bam, table, sam_verbose=100)
+    err = capfd.readouterr().err
+    assert "Reading " in err and " reads at " in err and "skipping" in err
+
+
+def test_native_adversarial_umis_match_python(tmp_path):
+    """Native UMI identity is a 64-bit FNV-1a hash of the string; this pins
+    native == Python on adversarial UMI sets (shared prefixes/suffixes,
+    transpositions, 1-char diffs, varying lengths) where any sloppy hashing
+    (truncation, case folding, delimiter confusion) would collide."""
+    rng = random.Random(11)
+    umis = []
+    base = "ACGTACGTAC"
+    umis += [base[:k] for k in range(1, 11)]           # prefixes
+    umis += [base[k:] for k in range(10)]              # suffixes
+    umis += [base[:k] + "T" + base[k + 1:] for k in range(10)]  # 1-char diff
+    umis += ["".join(rng.sample(base, 10)) for _ in range(20)]  # shuffles
+    umis += ["A" * k for k in range(1, 12)]            # runs
+    umis = list(dict.fromkeys(umis))
+
+    pos = 500
+    variants = [SimVariant("chr1", pos, "A", "C", [{"GT": "0/1"}])]
+    reads = []
+    for i, u in enumerate(umis):
+        # two reads per UMI -> every UMI is a dedup candidate
+        for j in range(2):
+            reads.append(SimRead(
+                "chr1", pos - 5, "G" * 5 + ("A" if i % 2 else "C") + "G" * 4,
+                [30] * 10, cb="CB%02d" % (i % 4), ub=u,
+            ))
+    contigs = [("chr1", 10000)]
+    vcf = write_vcf(str(tmp_path / "u.vcf"), ["S0"], variants,
+                    contigs=contigs)
+    bam = write_bam(str(tmp_path / "u.bam"), contigs, reads)
+    table = load_snp_table(vcf, field_name="GT")
+
+    csr_n, ctr_n = native.build_pileup(bam, table)
+    csr_p, ctr_p = _py_csr(bam, table)
+    assert ctr_n == ctr_p  # same redundant/unique accounting
+    assert csr_n.barcodes == csr_p.barcodes
+    np.testing.assert_array_equal(csr_n.cell_uniq, csr_p.cell_uniq)
+    cells = list(range(csr_n.nbcs))
+    bn, bp = build_slots(csr_n, cells), build_slots(csr_p, cells)
+    np.testing.assert_array_equal(bn.cnt, bp.cnt)

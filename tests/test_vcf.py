@@ -184,3 +184,52 @@ def test_chr_pattern_chunked_load(tmp_path):
     assert merged.chrom_names == ref.chrom_names
     np.testing.assert_array_equal(merged.pos0, ref.pos0)
     np.testing.assert_allclose(merged.gps, ref.gps, rtol=0, atol=0)
+
+
+def test_beg_end_pattern_chunked_load(tmp_path):
+    """-_BEG_-/-_END_- pattern expansion with --chunk-unit: per-interval
+    files substitute beg1/end0 per genomeChunk.cpp:91-126 + setFileName
+    (:181-202); missing interval files are skipped."""
+    import numpy as np
+
+    from demuxlet_tpu.io.vcf import (
+        expand_chunk_pattern,
+        load_snp_table,
+        merge_snp_tables,
+    )
+    from fixtures import SimVariant, write_vcf
+
+    names = ["S0", "S1"]
+    va = [SimVariant("chr1", 100 + i * 10, "A", "C",
+                     [{"GT": "0/1"}, {"GT": "0/0"}]) for i in range(5)]
+    vb = [SimVariant("chr1", 6000 + i * 10, "G", "T",
+                     [{"GT": "1/1"}, {"GT": "0/1"}]) for i in range(4)]
+    contigs = [("chr1", 9000)]
+    # unit=5000 over a 9000bp chromosome: intervals 1-5000 and 5001-9000
+    write_vcf(str(tmp_path / "x.chr1.1.5000.vcf"), names, va, contigs=contigs)
+    write_vcf(str(tmp_path / "x.chr1.5001.9000.vcf"), names, vb,
+              contigs=contigs)
+    write_vcf(str(tmp_path / "all.vcf"), names, va + vb, contigs=contigs)
+
+    files = expand_chunk_pattern(
+        str(tmp_path / "x.-_CHR_-.-_BEG_-.-_END_-.vcf"),
+        [("chr1", 9000), ("chr2", 8000)],  # chr2 chunks missing -> skipped
+        unit=5000,
+    )
+    assert [f.rsplit("/", 1)[-1] for f in files] == [
+        "x.chr1.1.5000.vcf", "x.chr1.5001.9000.vcf"
+    ]
+    merged = merge_snp_tables([load_snp_table(f, field_name="GT") for f in files])
+    ref = load_snp_table(str(tmp_path / "all.vcf"), field_name="GT")
+    np.testing.assert_array_equal(merged.pos0, ref.pos0)
+    np.testing.assert_allclose(merged.gps, ref.gps, rtol=0, atol=0)
+
+
+def test_beg_without_end_pattern_errors(tmp_path):
+    from demuxlet_tpu.io.vcf import expand_chunk_pattern
+    from demuxlet_tpu.utils.logging_utils import DemuxError
+
+    import pytest
+
+    with pytest.raises(DemuxError):
+        expand_chunk_pattern("x.-_BEG_-.vcf", [("chr1", 100)], unit=10)
