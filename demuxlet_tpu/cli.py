@@ -138,11 +138,33 @@ def build_parser() -> argparse.ArgumentParser:
         ),
     )
     g.add_argument("--shard-id", type=int, default=0, help="Stripe index for --num-shards")
+    g.add_argument(
+        "--dist-coordinator",
+        default=None,
+        metavar="HOST:PORT",
+        help=(
+            "jax.distributed coordinator address; with --num-shards N and "
+            "--shard-id k this process joins an N-process run (process k), "
+            "shard results all-gather compactly, and process 0 writes the "
+            "single merged output set"
+        ),
+    )
     g.add_argument("--min-total", type=int, default=0)
     g.add_argument("--min-uniq", type=int, default=0)
     g.add_argument("--min-snp", type=int, default=0)
 
     g = p.add_argument_group("TPU engine options")
+    g.add_argument(
+        "--mesh",
+        default="auto",
+        metavar="auto|none|BxS",
+        help=(
+            "Multi-chip device mesh: 'auto' data-parallels barcodes over "
+            "all local devices (no-op with one device), 'none' disables, "
+            "'BxS' shards barcodes x SNP-slots (exact mode only; psum over "
+            "the slot axis)"
+        ),
+    )
     g.add_argument(
         "--device",
         default="auto",
@@ -212,6 +234,19 @@ def main(argv=None) -> int:
         jax.config.update("jax_enable_x64", True)
     import jax.numpy as jnp
 
+    if args.dist_coordinator:
+        from demuxlet_tpu.parallel import multihost as mh
+
+        if args.num_shards < 2:
+            error("--dist-coordinator requires --num-shards >= 2")
+        pid, n_procs = mh.initialize(
+            args.dist_coordinator, args.num_shards, args.shard_id
+        )
+        notice(
+            "jax.distributed initialized: process %d of %d (%s)",
+            pid, n_procs, args.dist_coordinator,
+        )
+
     grid_alpha = args.alpha if args.alpha else [0.0, 0.5]
     if not args.out:
         error("--out parameter is missing")
@@ -280,13 +315,14 @@ def main(argv=None) -> int:
     notice("Phase timing: VCF load %.2fs, pileup ingest %.2fs",
            t_vcf_done - t_start, t_ingest_done - t_vcf_done)
 
-    from demuxlet_tpu.models.engine import DemuxEngine, cell_stats
+    from demuxlet_tpu.models.engine import DemuxEngine, EngineResult, cell_stats
     from demuxlet_tpu.models import outputs as out_mod
 
     notice("Starting to identify best matching individual IDs")
     if args.mode == "parity":
         return _run_parity(args, scl, table, grid_alpha, t_start)
     dtype = jnp.float64 if args.precision == "f64" else jnp.float32
+    mesh = _build_mesh(args)
     eng = DemuxEngine(
         table.gps,
         grid_alpha,
@@ -294,6 +330,7 @@ def main(argv=None) -> int:
         cell_block=args.cell_block,
         slot_chunk=args.slot_chunk,
         dtype=dtype,
+        mesh=mesh,
         mode=args.mode,
     )
     if args.profile:
@@ -317,6 +354,54 @@ def main(argv=None) -> int:
             args.mode,
         )
     stats = cell_stats(scl)
+
+    if jax.process_count() > 1:
+        # Multi-host: all-gather this shard's rows (compact decision rows
+        # by default; the full (V,V,A) tensor only for --write-pair), merge
+        # + barcode-sort on process 0, which alone writes the outputs.
+        from demuxlet_tpu.models import decision as D
+        from demuxlet_tpu.parallel import multihost as mh
+
+        if args.write_pair or args.spool:
+            local = mh.ShardResult(
+                barcodes=stats.barcodes, totl=stats.totl, pass_=stats.pass_,
+                uniq=stats.uniq, nsnp=stats.nsnp, llks=res.llks,
+                llk0s=res.llk0s, llk_ab=res.llk_ab, llk_00=res.llk_00,
+            )
+            merged = mh.gather_results(local)
+            if merged is None:
+                notice("Shard %d: results gathered to process 0", args.shard_id)
+                return 0
+            stats = out_mod.CellStats(
+                barcodes=merged.barcodes, totl=merged.totl,
+                pass_=merged.pass_, uniq=merged.uniq, nsnp=merged.nsnp,
+            )
+            res = EngineResult(
+                merged.llks, merged.llk0s, merged.llk_ab, merged.llk_00
+            )
+            compact = None
+        else:
+            if compact is not None:
+                llks_l, llk0s_l, compact_l = llks_c, llk0s_c, compact
+            else:
+                llks_l, llk0s_l = res.llks, res.llk0s
+                compact_l = D.compact_from_result(
+                    res.llk_ab, res.llk_00, grid_alpha, args.doublet_prior
+                )
+            local = mh.CompactShard(
+                barcodes=stats.barcodes, totl=stats.totl, pass_=stats.pass_,
+                uniq=stats.uniq, nsnp=stats.nsnp, llks=llks_l,
+                llk0s=llk0s_l, compact=compact_l,
+            )
+            merged = mh.gather_compact(local)
+            if merged is None:
+                notice("Shard %d: results gathered to process 0", args.shard_id)
+                return 0
+            stats = out_mod.CellStats(
+                barcodes=merged.barcodes, totl=merged.totl,
+                pass_=merged.pass_, uniq=merged.uniq, nsnp=merged.nsnp,
+            )
+            llks_c, llk0s_c, compact = merged.llks, merged.llk0s, merged.compact
 
     filt = dict(
         min_total=args.min_total, min_uniq=args.min_uniq, min_snp=args.min_snp
@@ -354,6 +439,46 @@ def main(argv=None) -> int:
     notice("Finished writing output files")
     notice("Total wall-clock time: %.3fs", time.time() - t_start)
     return 0
+
+
+def _build_mesh(args):
+    """Construct the multi-chip device mesh per --mesh (None = single
+    device). Adjusts --cell-block upward so blocks split evenly over the
+    mesh (fast mode additionally needs 32-cell multiples per device)."""
+    import jax
+
+    if args.mesh == "none":
+        return None
+    devs = jax.local_devices()
+    if args.mesh == "auto":
+        n_b, n_s = len(devs), 1
+    else:
+        try:
+            n_b, n_s = (int(t) for t in args.mesh.lower().split("x"))
+        except ValueError:
+            error("Cannot parse --mesh %s (expected auto|none|BxS)", args.mesh)
+    if n_b * n_s <= 1:
+        return None
+    if n_b * n_s > len(devs):
+        error(
+            "--mesh %dx%d needs %d local devices, have %d",
+            n_b, n_s, n_b * n_s, len(devs),
+        )
+    if args.mode == "fast" and n_s != 1:
+        error("--mesh BxS with S > 1 requires --mode exact (slot-axis psum)")
+    if n_s & (n_s - 1):
+        error("--mesh slot axis must be a power of two (got %d)", n_s)
+    from demuxlet_tpu.parallel import mesh as pmesh
+
+    mult = n_b * (32 if args.mode == "fast" else 1)
+    new_block = -(-args.cell_block // mult) * mult
+    if new_block != args.cell_block:
+        notice("Rounding --cell-block %d up to %d for the %dx%d mesh",
+               args.cell_block, new_block, n_b, n_s)
+        args.cell_block = new_block
+    notice("Device mesh: %d (barcodes) x %d (slots) over %d local devices",
+           n_b, n_s, n_b * n_s)
+    return pmesh.make_mesh(n_b=n_b, n_s=n_s, devices=devs[: n_b * n_s])
 
 
 def _run_parity(args, scl, table, grid_alpha, t_start):

@@ -142,18 +142,15 @@ _PACK_KEYS = (
 )
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("n_alpha", "n_samples", "doublet_prior", "interpret"),
-)
-def demux_block_fast_compact(
+def compact_step_body(
     codes, idx, msk, gps_table, gp0_table, w_ext, logf_ext, dbl_w, dbl_msk,
     n_alpha, n_samples, doublet_prior, interpret=False,
 ):
-    """Fused fast block step + device decision pass, packed into ONE
-    (B, 2V+A+11) f64 array — a single device->host buffer per block (the
-    tunneled backend pays per-transfer latency, and the data is ~16x less
-    than the full (V,V,A) tensor anyway).
+    """Traceable fused fast block step + device decision pass, packed into
+    ONE (B, 2V+A+11) f64 array. Shared by the single-device jit
+    (demux_block_fast_compact) and the multi-chip shard_map
+    (parallel/mesh.build_sharded_compact_step — every op here is per-cell,
+    so sharding the barcode axis is exact).
 
     Layout: [sing_col(V), llk_00(A), _PACK_KEYS(10), llks(V), llk0s(1)];
     integer fields ride as exact small f64s."""
@@ -174,6 +171,77 @@ def demux_block_fast_compact(
     cols.append(llk.astype(jnp.float64))
     cols.append(llk0.astype(jnp.float64)[:, None])
     return jnp.concatenate(cols, axis=1)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_alpha", "n_samples", "doublet_prior", "interpret"),
+)
+def demux_block_fast_compact(
+    codes, idx, msk, gps_table, gp0_table, w_ext, logf_ext, dbl_w, dbl_msk,
+    n_alpha, n_samples, doublet_prior, interpret=False,
+):
+    """Single-device jit wrapper over compact_step_body: one device->host
+    buffer per block (the tunneled backend pays per-transfer latency, and
+    the data is ~16x less than the full (V,V,A) tensor anyway)."""
+    return compact_step_body(
+        codes, idx, msk, gps_table, gp0_table, w_ext, logf_ext, dbl_w,
+        dbl_msk, n_alpha, n_samples, doublet_prior, interpret=interpret,
+    )
+
+
+def compact_from_result(
+    llk_ab: np.ndarray,
+    llk_00: np.ndarray,
+    grid_alpha: Sequence[float],
+    doublet_prior: float,
+) -> CompactResult:
+    """Build a CompactResult from full (n,V,V,A) LLKs (exact-mode path):
+    the same decision pass the fast path fuses on device, run once over
+    host-resident f64 arrays. Used to gather compact rows (not the full
+    tensor) across hosts (parallel/multihost.gather_compact)."""
+    llk_ab = np.asarray(llk_ab, dtype=np.float64)
+    llk_00 = np.asarray(llk_00, dtype=np.float64)
+    n, V, _, A = llk_ab.shape
+    dbl_w = doublet_weights(V, grid_alpha, doublet_prior)
+    dbl_msk = doublet_mask(V, A)
+    rows = np.arange(n)
+    flat = llk_ab.reshape(n, -1)
+    max_llk = np.maximum(
+        flat.max(axis=1) if flat.shape[1] else np.full(n, -np.inf), -1e300
+    )
+    sing_col = llk_ab[:, :, 0, 0]
+    sum_single = (
+        np.exp(sing_col - max_llk[:, None]).sum(axis=1)
+        * (1.0 - doublet_prior) / V
+    )
+    sum_double = np.einsum(
+        "cjkn,jkn->c", np.exp(llk_ab - max_llk[:, None, None, None]), dbl_w
+    )
+    i1 = np.argmax(sing_col, axis=1)
+    masked = sing_col.copy()
+    masked[rows, i1] = -np.inf
+    i2 = np.argmax(masked, axis=1)
+    max2 = np.maximum(masked[rows, i2], -1e300)
+    flat_masked = np.where(dbl_msk.reshape(-1)[None, :], flat, -np.inf)
+    best = np.argmax(flat_masked, axis=1)
+    jb = best // (V * A)
+    kb = (best // A) % V
+    ab_ = best % A
+    return CompactResult(
+        sing_col=sing_col,
+        llk_00=llk_00,
+        max_llk=max_llk,
+        sum_single=sum_single,
+        sum_double=sum_double,
+        i_sing1=i1.astype(np.int64),
+        i_sing2=i2.astype(np.int64),
+        max_sing2=max2,
+        best_flat=best.astype(np.int64),
+        pair_llk12=llk_ab[rows, jb, kb, ab_],
+        pair_llk10=llk_ab[rows, jb, 0, ab_],
+        pair_llk20=llk_ab[rows, kb, 0, ab_],
+    )
 
 
 def unpack_block(packed: np.ndarray, n_samples: int, n_alpha: int):

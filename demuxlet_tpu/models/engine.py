@@ -65,9 +65,11 @@ class DemuxEngine:
         """mode="exact": f64 XLA kernels (byte-parity path); an optional
         ("b","s") mesh shards blocks across devices (parallel/mesh.py).
         mode="fast": f32 Pallas pair-search kernel + f32 singlet (TPU
-        production path; demux calls identical, LLKs accurate to ~1e-3).
-        Fast mode is single-device per process — multi-chip/multi-host
-        scale-out shards barcodes across processes (parallel/multihost.py)."""
+        production path; demux calls identical, LLKs accurate to ~1e-3);
+        with a mesh the barcode axis shards over its "b" dimension
+        (build_sharded_fast_step / build_sharded_compact_step). Multi-host
+        scale-out additionally stripes barcodes across processes
+        (parallel/multihost.py)."""
         self.gps = np.ascontiguousarray(gps, dtype=np.float64)
         self.gp0 = compute_gp0(self.gps)
         self.grid_alpha = list(grid_alpha)
@@ -87,6 +89,8 @@ class DemuxEngine:
         self._w_dev = jnp.asarray(self.w, dtype=self.dtype)
         self._fast_luts = None
         self._sharded_step = None
+        self._sharded_fast = None
+        self._sharded_compact = None  # (doublet_prior, fn) cache
         if mesh is not None and mode == "exact":
             from demuxlet_tpu.parallel import mesh as pmesh
 
@@ -138,6 +142,17 @@ class DemuxEngine:
         )
         interpret = jax.default_backend() != "tpu"
         w_ext, logf_ext = self._fast_luts
+        if self.mesh is not None:
+            if self._sharded_fast is None:
+                from demuxlet_tpu.parallel import mesh as pmesh
+
+                self._sharded_fast = pmesh.build_sharded_fast_step(
+                    self.mesh, self.n_alpha, self.nv, interpret=interpret
+                )
+            return self._sharded_fast(
+                jnp.asarray(codes), jnp.asarray(idx), jnp.asarray(msk),
+                self._gps_dev, self._gp0_dev, w_ext, logf_ext,
+            )
         return demux_block_fast(
             jnp.asarray(codes),
             jnp.asarray(idx),
@@ -197,12 +212,32 @@ class DemuxEngine:
                     scl, cells, cap_bq=self.cap_bq,
                     pad_cells_to=self.cell_block,
                 )
-                packed = D.demux_block_fast_compact(
-                    jnp.asarray(codes), jnp.asarray(idx), jnp.asarray(msk),
-                    self._gps_dev, self._gp0_dev, w_ext, logf_ext,
-                    dbl_w, dbl_msk, self.n_alpha, self.nv, doublet_prior,
-                    interpret=interpret,
-                )
+                if self.mesh is not None:
+                    if (
+                        self._sharded_compact is None
+                        or self._sharded_compact[0] != doublet_prior
+                    ):
+                        from demuxlet_tpu.parallel import mesh as pmesh
+
+                        self._sharded_compact = (
+                            doublet_prior,
+                            pmesh.build_sharded_compact_step(
+                                self.mesh, self.n_alpha, self.nv,
+                                doublet_prior, interpret=interpret,
+                            ),
+                        )
+                    packed = self._sharded_compact[1](
+                        jnp.asarray(codes), jnp.asarray(idx),
+                        jnp.asarray(msk), self._gps_dev, self._gp0_dev,
+                        w_ext, logf_ext, dbl_w, dbl_msk,
+                    )
+                else:
+                    packed = D.demux_block_fast_compact(
+                        jnp.asarray(codes), jnp.asarray(idx),
+                        jnp.asarray(msk), self._gps_dev, self._gp0_dev,
+                        w_ext, logf_ext, dbl_w, dbl_msk, self.n_alpha,
+                        self.nv, doublet_prior, interpret=interpret,
+                    )
                 pending.append(pool.submit(fetch, cells, packed))
                 while len(pending) > pipeline_depth:
                     parts.append(pending.pop(0).result())

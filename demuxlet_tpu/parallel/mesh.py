@@ -177,3 +177,52 @@ def build_sharded_fast_step(
         check_vma=False,
     )
     return jax.jit(fn)
+
+
+def build_sharded_compact_step(
+    mesh: Mesh,
+    n_alpha: int,
+    n_samples: int,
+    doublet_prior: float,
+    interpret: bool = False,
+):
+    """Fast-mode fused kernel + decision pass sharded over the "b" barcode
+    axis (models/decision.compact_step_body: every op is per-cell, so the
+    shard is exact; genotype tables and decision weights replicate). Output
+    is one packed (B, 2V+A+11) f64 row per cell — the multi-chip analog of
+    the single-device demux_block_fast_compact.
+
+    Signature: step(codes, idx, msk, gps_table, gp0_table, w_ext, logf_ext,
+    dbl_w, dbl_msk) -> packed. The global batch must split into per-device
+    multiples of 32 cells.
+    """
+    from demuxlet_tpu.models.decision import compact_step_body
+
+    def body(codes, idx, msk, gps_table, gp0_table, w_ext, logf_ext,
+             dbl_w, dbl_msk):
+        return compact_step_body(
+            codes, idx, msk, gps_table, gp0_table, w_ext, logf_ext,
+            dbl_w, dbl_msk, n_alpha, n_samples, doublet_prior,
+            interpret=interpret,
+        )
+
+    rep2 = P(None, None)
+    rep3 = P(None, None, None)
+    fn = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(
+            P("b", None, None),  # codes (B,S,U)
+            P("b", None),        # idx
+            P("b", None),        # msk
+            rep3,                # gps_table (NS,V,3)
+            rep2,                # gp0_table (NS,3)
+            rep2,                # w_ext
+            rep2,                # logf_ext
+            rep3,                # dbl_w (V,V,A)
+            rep3,                # dbl_msk (V,V,A)
+        ),
+        out_specs=P("b", None),
+        check_vma=False,
+    )
+    return jax.jit(fn)

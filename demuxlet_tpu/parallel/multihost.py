@@ -96,9 +96,29 @@ def merge_shards(shards: Sequence[ShardResult]) -> ShardResult:
     )
 
 
-def gather_results(local: ShardResult, max_bc_len: int = 32) -> Optional[ShardResult]:
-    """All-gather shard results across processes; returns the merged result
-    on process 0 and None elsewhere. Single-process: identity."""
+def _encode_barcodes(barcodes: Sequence[str]) -> np.ndarray:
+    """Fixed-width byte matrix sized to the GLOBAL max barcode length
+    (allgathered), so no barcode is ever truncated."""
+    from jax.experimental import multihost_utils as mhu
+
+    raws = [b.encode() for b in barcodes]
+    local_max = max((len(r) for r in raws), default=0)
+    width = int(
+        mhu.process_allgather(np.asarray([local_max], dtype=np.int64)).max()
+    )
+    width = max(width, 1)
+    bc = np.zeros((len(raws), width), dtype=np.uint8)
+    for i, raw in enumerate(raws):
+        bc[i, : len(raw)] = np.frombuffer(raw, dtype=np.uint8)
+    return bc
+
+
+def gather_results(local: ShardResult) -> Optional[ShardResult]:
+    """All-gather FULL shard results across processes; returns the merged
+    result on process 0 and None elsewhere. Single-process: identity.
+
+    Ships the whole (n,V,V,A) tensor — needed only for --write-pair; the
+    default distributed path is gather_compact (per-cell decision rows)."""
     import jax
 
     if jax.process_count() == 1:
@@ -106,12 +126,8 @@ def gather_results(local: ShardResult, max_bc_len: int = 32) -> Optional[ShardRe
 
     from jax.experimental import multihost_utils as mhu
 
-    # fixed-width byte encoding for the barcode strings
     n = len(local.barcodes)
-    bc = np.zeros((n, max_bc_len), dtype=np.uint8)
-    for i, b in enumerate(local.barcodes):
-        raw = b.encode()[:max_bc_len]
-        bc[i, : len(raw)] = np.frombuffer(raw, dtype=np.uint8)
+    bc = _encode_barcodes(local.barcodes)
 
     counts = mhu.process_allgather(np.asarray([n], dtype=np.int64))
     nmax = int(counts.max())
@@ -143,3 +159,128 @@ def gather_results(local: ShardResult, max_bc_len: int = 32) -> Optional[ShardRe
             )
         )
     return merge_shards(shards)
+
+
+# ---------------------------------------------------------------- compact
+@dataclass
+class CompactShard:
+    """One shard's per-barcode outputs in compact (decision-row) form:
+    O(V + A) floats per cell instead of the (V,V,A) tensor — what actually
+    crosses DCN/ICI in the default distributed path."""
+
+    barcodes: List[str]
+    totl: np.ndarray
+    pass_: np.ndarray
+    uniq: np.ndarray
+    nsnp: np.ndarray
+    llks: np.ndarray  # (n, V) pass-1 singlet LLKs
+    llk0s: np.ndarray  # (n,)
+    compact: "object"  # models.decision.CompactResult
+
+
+def merge_compact_shards(shards: Sequence[CompactShard]) -> CompactShard:
+    """Concatenate shard rows and sort by barcode (reference output order,
+    cmd_cram_demuxlet.cpp:472,576). Barcodes must be disjoint."""
+    from demuxlet_tpu.models.decision import CompactResult
+
+    barcodes: List[str] = []
+    for s in shards:
+        barcodes.extend(s.barcodes)
+    order = np.argsort(np.asarray(barcodes, dtype=object), kind="stable")
+    cat = lambda f: np.concatenate([getattr(s, f) for s in shards])[order]
+    ccat = lambda f: np.concatenate(
+        [getattr(s.compact, f) for s in shards]
+    )[order]
+    compact = CompactResult(
+        **{f: ccat(f) for f in CompactResult.__dataclass_fields__}
+    )
+    return CompactShard(
+        barcodes=[barcodes[i] for i in order],
+        totl=cat("totl"),
+        pass_=cat("pass_"),
+        uniq=cat("uniq"),
+        nsnp=cat("nsnp"),
+        llks=cat("llks"),
+        llk0s=cat("llk0s"),
+        compact=compact,
+    )
+
+
+_COMPACT_F64 = (
+    "sing_col", "llk_00", "max_llk", "sum_single", "sum_double",
+    "max_sing2", "pair_llk12", "pair_llk10", "pair_llk20",
+)
+_COMPACT_I64 = ("i_sing1", "i_sing2", "best_flat")
+
+
+def gather_compact(local: CompactShard) -> Optional[CompactShard]:
+    """All-gather compact decision rows across processes; merged result on
+    process 0, None elsewhere. Three allgathers total (barcode bytes, one
+    packed f64 matrix, one packed i64 matrix): ~(2V+A+12) values/cell."""
+    import jax
+
+    if jax.process_count() == 1:
+        return merge_compact_shards([local])
+
+    from jax.experimental import multihost_utils as mhu
+
+    from demuxlet_tpu.models.decision import CompactResult
+
+    n = len(local.barcodes)
+    V = local.llks.shape[1]
+    A = local.compact.llk_00.shape[1]
+    bc = _encode_barcodes(local.barcodes)
+
+    fcols = [np.asarray(local.llks, np.float64).reshape(n, V),
+             np.asarray(local.llk0s, np.float64).reshape(n, 1)]
+    for f in _COMPACT_F64:
+        a = np.asarray(getattr(local.compact, f), np.float64)
+        fcols.append(a.reshape(n, -1))
+    fmat = np.concatenate(fcols, axis=1) if n else np.zeros(
+        (0, 2 * V + A + 8), np.float64
+    )
+    icols = [
+        np.asarray(local.totl, np.int64), np.asarray(local.pass_, np.int64),
+        np.asarray(local.uniq, np.int64), np.asarray(local.nsnp, np.int64),
+    ] + [np.asarray(getattr(local.compact, f), np.int64) for f in _COMPACT_I64]
+    imat = np.stack(icols, axis=1) if n else np.zeros((0, 7), np.int64)
+
+    counts = mhu.process_allgather(np.asarray([n], dtype=np.int64))
+    nmax = int(max(counts.max(), 1))
+
+    def pad(a):
+        out = np.zeros((nmax,) + a.shape[1:], dtype=a.dtype)
+        out[: len(a)] = a
+        return out
+
+    g_bc = mhu.process_allgather(pad(bc))
+    g_f = mhu.process_allgather(pad(fmat))
+    g_i = mhu.process_allgather(pad(imat))
+    if jax.process_index() != 0:
+        return None
+
+    shards = []
+    for p in range(jax.process_count()):
+        np_ = int(counts[p])
+        names = [
+            bytes(row).rstrip(b"\x00").decode()
+            for row in np.asarray(g_bc[p][:np_], np.uint8)
+        ]
+        f = np.asarray(g_f[p][:np_], np.float64)
+        ii = np.asarray(g_i[p][:np_], np.int64)
+        o = 0
+        llks = f[:, o : o + V]; o += V
+        llk0s = f[:, o]; o += 1
+        cvals = {}
+        for name in _COMPACT_F64:
+            w = {"sing_col": V, "llk_00": A}.get(name, 1)
+            col = f[:, o : o + w]; o += w
+            cvals[name] = col if w > 1 else col[:, 0]
+        for k, name in enumerate(_COMPACT_I64):
+            cvals[name] = ii[:, 4 + k]
+        shards.append(CompactShard(
+            barcodes=names,
+            totl=ii[:, 0], pass_=ii[:, 1], uniq=ii[:, 2], nsnp=ii[:, 3],
+            llks=llks, llk0s=llk0s, compact=CompactResult(**cvals),
+        ))
+    return merge_compact_shards(shards)

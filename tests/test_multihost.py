@@ -123,3 +123,169 @@ def test_shard_merge_invariance_native(tmp_path):
         bcs.extend(s.barcodes)
     assert sorted(bcs) == sorted(full.barcodes)
     assert len(bcs) == len(set(bcs))
+
+
+def _write_workload(tmp_path, seed=21, n_cells=24):
+    rng = random.Random(seed)
+    contigs, names, variants, reads, truth = random_workload(
+        rng, n_cells=n_cells, n_snps=40, n_samples=3, reads_per_cell=50
+    )
+    vcf = write_vcf(str(tmp_path / "d.vcf"), names, variants, contigs=contigs)
+    bam = write_bam(str(tmp_path / "d.bam"), contigs, reads)
+    return vcf, bam
+
+
+def _cli_env(n_devices=1):
+    import os
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["JAX_ENABLE_X64"] = "true"
+    env["XLA_FLAGS"] = f"--xla_force_host_platform_device_count={n_devices}"
+    return env
+
+
+def _run_cli(args, env, timeout=300):
+    import subprocess
+    import sys
+
+    p = subprocess.run(
+        [sys.executable, "-m", "demuxlet_tpu.cli"] + args,
+        env=env, capture_output=True, text=True, timeout=timeout,
+    )
+    assert p.returncode == 0, p.stderr[-4000:]
+    return p
+
+
+@pytest.mark.parametrize("mode", ["exact", "fast"])
+def test_two_process_jax_distributed_cli(tmp_path, mode):
+    """REAL 2-process jax.distributed run: two CLI processes join via a
+    localhost coordinator with --num-shards 2, each demuxes its barcode
+    stripe, compact rows all-gather, and process 0 writes outputs that are
+    byte-identical to the single-process run."""
+    import socket
+    import subprocess
+    import sys
+
+    vcf, bam = _write_workload(tmp_path)
+    env = _cli_env()
+
+    # single-process reference
+    _run_cli(["--sam", bam, "--vcf", vcf, "--field", "GT", "--mode", mode,
+              "--out", str(tmp_path / "ref"), "--device", "cpu",
+              "--mesh", "none"], env)
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    coord = f"127.0.0.1:{port}"
+
+    procs = []
+    for k in range(2):
+        procs.append(subprocess.Popen(
+            [sys.executable, "-m", "demuxlet_tpu.cli", "--sam", bam,
+             "--vcf", vcf, "--field", "GT", "--mode", mode,
+             "--out", str(tmp_path / "dist"), "--device", "cpu",
+             "--mesh", "none", "--num-shards", "2", "--shard-id", str(k),
+             "--dist-coordinator", coord],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+            text=True,
+        ))
+    errs = []
+    for p in procs:
+        out, err = p.communicate(timeout=600)
+        errs.append(err)
+        assert p.returncode == 0, err[-4000:]
+    if mode == "exact":
+        # f64 exact path: byte-identical regardless of block composition
+        for ext in (".single", ".sing2", ".best"):
+            want = open(str(tmp_path / "ref") + ext).read()
+            got = open(str(tmp_path / "dist") + ext).read()
+            assert got == want, f"{mode}{ext} differs\n{errs[0][-1500:]}"
+    else:
+        # fast f32: block composition differs per shard, so padded slot
+        # bucketing and reduction trees differ -> LLKs agree only to the
+        # documented fast-mode tolerance; calls must be identical
+        # (canonicalized for the symmetric alpha=0.5 pair-order fp tie).
+        from parity_utils import canonicalize_best
+
+        want = canonicalize_best(
+            open(str(tmp_path / "ref") + ".best").read().splitlines()
+        )
+        got = canonicalize_best(
+            open(str(tmp_path / "dist") + ".best").read().splitlines()
+        )
+        assert len(want) == len(got)
+        for lw, lg in zip(want, got):
+            cw, cg = lw.split("\t"), lg.split("\t")
+            assert cw[0] == cg[0]
+            if cw[0] == "BARCODE":
+                continue
+            assert cw[5].split("-")[0] == cg[5].split("-")[0], (lw, lg)
+            for col in (6, 11, 12):  # SNG.1ST, DBL.1ST, DBL.2ND
+                assert cw[col] == cg[col], (lw, lg)
+            for col in (7, 9, 10, 14):  # LLK columns ~tolerance
+                assert abs(float(cw[col]) - float(cg[col])) < 1e-2, (lw, lg)
+
+
+def test_two_process_distributed_write_pair(tmp_path):
+    """--write-pair in distributed mode gathers the full tensor; .pair from
+    process 0 matches the single-process .pair byte-for-byte."""
+    import socket
+    import subprocess
+    import sys
+
+    vcf, bam = _write_workload(tmp_path, seed=23, n_cells=16)
+    env = _cli_env()
+    _run_cli(["--sam", bam, "--vcf", vcf, "--field", "GT", "--write-pair",
+              "--out", str(tmp_path / "ref"), "--device", "cpu",
+              "--mesh", "none"], env)
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    coord = f"127.0.0.1:{port}"
+    procs = [subprocess.Popen(
+        [sys.executable, "-m", "demuxlet_tpu.cli", "--sam", bam,
+         "--vcf", vcf, "--field", "GT", "--write-pair",
+         "--out", str(tmp_path / "dist"), "--device", "cpu",
+         "--mesh", "none", "--num-shards", "2", "--shard-id", str(k),
+         "--dist-coordinator", coord],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+    ) for k in range(2)]
+    for p in procs:
+        out, err = p.communicate(timeout=600)
+        assert p.returncode == 0, err[-4000:]
+    for ext in (".single", ".sing2", ".best", ".pair"):
+        want = open(str(tmp_path / "ref") + ext).read()
+        got = open(str(tmp_path / "dist") + ext).read()
+        assert got == want, f"{ext} differs"
+
+
+@pytest.mark.parametrize("mode", ["exact", "fast"])
+def test_cli_mesh_auto_matches_single_device(tmp_path, mode):
+    """--mesh auto over the 8 virtual CPU devices == --mesh none, byte for
+    byte (barcode-axis sharding is exact: no cross-cell reductions)."""
+    vcf, bam = _write_workload(tmp_path, seed=29, n_cells=20)
+    env = _cli_env(n_devices=4)
+    common = ["--sam", bam, "--vcf", vcf, "--field", "GT", "--mode", mode,
+              "--device", "cpu", "--cell-block", "64"]
+    _run_cli(common + ["--out", str(tmp_path / "one"), "--mesh", "none"], env)
+    _run_cli(common + ["--out", str(tmp_path / "mesh"), "--mesh", "auto"], env)
+    for ext in (".single", ".sing2", ".best"):
+        want = open(str(tmp_path / "one") + ext).read()
+        got = open(str(tmp_path / "mesh") + ext).read()
+        assert got == want, f"{mode}{ext} differs under mesh"
+
+
+def test_cli_mesh_bxs_exact(tmp_path):
+    """--mesh 2x2 (barcode x slot psum) == single device in exact mode."""
+    vcf, bam = _write_workload(tmp_path, seed=31, n_cells=12)
+    env = _cli_env(n_devices=4)
+    common = ["--sam", bam, "--vcf", vcf, "--field", "GT", "--mode", "exact",
+              "--device", "cpu", "--cell-block", "32"]
+    _run_cli(common + ["--out", str(tmp_path / "one"), "--mesh", "none"], env)
+    _run_cli(common + ["--out", str(tmp_path / "mesh"), "--mesh", "2x2"], env)
+    for ext in (".single", ".sing2", ".best"):
+        want = open(str(tmp_path / "one") + ext).read()
+        got = open(str(tmp_path / "mesh") + ext).read()
+        assert got == want, f"{ext} differs under 2x2 mesh"
