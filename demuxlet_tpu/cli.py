@@ -191,6 +191,16 @@ def build_parser() -> argparse.ArgumentParser:
             "byte-exact outputs incl. tie direction (small inputs)"
         ),
     )
+    g.add_argument(
+        "--exact-kernel",
+        default="auto",
+        choices=["auto", "pallas", "xla"],
+        help=(
+            "Exact-mode kernel: pallas = df32 (double-single f32) Pallas "
+            "pair kernel (TPU; ~1e-10 of f64), xla = f64 XLA kernels; "
+            "auto picks pallas on TPU"
+        ),
+    )
     g.add_argument("--cell-block", type=int, default=1024, help="Cells per device batch")
     g.add_argument(
         "--slot-chunk", type=int, default=512, help="SNP-slot chunk per scan step"
@@ -332,6 +342,7 @@ def main(argv=None) -> int:
         dtype=dtype,
         mesh=mesh,
         mode=args.mode,
+        exact_kernel=args.exact_kernel,
     )
     if args.profile:
         jax.profiler.start_trace(args.profile)
@@ -470,7 +481,7 @@ def _build_mesh(args):
         error("--mesh slot axis must be a power of two (got %d)", n_s)
     from demuxlet_tpu.parallel import mesh as pmesh
 
-    mult = n_b * (32 if args.mode == "fast" else 1)
+    mult = n_b * (32 if args.mode in ("fast", "exact") else 1)
     new_block = -(-args.cell_block // mult) * mult
     if new_block != args.cell_block:
         notice("Rounding --cell-block %d up to %d for the %dx%d mesh",

@@ -61,6 +61,7 @@ class DemuxEngine:
         dtype=jnp.float64,
         mesh: Optional[jax.sharding.Mesh] = None,
         mode: str = "exact",
+        exact_kernel: str = "auto",
     ):
         """mode="exact": f64 XLA kernels (byte-parity path); an optional
         ("b","s") mesh shards blocks across devices (parallel/mesh.py).
@@ -91,7 +92,30 @@ class DemuxEngine:
         self._sharded_step = None
         self._sharded_fast = None
         self._sharded_compact = None  # (doublet_prior, fn) cache
-        if mesh is not None and mode == "exact":
+        self._df_tables = None
+        self._sharded_exact_pallas = None
+        # exact mode kernel choice: the df32 (double-single f32) Pallas
+        # kernel replaces the XLA f64 kernels on TPU, where f64 is
+        # software-emulated ~50x slower; both agree to ~1e-10 absolute
+        # (tests/test_pallas_exact.py), far below printed precision.
+        # "auto" = pallas on TPU, XLA f64 elsewhere (CPU f64 is native).
+        if exact_kernel == "auto":
+            use_pallas = jax.default_backend() == "tpu"
+        else:
+            use_pallas = exact_kernel == "pallas"
+        self.use_exact_pallas = mode == "exact" and use_pallas
+        if self.use_exact_pallas and dtype == jnp.float32:
+            self.use_exact_pallas = False  # f32 precision: XLA path is fine
+        if self.use_exact_pallas and self.cell_block % 16:
+            self.cell_block = -(-self.cell_block // 16) * 16
+        if (
+            self.use_exact_pallas
+            and mesh is not None
+            and mesh.shape.get("s", 1) > 1
+        ):
+            # slot-axis psum sharding belongs to the XLA kernel
+            self.use_exact_pallas = False
+        if mesh is not None and mode == "exact" and not self.use_exact_pallas:
             from demuxlet_tpu.parallel import mesh as pmesh
 
             self._sharded_step = pmesh.build_sharded_step(
@@ -164,6 +188,44 @@ class DemuxEngine:
             self.n_alpha,
             self.nv,
             interpret=interpret,
+        )
+
+    def _run_block_exact_pallas(self, scl, cells):
+        """Exact-mode df32 Pallas block step (codes path, like fast)."""
+        from demuxlet_tpu.host.csr import build_codes_block
+        from demuxlet_tpu.ops import pallas_pair_exact as PE
+
+        if self._df_tables is None:
+            self._df_tables = tuple(
+                tuple(jnp.asarray(p) for p in pair)
+                for pair in PE.split_tables(
+                    self.gps, self.gp0, self.w, self.logf
+                )
+            )
+        gps_pair, gp0_pair, w_pair, logf_pair = self._df_tables
+        codes, idx, msk = build_codes_block(
+            scl, cells, cap_bq=self.cap_bq, pad_cells_to=self.cell_block
+        )
+        interpret = jax.default_backend() != "tpu"
+        if self.mesh is not None:
+            if self._sharded_exact_pallas is None:
+                from demuxlet_tpu.parallel import mesh as pmesh
+
+                self._sharded_exact_pallas = (
+                    pmesh.build_sharded_exact_pallas_step(
+                        self.mesh, self.n_alpha, self.nv,
+                        interpret=interpret,
+                    )
+                )
+            return self._sharded_exact_pallas(
+                jnp.asarray(codes), jnp.asarray(idx), jnp.asarray(msk),
+                gps_pair[0], gps_pair[1], gp0_pair[0], gp0_pair[1],
+                w_pair[0], w_pair[1], logf_pair[0], logf_pair[1],
+            )
+        return PE.demux_block_exact(
+            jnp.asarray(codes), jnp.asarray(idx), jnp.asarray(msk),
+            gps_pair, gp0_pair, w_pair, logf_pair,
+            self.n_alpha, self.nv, interpret=interpret,
         )
 
     def run_compact(self, scl, doublet_prior: float, pipeline_depth: int = 3):
@@ -265,7 +327,9 @@ class DemuxEngine:
         if spool_dir:
             os.makedirs(spool_dir, exist_ok=True)
 
-        if self.mode == "fast" and not hasattr(scl, "cell_ptr"):
+        if (
+            self.mode == "fast" or self.use_exact_pallas
+        ) and not hasattr(scl, "cell_ptr"):
             from demuxlet_tpu.host.csr import CsrPileup
 
             scl = CsrPileup.from_pileup(scl)
@@ -278,7 +342,15 @@ class DemuxEngine:
         llk_00 = np.zeros((n, na), dtype=np.float64)
 
         def fetch(out):
-            return tuple(np.asarray(x) for x in out)
+            # exact-pallas outputs are (hi, lo) df32 pairs -> f64
+            def np_of(x):
+                if isinstance(x, tuple):
+                    return np.asarray(x[0], np.float64) + np.asarray(
+                        x[1], np.float64
+                    )
+                return np.asarray(x)
+
+            return tuple(np_of(x) for x in out)
 
         def store(cells, arrs):
             m = len(cells)
@@ -314,6 +386,8 @@ class DemuxEngine:
                     continue
                 if self.mode == "fast":
                     out = self._run_block_fast(scl, cells)
+                elif self.use_exact_pallas:
+                    out = self._run_block_exact_pallas(scl, cells)
                 else:
                     blk = build_slots(scl, cells, cap_bq=self.cap_bq)
                     blk = _pad_block(

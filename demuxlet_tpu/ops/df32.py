@@ -25,14 +25,17 @@ import jax.numpy as jnp
 
 SPLIT = 4097.0  # 2^12 + 1: Veltkamp split point for 24-bit mantissas
 
-# df32 constants (hi = f32 round of the f64 value, lo = f32 of remainder)
-_LN2_HI = jnp.float32(0.6931471824645996)
-_LN2_LO = jnp.float32(-1.904654323148236e-09)
-_INV_LN2 = jnp.float32(1.4426950408889634)
-_THIRD_HI = jnp.float32(0.3333333432674408)
-_THIRD_LO = jnp.float32(-9.934107481068821e-09)
-_FIFTH_HI = jnp.float32(0.20000000298023224)
-_FIFTH_LO = jnp.float32(-2.9802322387695312e-09)
+import numpy as _np
+
+# df32 constants as numpy scalars (jaxpr literals — a pallas kernel may
+# not close over device-array constants)
+_LN2_HI = _np.float32(0.6931471824645996)
+_LN2_LO = _np.float32(-1.904654323148236e-09)
+_INV_LN2 = _np.float32(1.4426950408889634)
+_THIRD_HI = _np.float32(0.3333333432674408)
+_THIRD_LO = _np.float32(-9.934107481068821e-09)
+_FIFTH_HI = _np.float32(0.20000000298023224)
+_FIFTH_LO = _np.float32(-2.9802322387695312e-09)
 
 
 def two_sum(a, b):
@@ -55,12 +58,12 @@ def vsplit(a):
 
     c is fenced: contracting SPLIT*a into the (c - a) subtraction
     (fms) would destroy the split."""
-    c = _opaque(jnp.float32(SPLIT) * a)
+    c = _opaque(_np.float32(SPLIT) * a)
     hi = c - (c - a)
     return hi, a - hi
 
 
-_F32_MAX = jnp.float32(3.4028235e38)
+_F32_MAX = _np.float32(3.4028235e38)
 
 
 def _opaque(x):
@@ -153,7 +156,7 @@ def _df_const(x):
     import numpy as np
 
     hi = np.float32(x)
-    return jnp.float32(hi), jnp.float32(np.float64(x) - np.float64(hi))
+    return hi, np.float32(np.float64(x) - np.float64(hi))
 
 
 # Taylor 1/n! for n = 12 .. 2 (Horner order) as df pairs: an f32-rounded
@@ -185,15 +188,15 @@ def exp(xh, xl):
         ph, pl = mul(ph, pl, rh, rl)
         ph, pl = add(ph, pl, ch, cl)
     ph, pl = mul(ph, pl, rh, rl)
-    ph, pl = add_f32(ph, pl, jnp.float32(1.0))
+    ph, pl = add_f32(ph, pl, _np.float32(1.0))
     ph, pl = mul(ph, pl, rh, rl)
-    ph, pl = add_f32(ph, pl, jnp.float32(1.0))
-    under = xh < jnp.float32(-85.0)
+    ph, pl = add_f32(ph, pl, _np.float32(1.0))
+    under = xh < _np.float32(-85.0)
     # split the 2^k scale so each half stays in range (k in [-123, 123])
-    kc = jnp.clip(k, -123.0, 123.0)
-    half1 = _pow2(jnp.trunc(kc * jnp.float32(0.5)))
-    half2 = _pow2(kc - jnp.trunc(kc * jnp.float32(0.5)))
-    zero = jnp.float32(0.0)
+    kc = jnp.clip(k, _np.float32(-123.0), _np.float32(123.0))
+    half1 = _pow2(jnp.trunc(kc * _np.float32(0.5)))
+    half2 = _pow2(kc - jnp.trunc(kc * _np.float32(0.5)))
+    zero = _np.float32(0.0)
     ph = jnp.where(under, zero, ph * half1 * half2)
     pl = jnp.where(under, zero, pl * half1 * half2)
     return ph, pl
@@ -208,14 +211,14 @@ def log(xh, xl):
     bits = _bits(xh)
     e = ((bits >> 23) & 0xFF) - 127
     m = _from_bits((bits & 0x007FFFFF) | 0x3F800000)  # [1, 2)
-    big = m > jnp.float32(1.4142135)
-    m = jnp.where(big, m * jnp.float32(0.5), m)  # exact halving
+    big = m > _np.float32(1.4142135)
+    m = jnp.where(big, m * _np.float32(0.5), m)  # exact halving
     e = jnp.where(big, e + 1, e).astype(jnp.float32)
     # scale the low word to the mantissa's frame: xl * 2^-e (exact)
     mlo = xl * _pow2(-e)
     # num = m - 1 exact on [0.5, 2) (Sterbenz); renormalize with mlo
-    nh, nl = two_sum(m - jnp.float32(1.0), mlo)
-    dh, dl = two_sum(m, jnp.float32(1.0))
+    nh, nl = two_sum(m - _np.float32(1.0), mlo)
+    dh, dl = two_sum(m, _np.float32(1.0))
     dl = dl + mlo
     sh, sl = div(nh, nl, dh, dl)
     s2h, s2l = mul(sh, sl, sh, sl)
@@ -228,11 +231,11 @@ def log(xh, xl):
     qh, ql = add(qh, ql, f5h, f5l)
     s2 = s2h
     tail = s2 * s2 * s2 * (
-        jnp.float32(1 / 7.0) + s2 * (jnp.float32(1 / 9.0) + s2 * (
-            jnp.float32(1 / 11.0) + s2 * (jnp.float32(1 / 13.0)
-                                          + s2 * jnp.float32(1 / 15.0)))))
+        _np.float32(1 / 7.0) + s2 * (_np.float32(1 / 9.0) + s2 * (
+            _np.float32(1 / 11.0) + s2 * (_np.float32(1 / 13.0)
+                                          + s2 * _np.float32(1 / 15.0)))))
     qh, ql = add_f32(qh, ql, tail)
-    qh, ql = add_f32(qh, ql, jnp.float32(1.0))
+    qh, ql = add_f32(qh, ql, _np.float32(1.0))
     lh, ll = mul(sh, sl, qh, ql)
     lh, ll = lh * 2, ll * 2  # exact
     th, tl = two_prod(e, _LN2_HI)

@@ -226,3 +226,45 @@ def build_sharded_compact_step(
         check_vma=False,
     )
     return jax.jit(fn)
+
+
+def build_sharded_exact_pallas_step(
+    mesh: Mesh,
+    n_alpha: int,
+    n_samples: int,
+    interpret: bool = False,
+):
+    """Exact-mode df32 Pallas step (ops/pallas_pair_exact.py) sharded over
+    the "b" barcode axis; df table planes replicate. Outputs are (hi, lo)
+    f32 pairs, combined to f64 on the host. Per-device batch must be a
+    multiple of 16 cells (pallas_pair_exact.TB)."""
+    from demuxlet_tpu.ops.pallas_pair_exact import demux_block_exact_impl
+
+    def body(codes, idx, msk, gps_h, gps_l, gp0_h, gp0_l,
+             w_h, w_l, lf_h, lf_l):
+        return demux_block_exact_impl(
+            codes, idx, msk, (gps_h, gps_l), (gp0_h, gp0_l),
+            (w_h, w_l), (lf_h, lf_l), n_alpha, n_samples,
+            interpret=interpret,
+        )
+
+    rep2 = P(None, None)
+    rep3 = P(None, None, None)
+    b1 = P("b")
+    b2 = P("b", None)
+    b4 = P("b", None, None, None)
+    fn = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(
+            P("b", None, None),  # codes
+            b2, b2,              # idx, msk
+            rep3, rep3,          # gps planes
+            rep2, rep2,          # gp0 planes
+            rep2, rep2,          # w planes
+            rep2, rep2,          # logf planes
+        ),
+        out_specs=((b2, b2), (b1, b1), (b4, b4), (b2, b2)),
+        check_vma=False,
+    )
+    return jax.jit(fn)

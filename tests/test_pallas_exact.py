@@ -1,0 +1,148 @@
+"""df32 exact-mode Pallas kernel vs the XLA f64 reference kernels.
+
+The df32 path must agree with f64 to ~1e-10 absolute on every LLK — far
+below the printed output precision (%.4f/%.5f), so exact-mode byte parity
+is preserved when the engine swaps kernels.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from demuxlet_tpu.models.likelihood import pair_llks, singlet_llks
+from demuxlet_tpu.ops import luts
+from demuxlet_tpu.ops import pallas_pair_exact as PE
+
+
+def _workload(seed, B=16, S=128, U=3, V=4, A=3, NS=100, cap=40):
+    rng = np.random.default_rng(seed)
+    nq = cap + 1
+    codes = rng.integers(0, 2 * nq, size=(B, S, U)).astype(np.uint8)
+    codes[rng.random((B, S, U)) < 0.35] = 255
+    idx = rng.integers(0, NS, size=(B, S)).astype(np.int32)
+    msk = rng.random((B, S)) < 0.9
+    codes[~msk] = 255  # build_codes_block contract: masked slots are empty
+    gps = rng.dirichlet(np.ones(3), size=(NS, V))
+    # sprinkle extreme posteriors (PL-field EM can produce tiny values)
+    tiny = rng.random((NS, V)) < 0.1
+    gps[tiny] = np.array([1 - 2e-8, 1e-8, 1e-8])
+    gp0 = gps.mean(axis=1)
+    grid = np.linspace(0.0, 0.5, A).tolist()
+    w = luts.pair_lut(grid, cap)
+    logf = luts.singlet_lut(cap)
+    return codes, idx, msk, gps, gp0, w, logf, grid
+
+
+def _dense_from_codes(codes, msk, cap=40):
+    B, S, U = codes.shape
+    nb = 2 * (cap + 1)
+    cnt = np.zeros((B, S, nb), dtype=np.int32)
+    for u in range(U):
+        c = codes[..., u]
+        valid = (c != 255) & msk
+        np.add.at(cnt, (np.nonzero(valid)[0], np.nonzero(valid)[1],
+                        c[valid].astype(np.int64)), 1)
+    return cnt
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_exact_pallas_matches_xla_f64(seed):
+    codes, idx, msk, gps, gp0, w, logf, grid = _workload(seed)
+    V, A = gps.shape[1], len(grid)
+
+    gps_pair, gp0_pair, w_pair, logf_pair = PE.split_tables(gps, gp0, w, logf)
+    llk, llk0, llk_ab, llk00 = PE.demux_block_exact(
+        jnp.asarray(codes), jnp.asarray(idx), jnp.asarray(msk),
+        tuple(map(jnp.asarray, gps_pair)), tuple(map(jnp.asarray, gp0_pair)),
+        tuple(map(jnp.asarray, w_pair)), tuple(map(jnp.asarray, logf_pair)),
+        A, V, interpret=True,
+    )
+
+    # f64 reference on the equivalent dense block
+    cnt = _dense_from_codes(codes, msk)
+    gps_g = gps[idx]  # (B,S,V,3)
+    gp0_g = gp0[idx]
+    m3 = msk[..., None, None]
+    neutral = np.array([1.0, 0, 0])
+    gps_g = np.where(m3, gps_g, neutral)
+    gp0_g = np.where(msk[..., None], gp0_g, neutral)
+    ref_ab, ref_00 = pair_llks(
+        jnp.asarray(cnt, jnp.float64), jnp.asarray(msk),
+        jnp.asarray(gps_g), jnp.asarray(gp0_g), jnp.asarray(w), A,
+        slot_chunk=0, dtype=jnp.float64,
+    )
+    ref_llk, ref_llk0 = singlet_llks(
+        jnp.asarray(cnt, jnp.float64), jnp.asarray(msk),
+        jnp.asarray(gps_g), jnp.asarray(gp0_g), jnp.asarray(logf),
+        dtype=jnp.float64,
+    )
+
+    got_ab = PE.combine(llk_ab)
+    got_00 = PE.combine(llk00)
+    got_llk = PE.combine(llk)
+    got_llk0 = PE.combine(llk0)
+    for name, got, ref in (
+        ("llk_ab", got_ab, np.asarray(ref_ab)),
+        ("llk_00", got_00, np.asarray(ref_00)),
+        ("llk", got_llk, np.asarray(ref_llk)),
+        ("llk0", got_llk0, np.asarray(ref_llk0)),
+    ):
+        err = np.abs(got - ref).max()
+        assert err < 1e-9, (name, err)
+
+
+def test_exact_pallas_empty_slots_neutral():
+    """All-padding block: every LLK must be exactly 0."""
+    codes = np.full((16, 128, 2), 255, dtype=np.uint8)
+    idx = np.zeros((16, 128), np.int32)
+    msk = np.zeros((16, 128), bool)
+    gps = np.random.default_rng(0).dirichlet(np.ones(3), size=(10, 4))
+    gp0 = gps.mean(axis=1)
+    w = luts.pair_lut([0.0, 0.5], 40)
+    logf = luts.singlet_lut(40)
+    gps_pair, gp0_pair, w_pair, logf_pair = PE.split_tables(gps, gp0, w, logf)
+    llk, llk0, llk_ab, llk00 = PE.demux_block_exact(
+        jnp.asarray(codes), jnp.asarray(idx), jnp.asarray(msk),
+        tuple(map(jnp.asarray, gps_pair)), tuple(map(jnp.asarray, gp0_pair)),
+        tuple(map(jnp.asarray, w_pair)), tuple(map(jnp.asarray, logf_pair)),
+        2, 4, interpret=True,
+    )
+    assert (PE.combine(llk_ab) == 0).all()
+    assert (PE.combine(llk) == 0).all()
+
+
+def test_exact_pallas_cli_byte_parity(tmp_path):
+    """CLI --exact-kernel pallas (interpret on CPU) produces byte-identical
+    .single/.sing2/.best to the XLA f64 exact path on a real workload."""
+    import random
+
+    import sys
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent))
+    from fixtures import random_workload, write_bam, write_vcf
+    from demuxlet_tpu import cli
+
+    rng = random.Random(41)
+    contigs, names, variants, reads, truth = random_workload(
+        rng, n_cells=12, n_snps=30, n_samples=3, reads_per_cell=40
+    )
+    vcf = write_vcf(str(tmp_path / "w.vcf"), names, variants, contigs=contigs)
+    bam = write_bam(str(tmp_path / "w.bam"), contigs, reads)
+    common = ["--sam", bam, "--vcf", vcf, "--field", "GT", "--device", "cpu",
+              "--mode", "exact", "--cell-block", "16", "--mesh", "none"]
+    assert cli.main(common + ["--exact-kernel", "xla",
+                              "--out", str(tmp_path / "x")]) == 0
+    assert cli.main(common + ["--exact-kernel", "pallas",
+                              "--out", str(tmp_path / "p")]) == 0
+    from parity_utils import canonicalize_best
+
+    for ext in (".single", ".sing2", ".best"):
+        want = open(str(tmp_path / "x") + ext).read()
+        got = open(str(tmp_path / "p") + ext).read()
+        if ext == ".best":
+            # symmetric alpha=0.5 doublet pairs are exact real-arithmetic
+            # ties; which mirror ulp-rounds higher is kernel-dependent
+            # (documented exact-mode contract) — canonicalize the order
+            want = "\n".join(canonicalize_best(want.splitlines()))
+            got = "\n".join(canonicalize_best(got.splitlines()))
+        assert got == want, f"{ext} differs between pallas-df32 and XLA f64"
