@@ -56,9 +56,12 @@ def fast_two_sum(a, b):
 def vsplit(a):
     """Veltkamp split: a = hi + lo with 12-bit halves (exact).
 
-    c is fenced: contracting SPLIT*a into the (c - a) subtraction
-    (fms) would destroy the split."""
-    c = _opaque(_np.float32(SPLIT) * a)
+    No fence here: the (c - a) subtraction inside the split was measured
+    contraction-safe under XLA CPU fusion (two_prod/mul jit == eager
+    before any fencing existed); only the PRODUCT feeding a downstream
+    error-free sum needs _opaque (see two_prod/div). tests/test_df32.py
+    runs everything jitted to catch a backend that breaks this."""
+    c = _np.float32(SPLIT) * a
     hi = c - (c - a)
     return hi, a - hi
 
@@ -102,6 +105,16 @@ def add(ah, al, bh, bl):
     return fast_two_sum(sh, se)
 
 
+def add_pos(ah, al, bh, bl):
+    """df32 + df32 for SAME-SIGN operands (sloppy Dekker add2, ~2^-47
+    relative): 11 ops vs 20 for the accurate variant. UNSAFE under
+    cancellation — used only for probability sums, which are
+    non-negative by construction."""
+    sh, se = two_sum(ah, bh)
+    se = se + (al + bl)
+    return fast_two_sum(sh, se)
+
+
 def add_f32(ah, al, b):
     """df32 + f32."""
     sh, se = two_sum(ah, b)
@@ -124,14 +137,19 @@ def mul_f32(ah, al, b):
 
 
 def div(ah, al, bh, bl):
-    """df32 / df32 (long division with two corrections, ~1e-14 relative)."""
-    q1 = ah / bh
+    """df32 / df32, ~1e-14 relative.
+
+    ONE hardware divide (the f32 reciprocal seed) + exact two_prod
+    residual corrections by multiply — VPU divides are many-cycle ops and
+    this sits inside the kernel's per-(j,k,a) log."""
+    r = _np.float32(1.0) / bh
+    q1 = _opaque(ah * r)
     p, e = two_prod(q1, bh)
     rh, rl = add(ah, al, -p, -(e + q1 * bl))
-    q2 = rh / bh
+    q2 = _opaque(rh * r)
     p2, e2 = two_prod(q2, bh)
     rh2, _ = add(rh, rl, -p2, -(e2 + q2 * bl))
-    q3 = rh2 / bh
+    q3 = rh2 * r
     qh, ql = fast_two_sum(q1, q2)
     return add_f32(qh, ql, q3)
 

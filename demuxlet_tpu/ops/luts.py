@@ -65,3 +65,32 @@ def pair_lut(grid_alpha, cap_bq: int = 40) -> np.ndarray:
                         row[k * 9 + l * 3 + m] = pr * (1.0 - p) + pa * p
             out[a * nq + q] = np.log(row)
     return out
+
+
+def singlet_prob_lut(cap_bq: int = 40) -> np.ndarray:
+    """Probability-domain LOGF (no log): the per-UMI GL factors themselves.
+    Used by the df32 exact path, which multiplies probabilities directly
+    with exponent tracking — the reference's own arithmetic
+    (cmd_cram_demuxlet.cpp:437-443) — instead of exp(sum of logs)."""
+    return np.exp(singlet_lut(cap_bq))
+
+
+def pair_prob_lut(grid_alpha, cap_bq: int = 40) -> np.ndarray:
+    """Probability-domain W (no log): per-UMI mixture factors
+    pR*(1-p) + pA*p (cmd_cram_demuxlet.cpp:606-625), exact f64 values."""
+    nq = cap_bq + 1
+    na = len(grid_alpha)
+    out = np.empty((2 * nq, na * 9), dtype=np.float64)
+    for a in (0, 1):
+        for q in range(nq):
+            e3 = PHRED2ERR[q] / 3.0
+            pr = PHRED2MAT[q] if a == 0 else e3
+            pa = PHRED2MAT[q] if a == 1 else e3
+            for k, alpha in enumerate(grid_alpha):
+                for l in range(3):
+                    for m in range(3):
+                        p = 0.5 * l + (m - l) * 0.5 * alpha
+                        out[a * nq + q, k * 9 + l * 3 + m] = (
+                            pr * (1.0 - p) + pa * p
+                        )
+    return out

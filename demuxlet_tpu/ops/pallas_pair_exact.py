@@ -8,25 +8,29 @@ ALUs, so the XLA f64 kernels run ~50x slower than fast mode; computing in
 df32 recovers most of the gap while keeping exact-mode outputs at
 reference-printed precision.
 
-Division of labor (mirrors ops/pallas_pair.py):
-  * XLA front (fused elementwise f32): per-UMI LUT gathers summed in df,
-    the telescoped max-shift, df exp, the reference's +1e-6 smoothing and
-    max-renormalization (cmd_cram_demuxlet.cpp:626-663) — emitting the
-    mixture table t as TWO f32 planes, plus the full df32 singlet pass 1
-    (:415-461) with a pairwise df tree-sum over slots.
-  * Pallas kernel (VPU): the (l,m,j,k,a) contraction and log in df32 —
-    per-(cell,slot) U[j,a,m] = sum_l g[j,l] t[a,l,m]; inner[j,k,a] =
-    sum_m g[k,m] U[j,a,m]; acc[j,k,a] += log(inner) — with (hi, lo)
-    accumulator planes in VMEM scratch across slot-tile steps and a
-    roll-butterfly compensated lane reduction at the end (a plain f32
-    lane sum would lose ~1e-4).
+Arithmetic strategy — probability-domain products, like the reference
+itself (cmd_cram_demuxlet.cpp:606-663), NOT exp(sum of logs):
+  * XLA front (fused elementwise f32): per-UMI probability LUT gathers
+    multiplied in df with per-multiply exponent renormalization (mantissa
+    kept in [1,2), integer exponent accumulated in f32) — no df exp
+    anywhere; then the telescoped max-division, +1e-6 smoothing and
+    final renormalization, emitting the mixture table t as (hi, lo)
+    f32 planes. Pass 1 runs the same way.
+  * Pallas kernel (VPU): per-(cell,slot) U[j,a,m] = sum_l g[j,l] t[a,l,m];
+    inner[j,k,a] = sum_m g[k,m] U[j,a,m]; the slot accumulation multiplies
+    inner into a per-(j,k,a) df mantissa with exponent tracking — ONE df
+    log per (j,k,a) per cell-tile at the end (a log per slot-step was the
+    dominant cost), followed by a roll-butterfly compensated lane
+    reduction (a plain f32 lane sum would lose ~1e-4).
 
-Padded slots are exactly neutral: zero codes -> lograw == 0 -> t == 1
-exactly in df (verified: exp(0)=1, x/x=1, (1+1e-6)/(1+1e-6)=1 are exact
-in ops/df32.py), and neutral (1,0,0) gps rows make inner == 1 -> log == 0.
+Padded slots are exactly neutral: none-codes hit the LUT's 1.0 row, so
+the slot's product table is all-ones, normalizing to t == 1 exactly, and
+neutral (1,0,0) gps rows make inner == 1 -> the mantissa product and
+exponent stay untouched (pinned by the empty-block test).
 
-Kernel tile: TB=16 cells x TS=128 slots (the df accumulator scratch is
-2 planes x V*V*A x TB x TS f32 ~ 5.2 MB at V=8, A=5).
+Kernel tile: TB=8 cells x TS=128 slots — the df accumulator scratch is
+3 planes x V*V*A x TB x TS f32 (~3.9 MB at V=8, A=5); TB=16 blew the
+16 MB scoped-VMEM limit on v5e with the double-buffered input blocks.
 """
 
 from __future__ import annotations
@@ -41,10 +45,30 @@ from jax.experimental.pallas import tpu as pltpu
 
 from demuxlet_tpu.ops import df32 as df
 
-TB = 16  # cells per tile (sublanes)
+TB = 8  # cells per tile (the native f32 sublane tile)
 TS = 128  # slots per tile (lanes)
 
 _SMOOTH = 1e-6
+_K_HI = np.float32(1.0 / (1.0 + _SMOOTH))
+_K_SMOOTH = (
+    _K_HI,
+    np.float32(np.float64(1.0 / (1.0 + _SMOOTH)) - np.float64(_K_HI)),
+)
+# 1e-6 as a df pair: f32(1e-6) alone is 1.2e-14 off, which shows up as
+# ~2.5e-9 RELATIVE error on t values near the smoothing floor
+_SMOOTH_DF = (
+    np.float32(_SMOOTH),
+    np.float32(np.float64(_SMOOTH) - np.float64(np.float32(_SMOOTH))),
+)
+
+
+def _renorm(h, l, e_acc):
+    """Rescale a positive df mantissa to [1, 2), accumulating the shed
+    exponent into e_acc (f32 integer-valued; exact to 2^24)."""
+    bits = df._bits(h)
+    ee = ((bits >> 23) & 0xFF) - 127
+    sc = df._pow2(-ee)
+    return h * sc, l * sc, e_acc + ee.astype(jnp.float32)
 
 
 def _lane_sum_df(h, l, width=TS):
@@ -63,29 +87,37 @@ def _lane_sum_df(h, l, width=TS):
 
 
 def _pair_kernel_df(
-    th_ref, tl_ref, gh_ref, gl_ref, g0h_ref, g0l_ref,
-    outh_ref, outl_ref, out0h_ref, out0l_ref,
-    acch_ref, accl_ref, acc0h_ref, acc0l_ref,
+    th_ref, tl_ref, gh_ref, gl_ref, g0h_ref, g0l_ref, slh_ref, sll_ref,
+    outh_ref, outl_ref, out0h_ref, out0l_ref, outsh_ref, outsl_ref,
+    mh_ref, ml_ref, me_ref, m0h_ref, m0l_ref, m0e_ref,
+    sh_ref, sl_ref, se_ref,
     *, V, A, n_s,
 ):
     s_step = pl.program_id(1)
 
     @pl.when(s_step == 0)
     def _():
-        acch_ref[:] = jnp.zeros_like(acch_ref)
-        accl_ref[:] = jnp.zeros_like(accl_ref)
-        acc0h_ref[:] = jnp.zeros_like(acc0h_ref)
-        acc0l_ref[:] = jnp.zeros_like(acc0l_ref)
+        mh_ref[:] = jnp.ones_like(mh_ref)
+        ml_ref[:] = jnp.zeros_like(ml_ref)
+        me_ref[:] = jnp.zeros_like(me_ref)
+        m0h_ref[:] = jnp.ones_like(m0h_ref)
+        m0l_ref[:] = jnp.zeros_like(m0l_ref)
+        m0e_ref[:] = jnp.zeros_like(m0e_ref)
+        sh_ref[:] = jnp.ones_like(sh_ref)
+        sl_ref[:] = jnp.zeros_like(sl_ref)
+        se_ref[:] = jnp.zeros_like(se_ref)
 
     t = [(th_ref[x], tl_ref[x]) for x in range(A * 9)]
     g = [(gh_ref[i], gl_ref[i]) for i in range(V * 3)]
     g0 = [(g0h_ref[i], g0l_ref[i]) for i in range(3)]
+    glt = [(slh_ref[i], sll_ref[i]) for i in range(3)]
 
     def dot3(ga, gb, gc, ta, tb, tc):
-        """sum_l g[l]*t[l] in the reference's l-ascending order."""
+        """sum_l g[l]*t[l], l-ascending; all terms non-negative
+        (probabilities), so the sloppy positive add applies."""
         s = df.mul(*ga, *ta)
-        s = df.add(*s, *df.mul(*gb, *tb))
-        s = df.add(*s, *df.mul(*gc, *tc))
+        s = df.add_pos(*s, *df.mul(*gb, *tb))
+        s = df.add_pos(*s, *df.mul(*gc, *tc))
         return s
 
     for j in range(V):
@@ -102,11 +134,12 @@ def _pair_kernel_df(
                     g[k * 3], g[k * 3 + 1], g[k * 3 + 2],
                     u[a * 3], u[a * 3 + 1], u[a * 3 + 2],
                 )
-                lgh, lgl = df.log(*inner)
                 idx = (j * V + k) * A + a
-                nh, nl = df.add(acch_ref[idx], accl_ref[idx], lgh, lgl)
-                acch_ref[idx] = nh
-                accl_ref[idx] = nl
+                nh, nl = df.mul(mh_ref[idx], ml_ref[idx], *inner)
+                nh, nl, ne = _renorm(nh, nl, me_ref[idx])
+                mh_ref[idx] = nh
+                ml_ref[idx] = nl
+                me_ref[idx] = ne
 
     # background pair term llks00 (:700-709), host-exact gp0 planes
     for a in range(A):
@@ -114,18 +147,40 @@ def _pair_kernel_df(
                    t[a * 9 + m], t[a * 9 + 3 + m], t[a * 9 + 6 + m])
               for m in range(3)]
         inner0 = dot3(g0[0], g0[1], g0[2], u0[0], u0[1], u0[2])
-        lgh, lgl = df.log(*inner0)
-        nh, nl = df.add(acc0h_ref[a], acc0l_ref[a], lgh, lgl)
-        acc0h_ref[a] = nh
-        acc0l_ref[a] = nl
+        nh, nl = df.mul(m0h_ref[a], m0l_ref[a], *inner0)
+        nh, nl, ne = _renorm(nh, nl, m0e_ref[a])
+        m0h_ref[a] = nh
+        m0l_ref[a] = nl
+        m0e_ref[a] = ne
+
+    # pass 1 (:415-461): contrib = sum_l gl[l] * gps[j,l]; the XLA front
+    # ships the normalized+smoothed GL table, this kernel accumulates the
+    # per-cell slot product (one log per cell at the end)
+    for j in range(V + 1):
+        src = g0 if j == V else g[j * 3 : j * 3 + 3]
+        inner = dot3(glt[0], glt[1], glt[2], src[0], src[1], src[2])
+        nh, nl = df.mul(sh_ref[j], sl_ref[j], *inner)
+        nh, nl, ne = _renorm(nh, nl, se_ref[j])
+        sh_ref[j] = nh
+        sl_ref[j] = nl
+        se_ref[j] = ne
 
     @pl.when(s_step == n_s - 1)
     def _():
+        def finish(mh, ml, me):
+            """log(mantissa) + e*ln2, then compensated lane sum."""
+            lgh, lgl = df.log(mh, ml)
+            th_, tl_ = df.two_prod(me, df._LN2_HI)
+            tl_ = tl_ + me * df._LN2_LO
+            vh, vl = df.add(lgh, lgl, th_, tl_)
+            rh, rl = _lane_sum_df(vh, vl)
+            return rh[:, 0], rl[:, 0]
+
         colsh, colsl = [], []
         for idx in range(V * V * A):
-            rh, rl = _lane_sum_df(acch_ref[idx], accl_ref[idx])
-            colsh.append(rh[:, 0])
-            colsl.append(rl[:, 0])
+            rh, rl = finish(mh_ref[idx], ml_ref[idx], me_ref[idx])
+            colsh.append(rh)
+            colsl.append(rl)
         while len(colsh) < outh_ref.shape[1]:
             colsh.append(jnp.zeros_like(colsh[0]))
             colsl.append(jnp.zeros_like(colsl[0]))
@@ -133,104 +188,150 @@ def _pair_kernel_df(
         outl_ref[:] = jnp.stack(colsl, axis=1)
         cols0h, cols0l = [], []
         for a in range(A):
-            rh, rl = _lane_sum_df(acc0h_ref[a], acc0l_ref[a])
-            cols0h.append(rh[:, 0])
-            cols0l.append(rl[:, 0])
+            rh, rl = finish(m0h_ref[a], m0l_ref[a], m0e_ref[a])
+            cols0h.append(rh)
+            cols0l.append(rl)
         while len(cols0h) < out0h_ref.shape[1]:
             cols0h.append(jnp.zeros_like(cols0h[0]))
             cols0l.append(jnp.zeros_like(cols0l[0]))
         out0h_ref[:] = jnp.stack(cols0h, axis=1)
         out0l_ref[:] = jnp.stack(cols0l, axis=1)
+        colssh, colssl = [], []
+        for j in range(V + 1):
+            rh, rl = finish(sh_ref[j], sl_ref[j], se_ref[j])
+            colssh.append(rh)
+            colssl.append(rl)
+        while len(colssh) < outsh_ref.shape[1]:
+            colssh.append(jnp.zeros_like(colssh[0]))
+            colssl.append(jnp.zeros_like(colssl[0]))
+        outsh_ref[:] = jnp.stack(colssh, axis=1)
+        outsl_ref[:] = jnp.stack(colssl, axis=1)
 
 
-def _call_pair_kernel_df(t_pair, g_pair, g0_pair, V, A, interpret):
+def _call_pair_kernel_df(t_pair, g_pair, g0_pair, gl_pair, V, A, interpret):
     th, tl = t_pair
     gh, gl = g_pair
     g0h, g0l = g0_pair
+    slh, sll = gl_pair
     _, B, S = th.shape
     n_s = S // TS
     w_ab = -(-(V * V * A) // 128) * 128
     kernel = functools.partial(_pair_kernel_df, V=V, A=A, n_s=n_s)
     in_spec3 = lambda C: pl.BlockSpec((C, TB, TS), lambda ib, is_: (ib * 0, ib, is_))
     out_spec = lambda W: pl.BlockSpec((TB, W), lambda ib, is_: (ib, ib * 0))
-    outh, outl, out0h, out0l = pl.pallas_call(
+    outh, outl, out0h, out0l, outsh, outsl = pl.pallas_call(
         kernel,
         grid=(B // TB, n_s),
         in_specs=[in_spec3(A * 9), in_spec3(A * 9),
                   in_spec3(V * 3), in_spec3(V * 3),
+                  in_spec3(3), in_spec3(3),
                   in_spec3(3), in_spec3(3)],
         out_specs=[out_spec(w_ab), out_spec(w_ab),
+                   out_spec(128), out_spec(128),
                    out_spec(128), out_spec(128)],
         out_shape=[
             jax.ShapeDtypeStruct((B, w_ab), jnp.float32),
             jax.ShapeDtypeStruct((B, w_ab), jnp.float32),
             jax.ShapeDtypeStruct((B, 128), jnp.float32),
             jax.ShapeDtypeStruct((B, 128), jnp.float32),
+            jax.ShapeDtypeStruct((B, 128), jnp.float32),
+            jax.ShapeDtypeStruct((B, 128), jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((V * V * A, TB, TS), jnp.float32),
             pltpu.VMEM((V * V * A, TB, TS), jnp.float32),
+            pltpu.VMEM((V * V * A, TB, TS), jnp.float32),
             pltpu.VMEM((A, TB, TS), jnp.float32),
             pltpu.VMEM((A, TB, TS), jnp.float32),
+            pltpu.VMEM((A, TB, TS), jnp.float32),
+            pltpu.VMEM((V + 1, TB, TS), jnp.float32),
+            pltpu.VMEM((V + 1, TB, TS), jnp.float32),
+            pltpu.VMEM((V + 1, TB, TS), jnp.float32),
         ],
         interpret=interpret,
-    )(th, tl, gh, gl, g0h, g0l)
+    )(th, tl, gh, gl, g0h, g0l, slh, sll)
     ab = (outh[:, : V * V * A], outl[:, : V * V * A])
     z0 = (out0h[:, :A], out0l[:, :A])
-    return ab, z0
+    sing = (outsh[:, : V + 1], outsl[:, : V + 1])
+    return ab, z0, sing
 
 
 # ---------------------------------------------------------------- XLA front
-def _gather_sum_df(tab_h, tab_l, codes_i32):
-    """lograw = sum_u LUT[code_u] in df32. codes (B,S,U) int32 with the
-    none-row index for absent UMIs (LUT none-row is exactly 0)."""
-    U = codes_i32.shape[-1]
+def _prod_gather(tab_h, tab_l, codes_i32):
+    """Per-UMI probability products in df with exponent tracking.
+
+    Returns (mh, ml, ef): value = (mh + ml) * 2^ef, mh in [1, 2).
+    The LUT's none-row is exactly 1.0, so absent UMIs are identity."""
     h = jnp.take(tab_h, codes_i32[..., 0], axis=0)
     l = jnp.take(tab_l, codes_i32[..., 0], axis=0)
-    for uu in range(1, U):
+    h, l, e = _renorm(h, l, jnp.zeros_like(h))
+    for uu in range(1, codes_i32.shape[-1]):
         h2 = jnp.take(tab_h, codes_i32[..., uu], axis=0)
         l2 = jnp.take(tab_l, codes_i32[..., uu], axis=0)
-        h, l = df.add(h, l, h2, l2)
-    return h, l
+        h, l = df.mul(h, l, h2, l2)
+        h, l, e = _renorm(h, l, e)
+    return h, l, e
 
 
-def _df_max_last(h, l):
-    """df max over the last axis: hi-argmax element with its lo word."""
-    mh = jnp.max(h, axis=-1, keepdims=True)
-    mask = h == mh
-    ml = jnp.max(jnp.where(mask, l, -jnp.inf), axis=-1, keepdims=True)
-    return mh, ml
+def _normalize_prod(mh, ml, ef, axis=-1):
+    """(m, e) table -> reference-normalized values in [0, 1]:
+    v = (m/m_max) * 2^(e - e_max) over `axis`.
+
+    key = e + (m - 1) orders (e, m) pairs exactly (e integer-valued,
+    m - 1 in [0, 1))."""
+    key = ef + (mh - np.float32(1.0))
+    kmax = jnp.max(key, axis=axis, keepdims=True)
+    mask = key == kmax
+    ninf = np.float32(-np.inf)
+    e_max = jnp.max(jnp.where(mask, ef, ninf), axis=axis, keepdims=True)
+    mm_h = jnp.max(jnp.where(mask, mh, ninf), axis=axis, keepdims=True)
+    mm_l = jnp.max(jnp.where(mask, ml, ninf), axis=axis, keepdims=True)
+    rh, rl = df.div(np.float32(1.0), np.float32(0.0), mm_h, mm_l)
+    vh, vl = df.mul(mh, ml, rh, rl)
+    d_e = ef - e_max  # <= 0
+    under = d_e < np.float32(-126.0)
+    sc = df._pow2(jnp.maximum(d_e, np.float32(-126.0)))
+    zero = np.float32(0.0)
+    vh = jnp.where(under, zero, vh * sc)
+    vl = jnp.where(under, zero, vl * sc)
+    return vh, vl
 
 
-def _mixture_table_df(lograw_h, lograw_l):
-    """lograw (B,S,A9) df -> reference-normalized mixture table t (df).
-
-    t = ((exp(lograw - max) / M) + 1e-6) / (1 + 1e-6): the per-UMI
-    max-divisions telescope to the single max-shift; the max of the
-    smoothed table is exactly 1 + 1e-6 because the argmax element of the
-    normalized table is exactly 1 in df (x/x == 1, verified)."""
-    mh = jnp.max(lograw_h, axis=-1, keepdims=True)
-    dh, dl = df.add_f32(lograw_h, lograw_l, -mh)
-    uh, ul = df.exp(dh, dl)
-    Mh, Ml = _df_max_last(uh, ul)
-    rh, rl = df.div(np.float32(1.0), np.float32(0.0), Mh, Ml)
-    vh, vl = df.mul(uh, ul, rh, rl)
+def _mixture_table_df(mh, ml, ef, axis=-1):
+    """Product table -> reference-normalized mixture table t (df):
+    t = (v + 1e-6) / (1 + 1e-6). The per-UMI max-divisions telescope to
+    the single max-division (cmd_cram_demuxlet.cpp:626-663); the max of
+    the smoothed table is exactly 1 + 1e-6 because the argmax element of
+    the normalized table is exactly 1 in df."""
+    vh, vl = _normalize_prod(mh, ml, ef, axis=axis)
     wh, wl = df.add(vh, vl, _SMOOTH_DF[0], _SMOOTH_DF[1])
-    kh, kl = _K_SMOOTH
-    return df.mul(wh, wl, kh, kl)
+    return df.mul(wh, wl, _K_SMOOTH[0], _K_SMOOTH[1])
 
 
-_K_HI = np.float32(1.0 / (1.0 + _SMOOTH))
-_K_SMOOTH = (
-    _K_HI,
-    np.float32(np.float64(1.0 / (1.0 + _SMOOTH)) - np.float64(_K_HI)),
-)
-# 1e-6 as a df pair: f32(1e-6) alone is 1.2e-14 off, which shows up as
-# ~2.5e-9 RELATIVE error on t values near the smoothing floor
-_SMOOTH_DF = (
-    np.float32(_SMOOTH),
-    np.float32(np.float64(_SMOOTH) - np.float64(np.float32(_SMOOTH))),
-)
+def _df_prod_axis(h, l, e, axis):
+    """Pairwise df tree-PRODUCT along `axis` with exponent tracking
+    (length padded to a power of 2 with exact ones). Returns (m, l, e)
+    with m in [1, 2)."""
+    n = h.shape[axis]
+    p = 1
+    while p < n:
+        p *= 2
+    if p != n:
+        pad = [(0, 0)] * h.ndim
+        pad[axis] = (0, p - n)
+        h = jnp.pad(h, pad, constant_values=1.0)
+        l = jnp.pad(l, pad)
+        e = jnp.pad(e, pad)
+    while h.shape[axis] > 1:
+        m = h.shape[axis] // 2
+        sl = lambda x, a, b: jax.lax.slice_in_dim(x, a, b, axis=axis)
+        h1, h2 = sl(h, 0, m), sl(h, m, 2 * m)
+        l1, l2 = sl(l, 0, m), sl(l, m, 2 * m)
+        e1, e2 = sl(e, 0, m), sl(e, m, 2 * m)
+        h, l = df.mul(h1, l1, h2, l2)
+        h, l, e = _renorm(h, l, e1 + e2)
+    return (jnp.squeeze(h, axis), jnp.squeeze(l, axis),
+            jnp.squeeze(e, axis))
 
 
 def _df_sum_axis(h, l, axis):
@@ -255,15 +356,15 @@ def _df_sum_axis(h, l, axis):
     return jnp.squeeze(h, axis), jnp.squeeze(l, axis)
 
 
-def _singlet_df(codes_i32, msk, gps_g, gp0_g, logf_h, logf_l):
-    """Pass 1 (cmd_cram_demuxlet.cpp:415-461) in df32.
-
-    gps_g: ((B,S,V,3) hi, lo) df pair; gp0_g likewise (B,S,3).
-    Returns ((B,V) df llk, (B,) df llk0)."""
-    lh, ll = _gather_sum_df(logf_h, logf_l, codes_i32)  # (B,S,3)
-    mh = jnp.max(lh, axis=-1, keepdims=True)
-    dh, dl = df.add_f32(lh, ll, -mh)
-    uh, ul = df.exp(dh, dl)
+def _gl_table_df(codes_i32, msk, plogf_h, plogf_l):
+    """Pass-1 GL table (cmd_cram_demuxlet.cpp:428-452) in df32,
+    probability domain: per-UMI products, sum-normalize, +1e-6,
+    renormalize. Masked slots get the (1,0,0)-compatible identity row
+    handled by the kernel via neutral gps; here they just carry whatever
+    the none-code products give (exactly uniform), masked downstream.
+    Returns (B,S,3) df planes."""
+    mh, ml, ef = _prod_gather(plogf_h, plogf_l, codes_i32)  # (B,S,3)
+    uh, ul = _normalize_prod(mh, ml, ef)
     # sequential l-order sum (reference :440-443)
     sh, sl = df.add(uh[..., 0], ul[..., 0], uh[..., 1], ul[..., 1])
     sh, sl = df.add(sh, sl, uh[..., 2], ul[..., 2])
@@ -274,42 +375,25 @@ def _singlet_df(codes_i32, msk, gps_g, gp0_g, logf_h, logf_l):
     s2h, s2l = df.add(s2h, s2l, glh[..., 2], gll[..., 2])
     r2h, r2l = df.div(np.float32(1.0), np.float32(0.0), s2h, s2l)
     glh, gll = df.mul(glh, gll, r2h[..., None], r2l[..., None])
-
-    gh, gl_ = gps_g
-    g0h, g0l = gp0_g
-
-    def contrib(ph, pl_):
-        """log(sum_l gl[l] * p[l]) per slot, masked to exact zero."""
-        ih, il = df.mul(glh[..., 0], gll[..., 0], ph[..., 0], pl_[..., 0])
-        ih, il = df.add(ih, il, *df.mul(glh[..., 1], gll[..., 1],
-                                        ph[..., 1], pl_[..., 1]))
-        ih, il = df.add(ih, il, *df.mul(glh[..., 2], gll[..., 2],
-                                        ph[..., 2], pl_[..., 2]))
-        ch, cl = df.log(ih, il)
-        z = np.float32(0.0)
-        return jnp.where(msk, ch, z), jnp.where(msk, cl, z)
-
-    llk_h, llk_l = [], []
-    V = gh.shape[2]
-    for j in range(V):
-        ch, cl = contrib(gh[:, :, j], gl_[:, :, j])
-        vh, vl = _df_sum_axis(ch, cl, axis=1)
-        llk_h.append(vh)
-        llk_l.append(vl)
-    c0h, c0l = contrib(g0h, g0l)
-    z0h, z0l = _df_sum_axis(c0h, c0l, axis=1)
-    return (jnp.stack(llk_h, 1), jnp.stack(llk_l, 1)), (z0h, z0l)
+    return glh, gll
 
 
 def split_tables(gps, gp0, w, logf):
-    """Host-side: split f64 tables into df planes with the zero none-row
-    appended to the LUTs (mirrors pallas_pair.extend_luts)."""
+    """Host-side: split f64 tables into df planes.
+
+    w and logf are the LOG-domain LUTs (ops/luts.py) — converted here to
+    probability domain (exp) with a 1.0 none-row appended, since this
+    path multiplies probabilities directly like the reference. The exp
+    round-trip recovers the f64 probabilities to 1 ulp; use
+    luts.pair_prob_lut/singlet_prob_lut values where exactness vs the
+    reference's own products matters (they are byte-identical here
+    because the LUT construction computes probabilities first)."""
     gps_h, gps_l = df.from_f64(gps)
     gp0_h, gp0_l = df.from_f64(gp0)
-    wz = np.zeros((w.shape[0] + 1, w.shape[1]), dtype=np.float64)
-    wz[:-1] = w
-    lz = np.zeros((logf.shape[0] + 1, 3), dtype=np.float64)
-    lz[:-1] = logf
+    wz = np.ones((w.shape[0] + 1, w.shape[1]), dtype=np.float64)
+    wz[:-1] = np.exp(w)
+    lz = np.ones((logf.shape[0] + 1, 3), dtype=np.float64)
+    lz[:-1] = np.exp(logf)
     w_h, w_l = df.from_f64(wz)
     logf_h, logf_l = df.from_f64(lz)
     return (gps_h, gps_l), (gp0_h, gp0_l), (w_h, w_l), (logf_h, logf_l)
@@ -323,7 +407,7 @@ def demux_block_exact_impl(
 
     codes (B,S,U) uint8 (255 = none); idx (B,S) int32; msk (B,S) bool;
     gps_pair ((NS,V,3) hi, lo); gp0_pair ((NS,3) hi, lo); w_pair
-    ((NB+1, A*9) hi, lo); logf_pair ((NB+1, 3) hi, lo).
+    ((NB+1, A*9) hi, lo probability LUT); logf_pair ((NB+1, 3) hi, lo).
     Returns df pairs: (llk (B,V), llk0 (B,), llk_ab (B,V,V,A), llk00 (B,A)),
     each as (hi, lo) f32 — combine to f64 on the host."""
     B, S, U = codes.shape
@@ -331,8 +415,8 @@ def demux_block_exact_impl(
     none_row = w_pair[0].shape[0] - 1
     c = jnp.where(codes == 255, jnp.uint8(none_row), codes).astype(jnp.int32)
 
-    lograw_h, lograw_l = _gather_sum_df(w_pair[0], w_pair[1], c)
-    th, tl = _mixture_table_df(lograw_h, lograw_l)  # (B,S,A9)
+    mh, ml, ef = _prod_gather(w_pair[0], w_pair[1], c)  # (B,S,A9)
+    th, tl = _mixture_table_df(mh, ml, ef)
     t_h = jnp.transpose(th, (2, 0, 1))
     t_l = jnp.transpose(tl, (2, 0, 1))
 
@@ -347,16 +431,22 @@ def demux_block_exact_impl(
     g0h = jnp.where(msk[..., None], g0h, neutral)
     g0l = jnp.where(msk[..., None], g0l, zero3)
 
+    # pass-1 GL table; masked slots -> (1,0,0) so with neutral gps the
+    # kernel's singlet product accumulates an exact 1
+    glh, gll = _gl_table_df(c, msk, logf_pair[0], logf_pair[1])
+    glh = jnp.where(msk[..., None], glh, neutral)
+    gll = jnp.where(msk[..., None], gll, zero3)
+
     g_t = lambda x: jnp.transpose(x, (2, 3, 0, 1)).reshape(V * 3, B, S)
     g0_t = lambda x: jnp.transpose(x, (2, 0, 1))
-    ab, z0 = _call_pair_kernel_df(
+    ab, z0, sing = _call_pair_kernel_df(
         (t_h, t_l), (g_t(gh), g_t(gl)), (g0_t(g0h), g0_t(g0l)),
+        (g0_t(glh), g0_t(gll)),
         V, A, interpret,
     )
     llk_ab = (ab[0].reshape(B, V, V, A), ab[1].reshape(B, V, V, A))
-
-    llk, llk0 = _singlet_df(c, msk, (gh, gl), (g0h, g0l),
-                            logf_pair[0], logf_pair[1])
+    llk = (sing[0][:, :V], sing[1][:, :V])
+    llk0 = (sing[0][:, V], sing[1][:, V])
     return llk, llk0, llk_ab, z0
 
 
