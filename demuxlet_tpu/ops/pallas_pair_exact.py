@@ -79,8 +79,10 @@ def _lane_sum_df(h, l, width=TS):
     order — irrelevant at df precision (~1e-13 << printed 1e-4/1e-5)."""
     sh = width // 2
     while sh >= 1:
-        h2 = pltpu.roll(h, shift=sh, axis=1)
-        l2 = pltpu.roll(l, shift=sh, axis=1)
+        # np.int32: a bare Python int traces as i64 under x64 and Mosaic's
+        # dynamic_rotate requires an i32 shift
+        h2 = pltpu.roll(h, shift=np.int32(sh), axis=1)
+        l2 = pltpu.roll(l, shift=np.int32(sh), axis=1)
         h, l = df.add(h, l, h2, l2)
         sh //= 2
     return h, l
