@@ -2,12 +2,11 @@
 
 Reference analog: the CRAM half of SAMFilteredReader (via htslib cram_*).
 This decoder covers the containers/blocks/slice structure, ITF8/LTF8
-varints, raw/gzip/rANS-4x8 block compression (io/rans.py), and the
-EXTERNAL / HUFFMAN(single symbol) / BYTE_ARRAY_STOP / BYTE_ARRAY_LEN
-encodings — the combination our spec-structured fixture writer emits
-(tests/fixtures.write_cram) and a common subset of real-world files.
-Core-bitstream codecs (BETA/GAMMA/SUBEXP, multi-symbol HUFFMAN) raise a
-clear error when encountered.
+varints, raw/gzip/bzip2/lzma/rANS-4x8 block compression (io/rans.py),
+the EXTERNAL / BYTE_ARRAY_STOP / BYTE_ARRAY_LEN encodings, and the
+core-bitstream codecs (multi-symbol canonical HUFFMAN, BETA, GAMMA,
+SUBEXP) over the slice's shared CORE data block. Multi-slice containers
+are handled (slices iterate until the container body is consumed).
 
 Key demuxlet-specific design point: CRAM stores reads as features (diffs)
 against the reference genome, and the FASTA is not a demuxlet input. But the
@@ -97,6 +96,65 @@ def _sign32(v: int) -> int:
     return v - (1 << 32) if v >= (1 << 31) else v
 
 
+class _Bits:
+    """MSB-first bit reader over the slice's CORE data block. All
+    core-encoded data series of a slice share ONE cursor, interleaved in
+    record order (CRAM 3.0 section 8)."""
+
+    __slots__ = ("d", "byte", "bit")
+
+    def __init__(self, d: bytes):
+        self.d = d
+        self.byte = 0
+        self.bit = 7
+
+    def read_bit(self) -> int:
+        if self.byte >= len(self.d):
+            error("CRAM: core bitstream exhausted")
+        v = (self.d[self.byte] >> self.bit) & 1
+        if self.bit == 0:
+            self.bit = 7
+            self.byte += 1
+        else:
+            self.bit -= 1
+        return v
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+
+class _Huffman:
+    """Canonical Huffman decoder (CRAM 3.0 section 13.4): alphabet sorted
+    by (bit length, symbol value), codes assigned in ascending order."""
+
+    __slots__ = ("by_len",)
+
+    def __init__(self, symbols, lengths):
+        pairs = sorted(zip(lengths, symbols))
+        self.by_len: Dict[int, Dict[int, int]] = {}
+        code = 0
+        prev_len = pairs[0][0]
+        for ln, sym in pairs:
+            code <<= ln - prev_len
+            prev_len = ln
+            self.by_len.setdefault(ln, {})[code] = sym
+            code += 1
+
+    def decode(self, bits: _Bits) -> int:
+        code = 0
+        ln = 0
+        for _ in range(32):
+            code = (code << 1) | bits.read_bit()
+            ln += 1
+            tab = self.by_len.get(ln)
+            if tab is not None and code in tab:
+                return tab[code]
+        error("CRAM: invalid huffman code in core stream")
+
+
 @dataclass
 class Encoding:
     codec: int  # 0 NULL, 1 EXTERNAL, 3 HUFFMAN, 4 BYTE_ARRAY_LEN, 5 BYTE_ARRAY_STOP
@@ -121,17 +179,37 @@ class Encoding:
         if self.codec == 5:  # BYTE_ARRAY_STOP: stop byte + content id
             stop = b.u8()
             return ("byte_array_stop", stop, b.itf8())
+        if self.codec == 6:  # BETA: offset + bit length (core bitstream)
+            return ("beta", b.itf8_signed(), b.itf8())
+        if self.codec == 7:  # SUBEXP: offset + k (core bitstream)
+            return ("subexp", b.itf8_signed(), b.itf8())
+        if self.codec == 9:  # GAMMA: offset (core bitstream)
+            return ("gamma", b.itf8_signed())
         if self.codec == 0:
             return ("null",)
-        error("CRAM: unsupported encoding codec %d (rANS/core codecs TBD)", self.codec)
+        error("CRAM: unsupported encoding codec %d", self.codec)
 
 
 class _Series:
-    """A decodable data series bound to its external stream(s)."""
+    """A decodable data series bound to its external stream(s) and/or the
+    slice's shared core bitstream."""
 
-    def __init__(self, enc: Encoding, streams: Dict[int, _Buf]):
+    def __init__(self, enc: Encoding, streams: Dict[int, _Buf],
+                 core: Optional["_Bits"] = None):
         self.kind = enc.parse()
         self.streams = streams
+        self.core = core
+        if self.kind[0] == "huffman" and not all(
+            l == 0 for l in self.kind[2]
+        ):
+            self._huff = _Huffman(self.kind[1], self.kind[2])
+        else:
+            self._huff = None
+
+    def _bits(self) -> "_Bits":
+        if self.core is None:
+            error("CRAM: core-encoded series but no core data block")
+        return self.core
 
     def _stream(self, cid: int) -> _Buf:
         s = self.streams.get(cid)
@@ -144,19 +222,42 @@ class _Series:
         if k[0] == "external":
             return self._stream(k[1]).itf8_signed()
         if k[0] == "huffman":
-            symbols, lengths = k[1], k[2]
-            if all(l == 0 for l in lengths):
-                return symbols[0]  # zero-bit: constant symbol
-            error("CRAM: multi-symbol core huffman not supported")
+            if self._huff is None:
+                return k[1][0]  # zero-bit: constant symbol
+            return self._huff.decode(self._bits())
+        if k[0] == "beta":
+            offset, nbits = k[1], k[2]
+            return self._bits().read_bits(nbits) - offset
+        if k[0] == "gamma":
+            # Elias gamma: N leading zeros, then the N+1-bit value
+            bits = self._bits()
+            n = 0
+            while bits.read_bit() == 0:
+                n += 1
+            v = 1
+            for _ in range(n):
+                v = (v << 1) | bits.read_bit()
+            return v - 1 - k[1]
+        if k[0] == "subexp":
+            offset, kk = k[1], k[2]
+            bits = self._bits()
+            u = 0
+            while bits.read_bit() == 1:
+                u += 1
+            if u == 0:
+                v = bits.read_bits(kk)
+            else:
+                b = u + kk - 1
+                v = bits.read_bits(b) + (1 << b)
+            return v - offset
         error("CRAM: encoding %s cannot produce ints", k[0])
 
     def read_byte(self) -> int:
         k = self.kind
+        if k[0] in ("huffman", "beta", "gamma", "subexp"):
+            return self.read_int()
         if k[0] == "external":
             return self._stream(k[1]).u8()
-        if k[0] == "huffman":
-            if all(l == 0 for l in k[2]):
-                return k[1][0]
         error("CRAM: encoding %s cannot produce bytes", k[0])
 
     def read_bytes(self, n: int) -> bytes:
@@ -175,8 +276,8 @@ class _Series:
             s.o = end + 1
             return out
         if k[0] == "byte_array_len":
-            ln = _Series(k[1], self.streams).read_int()
-            return _Series(k[2], self.streams).read_bytes(ln)
+            ln = _Series(k[1], self.streams, self.core).read_int()
+            return _Series(k[2], self.streams, self.core).read_bytes(ln)
         error("CRAM: encoding %s cannot produce arrays", k[0])
 
 
@@ -499,11 +600,11 @@ class CramReader:
         sb.itf8_signed()  # embedded ref id
         sb.bytes(16)  # MD5
         streams: Dict[int, _Buf] = {}
-        core = _Buf(b"")
+        core = _Bits(b"")
         for _ in range(nblocks):
             btype, bcid, bdata = self._block(b)
             if btype == CORE:
-                core = _Buf(bdata)
+                core = _Bits(bdata)
             else:
                 streams[bcid] = _Buf(bdata)
 
@@ -511,7 +612,7 @@ class CramReader:
             enc = ds.get(key)
             if enc is None:
                 error("CRAM: data series %s missing", key)
-            return _Series(enc, streams)
+            return _Series(enc, streams, core)
 
         S = {
             k: series(k)
@@ -519,7 +620,7 @@ class CramReader:
             if k in ds
         }
         opt = {
-            k: _Series(ds[k], streams)
+            k: _Series(ds[k], streams, core)
             for k in (
                 "RN", "RI", "MF", "NS", "NP", "TS", "NF", "FN", "FC", "FP",
                 "DL", "BS", "IN", "SC", "HC", "PD", "RS", "BA", "QS", "MQ",
@@ -527,7 +628,7 @@ class CramReader:
             )
             if k in ds
         }
-        tag_series = {k: _Series(v, streams) for k, v in te.items()}
+        tag_series = {k: _Series(v, streams, core) for k, v in te.items()}
 
         prev_pos = a_start
         for _ in range(nrec):

@@ -471,16 +471,145 @@ _CRAM_IDS = dict(BF=1, CF=2, RL=3, AP=4, RG=5, RN=6, TL=7, FN=8, FC=9,
                  BA=18, QS=19, MF=20, NS=21, NP=22, TS=23, MQ=24)
 
 
+def _enc_beta(offset: int, nbits: int) -> bytes:
+    p = _itf8(offset) + _itf8(nbits)
+    return _itf8(6) + _itf8(len(p)) + p
+
+
+def _enc_gamma(offset: int) -> bytes:
+    p = _itf8(offset)
+    return _itf8(9) + _itf8(len(p)) + p
+
+
+def _enc_subexp(offset: int, k: int) -> bytes:
+    p = _itf8(offset) + _itf8(k)
+    return _itf8(7) + _itf8(len(p)) + p
+
+
+def _enc_huffman(symbols, lengths) -> bytes:
+    p = _itf8(len(symbols)) + b"".join(_itf8(s) for s in symbols)
+    p += _itf8(len(lengths)) + b"".join(_itf8(l) for l in lengths)
+    return _itf8(3) + _itf8(len(p)) + p
+
+
+class _BitW:
+    """MSB-first bit writer (mirror of io/cram._Bits)."""
+
+    def __init__(self):
+        self.bits = []
+
+    def write_bits(self, v: int, n: int):
+        for i in range(n - 1, -1, -1):
+            self.bits.append((v >> i) & 1)
+
+    def tobytes(self) -> bytes:
+        out = bytearray()
+        for i in range(0, len(self.bits), 8):
+            byte = 0
+            for j, b in enumerate(self.bits[i : i + 8]):
+                byte |= b << (7 - j)
+            out.append(byte)
+        return bytes(out)
+
+
+def _huffman_lengths(values):
+    """Code bit-lengths from value frequencies (heapq Huffman)."""
+    import heapq
+    from collections import Counter
+
+    cnt = Counter(values)
+    syms = sorted(cnt)
+    if len(syms) == 1:
+        return syms, [0]
+    heap = [(c, i, [s]) for i, (s, c) in enumerate(sorted(cnt.items()))]
+    heapq.heapify(heap)
+    depth = {s: 0 for s in syms}
+    uid = len(heap)
+    while len(heap) > 1:
+        c1, _, g1 = heapq.heappop(heap)
+        c2, _, g2 = heapq.heappop(heap)
+        for s in g1 + g2:
+            depth[s] += 1
+        heapq.heappush(heap, (c1 + c2, uid, g1 + g2))
+        uid += 1
+    return syms, [depth[s] for s in syms]
+
+
+class _CoreEnc:
+    """Per-series core-codec encoder matching io/cram's decoders."""
+
+    def __init__(self, kind, params):
+        self.kind = kind
+        self.params = params
+
+    def encoding_bytes(self):
+        if self.kind == "beta":
+            return _enc_beta(*self.params)
+        if self.kind == "gamma":
+            return _enc_gamma(*self.params)
+        if self.kind == "subexp":
+            return _enc_subexp(*self.params)
+        if self.kind == "huffman":
+            return _enc_huffman(*self.params)
+        raise AssertionError(self.kind)
+
+    def write(self, w: _BitW, value: int):
+        if self.kind == "beta":
+            offset, nbits = self.params
+            w.write_bits(value + offset, nbits)
+        elif self.kind == "gamma":
+            (offset,) = self.params
+            v = value + 1 + offset
+            n = v.bit_length() - 1
+            w.write_bits(0, n)
+            w.write_bits(v, n + 1)
+        elif self.kind == "subexp":
+            offset, k = self.params
+            v = value + offset
+            if v < (1 << k):
+                w.write_bits(0, 1)
+                w.write_bits(v, k)
+            else:
+                b = v.bit_length() - 1
+                u = b - k + 1
+                w.write_bits((1 << u) - 1, u)
+                w.write_bits(0, 1)
+                w.write_bits(v - (1 << b), b)
+        elif self.kind == "huffman":
+            syms, lens = self.params
+            if len(syms) == 1:
+                return  # zero-bit constant
+            # canonical codes: sorted by (length, symbol)
+            pairs = sorted(zip(lens, syms))
+            code = 0
+            prev = pairs[0][0]
+            table = {}
+            for ln, sym in pairs:
+                code <<= ln - prev
+                prev = ln
+                table[sym] = (code, ln)
+                code += 1
+            c, ln = table[value]
+            w.write_bits(c, ln)
+
+
 def write_cram(
     path: str,
     contigs: List[Tuple[str, int]],
     reads: List[SimRead],
     ref_seqs: dict,
     method: int = 0,
+    core_codecs: bool = False,
+    slices: int = 1,
 ) -> str:
-    """Spec-structured CRAM 3.0 writer (EXTERNAL/BYTE_ARRAY_STOP encodings,
-    raw blocks, one slice) for testing io/cram.py. ref_seqs: chrom -> str
-    genome sequence (reads are encoded as substitution features vs it)."""
+    """Spec-structured CRAM 3.0 writer for testing io/cram.py.
+
+    ref_seqs: chrom -> str genome (reads encode as substitution features).
+    method: block compression (0 raw, 1 gzip, 4 rANS).
+    core_codecs: encode the integer data series with core-bitstream codecs
+    (BETA/GAMMA/SUBEXP/multi-symbol canonical HUFFMAN) in a CORE data
+    block instead of EXTERNAL itf8 streams.
+    slices: split records into this many slices within one container."""
     ref_index = {name: i for i, (name, _) in enumerate(contigs)}
     reads = sorted(reads, key=lambda r: (ref_index[r.chrom], r.pos0))
     bases_order = "ACGTN"
@@ -495,7 +624,6 @@ def write_cram(
     td_lines, td_index = [], {}
     tag_ids = {}
     next_tag_cid = 30
-    streams = {cid: bytearray() for cid in _CRAM_IDS.values()}
 
     def tag_sig(r):
         sig = []
@@ -513,82 +641,125 @@ def write_cram(
             for tag, typ in sig:
                 if (tag, typ) not in tag_ids:
                     tag_ids[(tag, typ)] = next_tag_cid
-                    streams[next_tag_cid] = bytearray()
                     next_tag_cid += 1
 
-    nrec = 0
-    min_start = reads[0].pos0 + 1 if reads else 1
-    for i, r in enumerate(reads):
-        nrec += 1
-        S = streams
-        S[_CRAM_IDS["BF"]] += _itf8(r.flag)
-        S[_CRAM_IDS["CF"]] += _itf8(0x1 | 0x2)  # quals stored + detached
-        S[_CRAM_IDS["RL"]] += _itf8(len(r.seq))
-        S[_CRAM_IDS["AP"]] += _itf8(r.pos0 + 1)  # absolute (AP pres False)
-        S[_CRAM_IDS["RG"]] += _itf8(-1)
-        S[_CRAM_IDS["RN"]] += f"{r.name}{i}".encode() + b"\x00"
-        S[_CRAM_IDS["MF"]] += _itf8(0)
-        S[_CRAM_IDS["NS"]] += _itf8(-1)
-        S[_CRAM_IDS["NP"]] += _itf8(0)
-        S[_CRAM_IDS["TS"]] += _itf8(0)
-        S[_CRAM_IDS["TL"]] += _itf8(td_index[tag_sig(r)])
-        for tag, typ in tag_sig(r):
-            val = r.cb if tag == "CB" else r.ub
-            streams[tag_ids[(tag, typ)]] += val.encode() + b"\x09"
-        # features from CIGAR + seq vs reference
-        feats = []  # (code, read_pos_1based, payload_fn)
-        genome = ref_seqs[r.chrom]
-        rpos = 0
-        gpos = r.pos0
-        for ch, ln in _iter_cigar(r.cigar_str()):
-            if ch == "M":
-                for o in range(ln):
-                    rb = genome[gpos + o]
-                    sb = r.seq[rpos + o]
-                    if sb != rb:
-                        feats.append(("X", rpos + o + 1, sub_code(rb, sb)))
-                gpos += ln
-                rpos += ln
-            elif ch == "S":
-                feats.append(("S", rpos + 1, r.seq[rpos : rpos + ln]))
-                rpos += ln
-            elif ch == "I":
-                feats.append(("I", rpos + 1, r.seq[rpos : rpos + ln]))
-                rpos += ln
-            elif ch == "D":
-                feats.append(("D", rpos + 1, ln))
-                gpos += ln
-            elif ch == "N":
-                feats.append(("N", rpos + 1, ln))
-                gpos += ln
-            elif ch == "H":
-                feats.append(("H", rpos + 1, ln))
-            elif ch == "P":
-                feats.append(("P", rpos + 1, ln))
-        S[_CRAM_IDS["FN"]] += _itf8(len(feats))
-        prev = 0
-        for code, p, payload in feats:
-            S[_CRAM_IDS["FC"]] += code.encode()
-            S[_CRAM_IDS["FP"]] += _itf8(p - prev)
-            prev = p
-            if code == "X":
-                S[_CRAM_IDS["BS"]] += bytes([payload])
-            elif code == "D":
-                S[_CRAM_IDS["DL"]] += _itf8(payload)
-            elif code == "N":
-                S[_CRAM_IDS["RS"]] += _itf8(payload)
-            elif code == "I":
-                S[_CRAM_IDS["IN"]] += payload.encode() + b"\x00"
-            elif code == "S":
-                S[_CRAM_IDS["SC"]] += payload.encode() + b"\x00"
-            elif code == "H":
-                S[_CRAM_IDS["HC"]] += _itf8(payload)
-            elif code == "P":
-                S[_CRAM_IDS["PD"]] += _itf8(payload)
-        S[_CRAM_IDS["MQ"]] += _itf8(r.mapq)
-        S[_CRAM_IDS["QS"]] += bytes(r.quals)
+    # ---- pass 1: per-slice event streams (exact decoder read order for
+    # the int series; byte-array series go straight to external streams)
+    def emit_slice(slice_reads, base_index):
+        events = []  # (series_key, int_value) in decoder order
+        streams = {cid: bytearray() for cid in _CRAM_IDS.values()}
+        for cid in tag_ids.values():
+            streams[cid] = bytearray()
+        for i, r in enumerate(slice_reads):
+            S = streams
+            events.append(("BF", r.flag))
+            events.append(("CF", 0x1 | 0x2))
+            events.append(("RL", len(r.seq)))
+            events.append(("AP", r.pos0 + 1))
+            events.append(("RG", -1))
+            S[_CRAM_IDS["RN"]] += f"{r.name}{base_index + i}".encode() + b"\x00"
+            events.append(("MF", 0))
+            events.append(("NS", -1))
+            events.append(("NP", 0))
+            events.append(("TS", 0))
+            events.append(("TL", td_index[tag_sig(r)]))
+            for tag, typ in tag_sig(r):
+                val = r.cb if tag == "CB" else r.ub
+                streams[tag_ids[(tag, typ)]] += val.encode() + b"\x09"
+            feats = []
+            genome = ref_seqs[r.chrom]
+            rpos = 0
+            gpos = r.pos0
+            for ch, ln in _iter_cigar(r.cigar_str()):
+                if ch == "M":
+                    for o in range(ln):
+                        rb = genome[gpos + o]
+                        sb = r.seq[rpos + o]
+                        if sb != rb:
+                            feats.append(("X", rpos + o + 1, sub_code(rb, sb)))
+                    gpos += ln
+                    rpos += ln
+                elif ch == "S":
+                    feats.append(("S", rpos + 1, r.seq[rpos : rpos + ln]))
+                    rpos += ln
+                elif ch == "I":
+                    feats.append(("I", rpos + 1, r.seq[rpos : rpos + ln]))
+                    rpos += ln
+                elif ch == "D":
+                    feats.append(("D", rpos + 1, ln))
+                    gpos += ln
+                elif ch == "N":
+                    feats.append(("N", rpos + 1, ln))
+                    gpos += ln
+                elif ch == "H":
+                    feats.append(("H", rpos + 1, ln))
+                elif ch == "P":
+                    feats.append(("P", rpos + 1, ln))
+            events.append(("FN", len(feats)))
+            prev = 0
+            for code, p0, payload in feats:
+                S[_CRAM_IDS["FC"]] += code.encode()
+                events.append(("FP", p0 - prev))
+                prev = p0
+                if code == "X":
+                    S[_CRAM_IDS["BS"]] += bytes([payload])
+                elif code == "D":
+                    events.append(("DL", payload))
+                elif code == "N":
+                    events.append(("RS", payload))
+                elif code == "I":
+                    S[_CRAM_IDS["IN"]] += payload.encode() + b"\x00"
+                elif code == "S":
+                    S[_CRAM_IDS["SC"]] += payload.encode() + b"\x00"
+                elif code == "H":
+                    events.append(("HC", payload))
+                elif code == "P":
+                    events.append(("PD", payload))
+            events.append(("MQ", r.mapq))
+            S[_CRAM_IDS["QS"]] += bytes(r.quals)
+        return events, streams
 
-    # compression header
+    nsl = max(1, min(slices, max(1, len(reads))))
+    per = -(-len(reads) // nsl) if reads else 1
+    groups = [reads[i : i + per] for i in range(0, len(reads), per)] or [[]]
+    slice_data = []
+    base = 0
+    for g in groups:
+        slice_data.append((g, *emit_slice(g, base)))
+        base += len(g)
+
+    # ---- choose per-series encodings (shared by all slices)
+    INT_KEYS = ("BF", "CF", "RL", "AP", "RG", "MF", "NS", "NP", "TS", "TL",
+                "FN", "FP", "DL", "RS", "HC", "PD", "MQ")
+    encodings = {}
+    core_enc = {}
+    if core_codecs:
+        allv = {k: [] for k in INT_KEYS}
+        for _, events, _ in slice_data:
+            for k, v in events:
+                allv[k].append(v)
+        core_for = {
+            "BF": _CoreEnc("beta", (0, 16)),
+            "RL": _CoreEnc("gamma", (0,)),
+            "FN": _CoreEnc("gamma", (0,)),
+            "FP": _CoreEnc("subexp", (0, 2)),
+            "TL": _CoreEnc("beta", (0, 4)),
+            "DL": _CoreEnc("gamma", (0,)),
+            "RS": _CoreEnc("gamma", (0,)),
+            "HC": _CoreEnc("gamma", (0,)),
+            "PD": _CoreEnc("gamma", (0,)),
+        }
+        if allv["MQ"]:
+            core_for["MQ"] = _CoreEnc("huffman", _huffman_lengths(allv["MQ"]))
+        core_enc = {k: e for k, e in core_for.items()
+                    if k != "FP" or all(v >= 0 for v in allv["FP"])}
+    for k in INT_KEYS:
+        if k in core_enc:
+            encodings[k] = core_enc[k].encoding_bytes()
+        else:
+            encodings[k] = _enc_external(_CRAM_IDS[k])
+
+    # ---- compression header
     td_blob = b"".join(
         b"".join(t.encode() + y.encode() for t, y in line) + b"\x00"
         for line in td_lines
@@ -604,12 +775,15 @@ def write_cram(
     for k, v in pres_entries:
         pres += k + v
     pres = _itf8(len(pres)) + pres
-    ds_entries = []
-    for key, cid in _CRAM_IDS.items():
-        if key in ("RN", "IN", "SC"):
-            ds_entries.append((key.encode(), _enc_bas(0x00, cid)))
-        else:
-            ds_entries.append((key.encode(), _enc_external(cid)))
+    ds_entries = [(k.encode(), encodings[k]) for k in INT_KEYS]
+    ds_entries += [
+        (b"RN", _enc_bas(0, _CRAM_IDS["RN"])),
+        (b"FC", _enc_external(_CRAM_IDS["FC"])),
+        (b"BS", _enc_external(_CRAM_IDS["BS"])),
+        (b"IN", _enc_bas(0, _CRAM_IDS["IN"])),
+        (b"SC", _enc_bas(0, _CRAM_IDS["SC"])),
+        (b"QS", _enc_external(_CRAM_IDS["QS"])),
+    ]
     ds = _itf8(len(ds_entries))
     for k, e in ds_entries:
         ds += k + e
@@ -624,21 +798,35 @@ def write_cram(
     te = _itf8(len(te)) + te
     chdr = pres + ds + te
 
-    # slice header (single-chromosome fixtures: concrete ref id)
-    used = sorted(cid for cid in streams if streams[cid])
-    rid = ref_index[reads[0].chrom] if reads else -1
-    # CRAM 3.0: 'number of blocks' field, then a separately-counted
-    # content-id array (externals only; no core block in these fixtures).
-    slice_hdr = (
-        _itf8(rid) + _itf8(min_start) + _itf8(0) + _itf8(nrec)
-        + _ltf8(0) + _itf8(len(used))
-        + _itf8(len(used)) + b"".join(_itf8(c) for c in used)
-        + _itf8(-1) + b"\x00" * 16
-    )
-
-    blocks = _cram_block(1, 0, chdr) + _cram_block(2, 0, slice_hdr)
-    for cid in used:
-        blocks += _cram_block(4, cid, bytes(streams[cid]), method=method)
+    # ---- slices
+    blocks = _cram_block(1, 0, chdr)
+    total_blocks = 1
+    for g, events, streams in slice_data:
+        core_w = _BitW()
+        for k, v in events:
+            if k in core_enc:
+                core_enc[k].write(core_w, v)
+            else:
+                streams[_CRAM_IDS[k]] += _itf8(v)
+        used = sorted(cid for cid in streams if streams[cid])
+        core_bytes = core_w.tobytes()
+        n_data = len(used) + (1 if core_codecs else 0)
+        rid = ref_index[g[0].chrom] if g else -1
+        start = g[0].pos0 + 1 if g else 0
+        slice_hdr = (
+            _itf8(rid) + _itf8(start) + _itf8(0) + _itf8(len(g))
+            + _ltf8(0) + _itf8(n_data)
+            + _itf8(len(used)) + b"".join(_itf8(c) for c in used)
+            + _itf8(-1) + b"\x00" * 16
+        )
+        blocks += _cram_block(2, 0, slice_hdr)
+        total_blocks += 1
+        if core_codecs:
+            blocks += _cram_block(5, 0, core_bytes, method=0)
+            total_blocks += 1
+        for cid in used:
+            blocks += _cram_block(4, cid, bytes(streams[cid]), method=method)
+            total_blocks += 1
 
     def container(ref_id, start, nrec_, blocks_bytes, nblocks):
         hdr = (
@@ -654,11 +842,12 @@ def write_cram(
         f"@SQ\tSN:{n}\tLN:{l}\n" for n, l in contigs)).encode()
     hblock = _cram_block(0, 0, struct.pack("<i", len(text)) + text)
 
+    min_start = reads[0].pos0 + 1 if reads else 1
     out = b"CRAM\x03\x00" + b"\x00" * 20
     out += container(-1, 0, 1, hblock, 1)
     out += container(
         ref_index[reads[0].chrom] if reads else -1,
-        min_start, nrec, blocks, 2 + len(used),
+        min_start, len(reads), blocks, total_blocks,
     )
     out += container(-1, 0, 0, b"", 0)  # EOF
     with open(path, "wb") as fh:

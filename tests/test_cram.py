@@ -25,7 +25,8 @@ def _genome(rng, n):
     return "".join(rng.choice("ACGT") for _ in range(n))
 
 
-def _workload(tmp_path, seed=23, n_cells=12, n_snps=30, method=0):
+def _workload(tmp_path, seed=23, n_cells=12, n_snps=30, method=0,
+              **cram_kw):
     import os
 
     os.makedirs(str(tmp_path), exist_ok=True)
@@ -82,7 +83,7 @@ def _workload(tmp_path, seed=23, n_cells=12, n_snps=30, method=0):
     vcf = write_vcf(str(tmp_path / "c.vcf"), names, variants, contigs=contigs)
     bam = write_bam(str(tmp_path / "c.bam"), contigs, reads)
     cram = write_cram(str(tmp_path / "c.cram"), contigs, reads,
-                      {"chr1": genome}, method=method)
+                      {"chr1": genome}, method=method, **cram_kw)
     return vcf, bam, cram
 
 
@@ -165,3 +166,27 @@ def test_cramread_feature_walk_direct():
     table = {"A": "CGTN"}
     sc = _SubCode(table, 1)
     assert sc("A") == "G"
+
+
+@pytest.mark.parametrize("kw", [
+    dict(core_codecs=True),
+    dict(slices=3),
+    dict(core_codecs=True, slices=3, method=4),
+])
+def test_cram_core_codecs_and_slices_match_bam(tmp_path, kw):
+    """Core-bitstream codecs (BETA/GAMMA/SUBEXP/multi-symbol canonical
+    HUFFMAN) and multi-slice containers decode to the same pileup as the
+    BAM, including rANS-compressed external blocks."""
+    vcf, bam, cram = _workload(tmp_path, seed=41, **kw)
+    table = load_snp_table(vcf, field_name="GT")
+    scl_b, ctr_b = build_pileup(AlignmentReader(bam), table)
+    scl_c, ctr_c = build_pileup(CramReader(cram), table)
+    assert scl_c.barcodes == scl_b.barcodes
+    assert ctr_c == ctr_b
+    cb = CsrPileup.from_pileup(scl_b)
+    cc = CsrPileup.from_pileup(scl_c)
+    np.testing.assert_array_equal(cb.cell_uniq, cc.cell_uniq)
+    cells = list(range(cb.nbcs))
+    bb, bc2 = build_slots(cb, cells), build_slots(cc, cells)
+    np.testing.assert_array_equal(bb.idx, bc2.idx)
+    np.testing.assert_array_equal(bb.cnt, bc2.cnt)
