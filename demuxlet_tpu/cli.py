@@ -139,6 +139,18 @@ def build_parser() -> argparse.ArgumentParser:
     )
     g.add_argument("--shard-id", type=int, default=0, help="Stripe index for --num-shards")
     g.add_argument(
+        "--shard-by",
+        default="barcode",
+        choices=["barcode", "genome"],
+        help=(
+            "--num-shards decomposition: 'barcode' stripes cells by crc32 "
+            "(disjoint outputs, concat-merged); 'genome' gives each shard "
+            "a contiguous bp-balanced genome span — the BAI-seeked ingest "
+            "scans ~1/N of the BAM, SNPs partition by position, and "
+            "per-shard LLK contributions SUM at the distributed merge"
+        ),
+    )
+    g.add_argument(
         "--dist-coordinator",
         default=None,
         metavar="HOST:PORT",
@@ -318,6 +330,20 @@ def main(argv=None) -> int:
     if table.nsnps == 0:
         error("Cannot read any single variant from %s", args.vcf)
 
+    if args.shard_by == "genome" and args.num_shards > 1:
+        from demuxlet_tpu.io.vcf import filter_snp_table
+        from demuxlet_tpu.native.ingest import _bam_refs_len
+        from demuxlet_tpu.utils.intervals import split_genome_shards
+
+        shards = split_genome_shards(_bam_refs_len(args.sam), args.num_shards)
+        args._genome_regions = shards[args.shard_id]
+        table = filter_snp_table(table, args._genome_regions)
+        notice(
+            "Genome shard %d/%d: %d regions, %d SNPs",
+            args.shard_id, args.num_shards, len(args._genome_regions),
+            table.nsnps,
+        )
+
     t_vcf_done = time.time()
     scl, ctr = _ingest(args, table, group_set)
     ctr.report(scl.nbcs, scl.nsnps)
@@ -347,8 +373,10 @@ def main(argv=None) -> int:
     if args.profile:
         jax.profiler.start_trace(args.profile)
     t_eng = time.time()
+    genome_sharded = args.shard_by == "genome" and args.num_shards > 1
     compact = None
-    if args.mode == "fast" and not args.write_pair and not args.spool:
+    if (args.mode == "fast" and not args.write_pair and not args.spool
+            and not genome_sharded):
         # device-side decision pass: ~16x less device->host traffic
         llks_c, llk0s_c, compact = eng.run_compact(scl, args.doublet_prior)
     else:
@@ -373,7 +401,27 @@ def main(argv=None) -> int:
         from demuxlet_tpu.models import decision as D
         from demuxlet_tpu.parallel import multihost as mh
 
-        if args.write_pair or args.spool:
+        if genome_sharded:
+            # genome decomposition: every shard holds partial LLKs for all
+            # its barcodes over ITS SNPs; contributions SUM by barcode
+            local = mh.ShardResult(
+                barcodes=stats.barcodes, totl=stats.totl, pass_=stats.pass_,
+                uniq=stats.uniq, nsnp=stats.nsnp, llks=res.llks,
+                llk0s=res.llk0s, llk_ab=res.llk_ab, llk_00=res.llk_00,
+            )
+            merged = mh.gather_results_sum(local)
+            if merged is None:
+                notice("Genome shard %d: results gathered to process 0",
+                       args.shard_id)
+                return 0
+            stats = out_mod.CellStats(
+                barcodes=merged.barcodes, totl=merged.totl,
+                pass_=merged.pass_, uniq=merged.uniq, nsnp=merged.nsnp,
+            )
+            res = EngineResult(
+                merged.llks, merged.llk0s, merged.llk_ab, merged.llk_00
+            )
+        elif args.write_pair or args.spool:
             local = mh.ShardResult(
                 barcodes=stats.barcodes, totl=stats.totl, pass_=stats.pass_,
                 uniq=stats.uniq, nsnp=stats.nsnp, llks=res.llks,
@@ -558,9 +606,10 @@ def _ingest(args, table, group_set):
             min_mq=args.min_MQ,
             excl_flag=args.excl_flag,
             group_set=group_set,
-            n_shards=args.num_shards,
-            shard_id=args.shard_id,
+            n_shards=args.num_shards if args.shard_by == "barcode" else 1,
+            shard_id=args.shard_id if args.shard_by == "barcode" else 0,
             sam_verbose=args.sam_verbose,
+            regions=getattr(args, "_genome_regions", None),
         )
     from demuxlet_tpu.host.pileup import build_pileup
 
@@ -584,9 +633,10 @@ def _ingest(args, table, group_set):
         min_bq=args.min_BQ,
         min_td=args.min_TD,
         group_set=group_set,
-        n_shards=args.num_shards,
-        shard_id=args.shard_id,
+        n_shards=args.num_shards if args.shard_by == "barcode" else 1,
+        shard_id=args.shard_id if args.shard_by == "barcode" else 0,
         sam_verbose=args.sam_verbose,
+        regions=getattr(args, "_genome_regions", None),
     )
 
 

@@ -193,6 +193,7 @@ def build_pileup(
     n_shards: int = 1,
     shard_id: int = 0,
     sam_verbose: int = 1000000,
+    regions=None,
 ) -> Tuple[PileupData, IngestCounters]:
     """The ingest sweep (cmd_cram_demuxlet.cpp:195-338).
 
@@ -200,6 +201,11 @@ def build_pileup(
     filtered SNP table is pre-loaded and each read's candidate SNPs are found
     with a binary search over per-chromosome sorted positions — output-
     equivalent (see io/vcf.py docstring).
+
+    regions: optional [(chrom, beg1, end0)] genome-shard ownership regions:
+    per-cell counters only count reads starting inside them (observations
+    are restricted by pre-filtering the SNP table to the same regions);
+    the whole-scan n_read/n_skip totals remain file-wide.
     """
     scl = PileupData(table.sample_ids, [table.gps[i] for i in range(table.nsnps)])
     ctr = IngestCounters()
@@ -219,6 +225,20 @@ def build_pileup(
     tid_to_chrom = {i: name for i, name in enumerate(reader.refs)}
     umi_counter = 0
 
+    reg_by_chrom: Optional[Dict[str, list]] = None
+    if regions:
+        reg_by_chrom = {}
+        for chrom, beg1, end0 in regions:
+            reg_by_chrom.setdefault(chrom, []).append((beg1 - 1, end0))
+
+    def owns(chrom: str, pos0: int) -> bool:
+        if reg_by_chrom is None:
+            return True
+        for b0, e0 in reg_by_chrom.get(chrom, ()):
+            if b0 <= pos0 < e0:
+                return True
+        return False
+
     for r in reader.filtered():
         ctr.n_read = reader.n_read
         ctr.n_skip = reader.n_skip
@@ -233,24 +253,29 @@ def build_pileup(
         chrom = tid_to_chrom.get(r.tid)
         if chrom is None or chrom not in by_chrom:
             continue
+        owned = owns(chrom, r.pos)
         # barcode
         if not tag_group:
             ibcd = scl.add_cell(".")
         else:
             sbcd = r.tags.get(tag_group)
             if sbcd is None:
-                ctr.n_no_gtag += 1
+                if owned:
+                    ctr.n_no_gtag += 1
                 sbcd = "."
             if group_set is not None and sbcd not in group_set:
-                ctr.n_skip_bcd += 1
+                if owned:
+                    ctr.n_skip_bcd += 1
                 continue
             if n_shards > 1 and not _owns(sbcd, shard_id, n_shards):
-                ctr.n_skip_bcd += 1
+                if owned:
+                    ctr.n_skip_bcd += 1
                 continue
             ibcd = scl.add_cell(sbcd)
             if verbose_cells and ibcd + 1 == scl.nbcs and scl.nbcs % 1000 == 0:
                 notice("Observed %d droplets with unique cell barcode", scl.nbcs)
-        ctr.n_tmp += 1
+        if owned:
+            ctr.n_tmp += 1
 
         # UMI
         if not tag_umi:
@@ -259,10 +284,12 @@ def build_pileup(
         else:
             umi = r.tags.get(tag_umi)
             if umi is None:
-                ctr.n_no_utag += 1
+                if owned:
+                    ctr.n_no_utag += 1
                 umi = "."
 
-        scl.cell_totl[ibcd] += 1
+        if owned:
+            scl.cell_totl[ibcd] += 1
 
         pos_arr, snp_idx = by_chrom[chrom]
         endpos = r.endpos()
@@ -297,16 +324,17 @@ def build_pileup(
             else:
                 nv_redundant += 1
 
-        if nv_pass > 1:
-            ctr.n_multi_snps += 1
-        if nv_pass > 0:
-            ctr.n_pass += 1
-        elif nv_redundant > 0:
-            ctr.n_redundant += 1
-        elif nv_valid > 0:
-            ctr.n_lq += 1
-        else:
-            ctr.n_n += 1
+        if owned:
+            if nv_pass > 1:
+                ctr.n_multi_snps += 1
+            if nv_pass > 0:
+                ctr.n_pass += 1
+            elif nv_redundant > 0:
+                ctr.n_redundant += 1
+            elif nv_valid > 0:
+                ctr.n_lq += 1
+            else:
+                ctr.n_n += 1
 
     ctr.n_read = reader.n_read
     ctr.n_skip = reader.n_skip

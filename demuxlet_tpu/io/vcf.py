@@ -438,3 +438,34 @@ def merge_snp_tables(tables: Sequence[SnpTable]) -> SnpTable:
         n_read=sum(t.n_read for t in tables),
         n_pass=sum(t.n_pass for t in tables),
     )
+
+
+def filter_snp_table(table: SnpTable, regions) -> SnpTable:
+    """Restrict a SnpTable to SNPs inside [(chrom, beg1, end0)] regions
+    (genome-sharded ingest: LLK contributions then partition exactly by
+    shard and sum across shards)."""
+    import numpy as np
+
+    keep = np.zeros(table.nsnps, dtype=bool)
+    chrom_arr = np.asarray(table.chroms)
+    for chrom, beg1, end0 in regions:
+        keep |= (
+            (chrom_arr == chrom)
+            & (table.pos0 >= beg1 - 1)
+            & (table.pos0 < end0)
+        )
+    idx = np.nonzero(keep)[0]
+    chroms = [table.chroms[i] for i in idx]
+    names = [c for c in table.chrom_names if c in set(chroms)]
+    return SnpTable(
+        sample_ids=table.sample_ids,
+        chroms=chroms,
+        chrom_names=names,
+        pos0=table.pos0[idx],
+        ref=table.ref[idx],
+        alt=table.alt[idx],
+        af=table.af[idx],
+        gps=table.gps[idx] if len(idx) else table.gps[:0],
+        n_read=table.n_read,
+        n_pass=table.n_pass,
+    )

@@ -35,6 +35,7 @@
 #include <zlib.h>
 
 #include <algorithm>
+#include <array>
 #include <ctime>
 #include <atomic>
 #include <condition_variable>
@@ -301,7 +302,9 @@ class RecordReader {
 // list as fallback). Used to partition the file into per-chromosome
 // segments for the parallel scan.
 static bool parse_bai_starts(const std::string& bam_path, int n_ref,
-                             std::vector<uint64_t>* starts) {
+                             std::vector<uint64_t>* starts,
+                             std::vector<std::vector<uint64_t>>* linear =
+                                 nullptr) {
   std::string p1 = bam_path + ".bai";
   FILE* f = fopen(p1.c_str(), "rb");
   if (!f) {
@@ -324,6 +327,7 @@ static bool parse_bai_starts(const std::string& bam_path, int n_ref,
     return false;
   }
   starts->assign(n_ref, UINT64_MAX);
+  if (linear) linear->assign(n_ref, {});
   for (uint32_t r = 0; r < nref && r < (uint32_t)n_ref; ++r) {
     uint32_t n_bin;
     if (!rd_u32(&n_bin)) break;
@@ -345,6 +349,7 @@ static bool parse_bai_starts(const std::string& bam_path, int n_ref,
       uint64_t io;
       rd_u64(&io);
       if (io && io < mn) mn = io;
+      if (linear) (*linear)[r].push_back(io);
     }
     (*starts)[r] = mn;
   }
@@ -413,6 +418,10 @@ struct Params {
   std::unordered_set<std::string> group_set;
   int32_t n_shards = 1, shard_id = 0;  // crc32(barcode) % n_shards stripe
   int64_t sam_verbose = 0;  // 0 = quiet; else notice every N reads
+  // genome-shard regions (panel chrom idx, beg0, end0-exclusive), genome
+  // order; empty = whole genome. Reads are OWNED (counted) by the region
+  // containing their start; observations partition exactly by SNP pos.
+  std::vector<std::array<int64_t, 3>> regions;
 };
 
 // Shared (cross-thread) progress counters for --sam-verbose notices.
@@ -449,6 +458,22 @@ class Ingest {
       : p_(panel), prm_(prm), tid_to_chrom_(tid_to_chrom),
         tid_max_(tid_max), progress_(progress), ref_names_(ref_names) {}
 
+  // Restrict this scan to ONE region segment (BAI-seeked): reads are
+  // counted only when owned (pos in [own_beg, own_end)), observations are
+  // clamped to SNPs in the same range, and the scan stops past stop_pos.
+  void set_region(int chrom, int32_t tid, int64_t beg0, int64_t end0) {
+    seg_chrom_ = chrom;
+    tid_max_ = tid;
+    stop_pos_ = end0;
+    own_beg_ = beg0;
+    own_end_ = end0;
+  }
+
+  // Sequential multi-region mode (no BAI): ownership via region lookup.
+  void set_region_list(const std::vector<std::array<int64_t, 3>>* regs) {
+    region_list_ = regs;
+  }
+
   // Process records until EOF or (segment mode, tid_max < INT32_MAX) the
   // first record with tid > tid_max — tids ascend in a sorted BAM, and the
   // unmapped tail (tid == -1) belongs to the final segment only.
@@ -467,6 +492,14 @@ class Ingest {
         if (tid > tid_max_ || tid < 0) {
           rr.unread(block_size + 4);
           break;
+        }
+        if (stop_pos_ != INT64_MAX && tid == tid_max_) {
+          int32_t pos;
+          memcpy(&pos, rec + 4, 4);
+          if ((int64_t)pos >= stop_pos_) {
+            rr.unread(block_size + 4);
+            break;
+          }
         }
       }
       process_record(rec, block_size);
@@ -568,7 +601,6 @@ class Ingest {
   }
 
   void process_record(const uint8_t* r, uint32_t len) {
-    res_.ctr.n_read++;
     int32_t tid, pos, l_seq;
     memcpy(&tid, r, 4);
     memcpy(&pos, r + 4, 4);
@@ -578,7 +610,15 @@ class Ingest {
     memcpy(&n_cigar, r + 12, 2);
     memcpy(&flag, r + 14, 2);
     memcpy(&l_seq, r + 16, 4);
-    if (progress_ && prm_.sam_verbose > 0) {
+    const int chrom = (tid >= 0 && tid < (int32_t)tid_to_chrom_.size())
+                          ? tid_to_chrom_[tid]
+                          : -1;
+    // In genome-sharded mode, a read belongs to (is counted by) the shard
+    // whose region contains its start; other shards may still SCAN it at
+    // region boundaries but only emit observations for their own SNPs.
+    const bool owned = owns_read(chrom, pos);
+    if (owned) res_.ctr.n_read++;
+    if (owned && progress_ && prm_.sam_verbose > 0) {
       int64_t n =
           progress_->reads.fetch_add(1, std::memory_order_relaxed);
       if (n % prm_.sam_verbose == 0) {
@@ -591,15 +631,15 @@ class Ingest {
       }
     }
     if (mapq < prm_.min_mq || (flag & prm_.excl_flag)) {
-      res_.ctr.n_skip++;
-      if (progress_)
-        progress_->skips.fetch_add(1, std::memory_order_relaxed);
+      if (owned) {
+        res_.ctr.n_skip++;
+        if (progress_)
+          progress_->skips.fetch_add(1, std::memory_order_relaxed);
+      }
       return;
     }
-    const int chrom = (tid >= 0 && tid < (int32_t)tid_to_chrom_.size())
-                          ? tid_to_chrom_[tid]
-                          : -1;
     if (chrom < 0) return;
+    if (seg_chrom_ >= 0 && chrom != seg_chrom_) return;
 
     const uint8_t* cig = r + 32 + l_read_name;
     const uint8_t* seq4 = cig + 4 * n_cigar;
@@ -630,24 +670,24 @@ class Ingest {
       if (cb)
         sbcd.assign((const char*)cb, cb_len);
       else {
-        res_.ctr.n_no_gtag++;
+        if (owned) res_.ctr.n_no_gtag++;
         sbcd = ".";
       }
       if (prm_.use_group_set && !prm_.group_set.count(sbcd)) {
-        res_.ctr.n_skip_bcd++;
+        if (owned) res_.ctr.n_skip_bcd++;
         return;
       }
       if (prm_.n_shards > 1) {
         uint32_t h = (uint32_t)crc32(0L, (const Bytef*)sbcd.data(),
                                      (uInt)sbcd.size());
         if ((int32_t)(h % (uint32_t)prm_.n_shards) != prm_.shard_id) {
-          res_.ctr.n_skip_bcd++;
+          if (owned) res_.ctr.n_skip_bcd++;
           return;
         }
       }
       ibcd = cell_id(sbcd);
     }
-    res_.ctr.n_tmp++;
+    if (owned) res_.ctr.n_tmp++;
 
     uint64_t umih;
     if (!prm_.has_umi_tag) {
@@ -655,17 +695,25 @@ class Ingest {
     } else if (ub) {
       umih = hash_bytes(ub, ub_len);
     } else {
-      res_.ctr.n_no_utag++;
+      if (owned) res_.ctr.n_no_utag++;
       umih = hash_bytes((const uint8_t*)".", 1);
     }
 
-    res_.cell_totl[ibcd]++;
+    if (owned) res_.cell_totl[ibcd]++;
 
     finalize_before(chrom, pos);
 
+    // observations partition exactly by SNP position: in segment mode only
+    // this region's SNPs are emitted (boundary reads are scanned by two
+    // segments but their SNPs split disjointly)
+    int64_t obs_beg = pos, obs_end = endpos;
+    if (seg_chrom_ >= 0) {
+      if (obs_beg < own_beg_) obs_beg = own_beg_;
+      if (obs_end > own_end_) obs_end = own_end_;
+    }
     const int64_t lo0 = p_.chrom_ptr[chrom], hi0 = p_.chrom_ptr[chrom + 1];
-    int64_t lo = lower_bound(lo0, hi0, pos);
-    int64_t hi = lower_bound(lo, hi0, endpos);
+    int64_t lo = lower_bound(lo0, hi0, obs_beg);
+    int64_t hi = lower_bound(lo, hi0, obs_end);
 
     int nv_pass = 0, nv_redundant = 0, nv_valid = 0;
     for (int64_t k = lo; k < hi; ++k) {
@@ -691,15 +739,17 @@ class Ingest {
       else
         nv_redundant++;
     }
-    if (nv_pass > 1) res_.ctr.n_multi_snps++;
-    if (nv_pass > 0)
-      res_.ctr.n_pass++;
-    else if (nv_redundant > 0)
-      res_.ctr.n_redundant++;
-    else if (nv_valid > 0)
-      res_.ctr.n_lq++;
-    else
-      res_.ctr.n_n++;
+    if (owned) {
+      if (nv_pass > 1) res_.ctr.n_multi_snps++;
+      if (nv_pass > 0)
+        res_.ctr.n_pass++;
+      else if (nv_redundant > 0)
+        res_.ctr.n_redundant++;
+      else if (nv_valid > 0)
+        res_.ctr.n_lq++;
+      else
+        res_.ctr.n_n++;
+    }
   }
 
   bool add_umi(int chrom, int64_t k, int32_t cell, uint64_t umih,
@@ -789,6 +839,21 @@ class Ingest {
   int32_t tid_max_;
   Progress* progress_;
   const std::vector<std::string>* ref_names_;
+  int seg_chrom_ = -1;  // >= 0: single-region segment mode
+  int64_t stop_pos_ = INT64_MAX;
+  int64_t own_beg_ = 0, own_end_ = INT64_MAX;
+  const std::vector<std::array<int64_t, 3>>* region_list_ = nullptr;
+
+  bool owns_read(int chrom, int64_t pos) const {
+    if (seg_chrom_ >= 0)
+      return chrom == seg_chrom_ && pos >= own_beg_ && pos < own_end_;
+    if (region_list_) {
+      for (const auto& r : *region_list_)
+        if ((int)r[0] == chrom && pos >= r[1] && pos < r[2]) return true;
+      return false;
+    }
+    return true;
+  }
   std::unordered_map<std::string, int> bc_map_;
   uint64_t umi_counter_ = 0;
   std::unordered_map<int64_t, ActiveSnp> active_;
@@ -984,7 +1049,9 @@ DmxHandle* dmx_ingest_bam(
     const char* tag_group, const char* tag_umi, int32_t cap_bq, int32_t min_bq,
     int32_t min_td, int32_t min_mq, int32_t excl_flag, const char* grp_concat,
     const int64_t* grp_off, int64_t n_group, int32_t n_threads,
-    int32_t n_shards, int32_t shard_id, int64_t sam_verbose) {
+    int32_t n_shards, int32_t shard_id, int64_t sam_verbose,
+    int64_t n_regions, const int32_t* reg_chrom, const int64_t* reg_beg0,
+    const int64_t* reg_end0) {
   DmxHandle* h = new DmxHandle();
   try {
     SnpPanel panel;
@@ -1012,6 +1079,9 @@ DmxHandle* dmx_ingest_bam(
     prm.n_shards = n_shards < 1 ? 1 : n_shards;
     prm.shard_id = shard_id;
     prm.sam_verbose = sam_verbose;
+    for (int64_t i = 0; i < n_regions; ++i)
+      prm.regions.push_back(std::array<int64_t, 3>{
+          (int64_t)reg_chrom[i], reg_beg0[i], reg_end0[i]});
     if (grp_concat && n_group > 0) {
       prm.use_group_set = true;
       for (int64_t i = 0; i < n_group; ++i)

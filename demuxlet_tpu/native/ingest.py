@@ -57,6 +57,10 @@ def _load():
         C.c_int32,  # n_shards
         C.c_int32,  # shard_id
         C.c_int64,  # sam_verbose (0 = quiet)
+        C.c_int64,  # n_regions
+        C.POINTER(C.c_int32),  # reg_chrom (panel idx)
+        C.POINTER(C.c_int64),  # reg_beg0
+        C.POINTER(C.c_int64),  # reg_end0 (exclusive)
     ]
     lib.dmx_error.restype = C.c_char_p
     lib.dmx_error.argtypes = [C.c_void_p]
@@ -133,7 +137,13 @@ def build_pileup(
     n_shards: int = 1,
     shard_id: int = 0,
     sam_verbose: int = 0,
+    regions=None,
 ):
+    """regions: optional [(chrom, beg1, end0)] genome-shard regions. The
+    scan seeks each region via the BAI linear index (reading ~regions/genome
+    of the file), reads are counted by the region owning their start, and
+    observations partition exactly by SNP position (the SNP table should be
+    pre-filtered to the same regions — see io/vcf.filter_snp_table)."""
     lib = _load()
     if lib is None:
         raise RuntimeError("native ingest library unavailable")
@@ -185,6 +195,27 @@ def build_pileup(
     if n_threads <= 0:
         n_threads = min(8, os.cpu_count() or 1)
 
+    if regions:
+        cidx = {c: i for i, c in enumerate(table.chrom_names)}
+        rc, rb, re_ = [], [], []
+        for chrom, beg1, end0 in regions:
+            if chrom not in cidx:
+                continue
+            rc.append(cidx[chrom])
+            rb.append(beg1 - 1)
+            re_.append(end0)  # 1-based inclusive end == 0-based exclusive
+        rc = np.asarray(rc, np.int32)
+        rb = np.asarray(rb, np.int64)
+        re_ = np.asarray(re_, np.int64)
+        reg_args = (
+            len(rc),
+            rc.ctypes.data_as(C.POINTER(C.c_int32)),
+            _p64(rb),
+            _p64(re_),
+        )
+    else:
+        reg_args = (0, None, None, None)
+
     h = lib.dmx_ingest_bam(
         path.encode(),
         len(names),
@@ -209,6 +240,10 @@ def build_pileup(
         n_shards,
         shard_id,
         sam_verbose,
+        reg_args[0],
+        reg_args[1],
+        reg_args[2],
+        reg_args[3],
     )
     try:
         err = lib.dmx_error(h)

@@ -284,3 +284,88 @@ def gather_compact(local: CompactShard) -> Optional[CompactShard]:
             llks=llks, llk0s=llk0s, compact=CompactResult(**cvals),
         ))
     return merge_compact_shards(shards)
+
+
+# ---------------------------------------------------------- genome shards
+def merge_shards_sum(shards: Sequence[ShardResult]) -> ShardResult:
+    """Merge GENOME-sharded results: the same barcode appears in several
+    shards with partial (disjoint-SNP) contributions, and log-likelihoods,
+    read counters and SNP counts all SUM. Output rows sort by barcode
+    (reference output order)."""
+    order: List[str] = []
+    index = {}
+    for s in shards:
+        for b in s.barcodes:
+            if b not in index:
+                index[b] = len(order)
+                order.append(b)
+    sorted_bcs = sorted(order)
+    pos = {b: i for i, b in enumerate(sorted_bcs)}
+    n = len(sorted_bcs)
+    first = shards[0]
+    out = ShardResult(
+        barcodes=sorted_bcs,
+        totl=np.zeros(n, first.totl.dtype),
+        pass_=np.zeros(n, first.pass_.dtype),
+        uniq=np.zeros(n, first.uniq.dtype),
+        nsnp=np.zeros(n, first.nsnp.dtype),
+        llks=np.zeros((n,) + first.llks.shape[1:], np.float64),
+        llk0s=np.zeros(n, np.float64),
+        llk_ab=np.zeros((n,) + first.llk_ab.shape[1:], np.float64),
+        llk_00=np.zeros((n,) + first.llk_00.shape[1:], np.float64),
+    )
+    for s in shards:
+        idx = np.asarray([pos[b] for b in s.barcodes], dtype=np.int64)
+        if not len(idx):
+            continue
+        np.add.at(out.totl, idx, s.totl)
+        np.add.at(out.pass_, idx, s.pass_)
+        np.add.at(out.uniq, idx, s.uniq)
+        np.add.at(out.nsnp, idx, s.nsnp)
+        np.add.at(out.llks, idx, np.asarray(s.llks, np.float64))
+        np.add.at(out.llk0s, idx, np.asarray(s.llk0s, np.float64))
+        np.add.at(out.llk_ab, idx, np.asarray(s.llk_ab, np.float64))
+        np.add.at(out.llk_00, idx, np.asarray(s.llk_00, np.float64))
+    return out
+
+
+def gather_results_sum(local: ShardResult) -> Optional[ShardResult]:
+    """All-gather genome-shard results and SUM-merge by barcode; merged
+    result on process 0, None elsewhere."""
+    import jax
+
+    if jax.process_count() == 1:
+        return merge_shards_sum([local])
+
+    from jax.experimental import multihost_utils as mhu
+
+    n = len(local.barcodes)
+    bc = _encode_barcodes(local.barcodes)
+    counts = mhu.process_allgather(np.asarray([n], dtype=np.int64))
+    nmax = int(max(counts.max(), 1))
+
+    def pad(a):
+        out = np.zeros((nmax,) + a.shape[1:], dtype=a.dtype)
+        out[: len(a)] = a
+        return out
+
+    fields = [
+        bc.astype(np.int32), local.totl, local.pass_, local.uniq, local.nsnp,
+        local.llks, local.llk0s, local.llk_ab, local.llk_00,
+    ]
+    gathered = [mhu.process_allgather(pad(np.asarray(f))) for f in fields]
+    if jax.process_index() != 0:
+        return None
+    shards = []
+    for p in range(jax.process_count()):
+        np_ = int(counts[p])
+        g = [arr[p][:np_] for arr in gathered]
+        names = [
+            bytes(row.astype(np.uint8)).rstrip(b"\x00").decode()
+            for row in g[0]
+        ]
+        shards.append(ShardResult(
+            barcodes=names, totl=g[1], pass_=g[2], uniq=g[3], nsnp=g[4],
+            llks=g[5], llk0s=g[6], llk_ab=g[7], llk_00=g[8],
+        ))
+    return merge_shards_sum(shards)

@@ -158,3 +158,33 @@ def plan_genome_chunks(
         out._dirty = False  # keep chunk boundaries (don't re-merge adjacent)
         return out
     return chunks
+
+
+def split_genome_shards(
+    chrom_lengths: List[Tuple[str, int]], n_shards: int,
+) -> List[List[Tuple[str, int, int]]]:
+    """Partition the genome into n_shards contiguous, bp-balanced region
+    groups: [(chrom, beg1, end0), ...] per shard, in genome order.
+
+    The TPU-native genome-axis ingest decomposition (reference analog:
+    genomeChunk unit-bp work items, genomeChunk.cpp:91-126): each shard
+    scans only its regions' file ranges via the BAI, SNPs partition
+    exactly by position, and per-shard LLK contributions sum."""
+    total = sum(ln for _, ln in chrom_lengths)
+    n_shards = max(1, n_shards)
+    unit = max(1, -(-total // n_shards))
+    chunks: List[Tuple[str, int, int]] = []
+    for chrom, ln in chrom_lengths:
+        b = 1
+        while b <= ln:
+            e = min(b + unit - 1, ln)
+            chunks.append((chrom, b, e))
+            b = e + 1
+    # group consecutive chunks, balancing total bp
+    shards: List[List[Tuple[str, int, int]]] = [[] for _ in range(n_shards)]
+    acc = 0
+    for chrom, b, e in chunks:
+        idx = min(acc // unit, n_shards - 1)
+        shards[idx].append((chrom, b, e))
+        acc += e - b + 1
+    return shards

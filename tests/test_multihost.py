@@ -289,3 +289,63 @@ def test_cli_mesh_bxs_exact(tmp_path):
         want = open(str(tmp_path / "one") + ext).read()
         got = open(str(tmp_path / "mesh") + ext).read()
         assert got == want, f"{ext} differs under 2x2 mesh"
+
+
+def test_two_process_genome_sharded_cli(tmp_path):
+    """--shard-by genome: 2 processes each ingest ONLY their genome span
+    (BAI-seeked), per-shard LLK contributions SUM at the gather, and
+    process 0's outputs are byte-identical to the single-process run."""
+    import socket
+    import subprocess
+    import sys
+
+    rng = random.Random(77)
+    parts = []
+    contigs = []
+    for c in range(2):
+        cg, names, variants, reads, truth = random_workload(
+            random.Random(77 + c), n_cells=14, n_snps=20, n_samples=3,
+            reads_per_cell=40, chrom=f"chr{c + 1}",
+        )
+        contigs.append((f"chr{c + 1}", cg[0][1]))
+        parts.append((variants, reads))
+    variants = [v for vs, _ in parts for v in vs]
+    reads = [r for _, rs in parts for r in rs]
+    vcf = write_vcf(str(tmp_path / "g.vcf"), names, variants,
+                    contigs=contigs)
+    bam = write_bam(str(tmp_path / "g.bam"), contigs, reads)
+
+    env = _cli_env()
+    _run_cli(["--sam", bam, "--vcf", vcf, "--field", "GT", "--mode",
+              "exact", "--out", str(tmp_path / "ref"), "--device", "cpu",
+              "--mesh", "none"], env)
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    coord = f"127.0.0.1:{port}"
+    procs = [subprocess.Popen(
+        [sys.executable, "-m", "demuxlet_tpu.cli", "--sam", bam,
+         "--vcf", vcf, "--field", "GT", "--mode", "exact",
+         "--out", str(tmp_path / "dist"), "--device", "cpu",
+         "--mesh", "none", "--num-shards", "2", "--shard-id", str(k),
+         "--shard-by", "genome", "--dist-coordinator", coord],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+    ) for k in range(2)]
+    errs = []
+    for p in procs:
+        out, err = p.communicate(timeout=600)
+        errs.append(err)
+        assert p.returncode == 0, err[-4000:]
+    from parity_utils import canonicalize_best
+
+    for ext in (".single", ".sing2", ".best"):
+        want = open(str(tmp_path / "ref") + ext).read()
+        got = open(str(tmp_path / "dist") + ext).read()
+        if ext == ".best":
+            # alpha=0.5 mirrored pairs are exact real-arithmetic ties;
+            # shard-summed f64 rounds the mirror differently (documented
+            # exact-mode contract)
+            want = "\n".join(canonicalize_best(want.splitlines()))
+            got = "\n".join(canonicalize_best(got.splitlines()))
+        assert got == want, f"{ext} differs\n{errs[0][-1500:]}"

@@ -233,3 +233,73 @@ def test_native_adversarial_umis_match_python(tmp_path):
     cells = list(range(csr_n.nbcs))
     bn, bp = build_slots(csr_n, cells), build_slots(csr_p, cells)
     np.testing.assert_array_equal(bn.cnt, bp.cnt)
+
+
+def _multi_chrom_workload(tmp_path, seed=19, n_chroms=3):
+    rng = random.Random(seed)
+    parts = []
+    contigs = []
+    for c in range(n_chroms):
+        cg, names, variants, reads, truth = random_workload(
+            random.Random(seed + c), n_cells=15, n_snps=25, n_samples=3,
+            reads_per_cell=40, chrom=f"chr{c + 1}",
+        )
+        contigs.append((f"chr{c + 1}", cg[0][1]))
+        parts.append((variants, reads))
+    variants = [v for vs, _ in parts for v in vs]
+    reads = [r for _, rs in parts for r in rs]
+    vcf = write_vcf(str(tmp_path / "g.vcf"), names, variants, contigs=contigs)
+    bam = write_bam(str(tmp_path / "g.bam"), contigs, reads)
+    return vcf, bam, contigs
+
+
+def test_native_genome_region_shards_union(tmp_path):
+    """BAI-seeked region ingest: N genome shards' pileups merge (obs concat,
+    counters sum) to the unsharded pileup exactly."""
+    from demuxlet_tpu.io.vcf import filter_snp_table, load_snp_table
+    from demuxlet_tpu.utils.intervals import split_genome_shards
+
+    vcf, bam, contigs = _multi_chrom_workload(tmp_path)
+    table = load_snp_table(vcf, field_name="GT")
+    full, ctr_full = native.build_pileup(bam, table)
+
+    shards = split_genome_shards(contigs, 4)
+    assert len([r for s in shards for r in s]) >= 4
+    totl = {}
+    uniq = {}
+    obs = {}
+    nsnp_sum = 0
+    for regs in shards:
+        sub = filter_snp_table(table, regs)
+        # chrom-order check needs the BAM's chroms; skip empty shards
+        if sub.nsnps == 0:
+            continue
+        csr, ctr = native.build_pileup(bam, sub, regions=regs)
+        for i, b in enumerate(csr.barcodes):
+            totl[b] = totl.get(b, 0) + int(csr.cell_totl[i])
+            uniq[b] = uniq.get(b, 0) + int(csr.cell_uniq[i])
+        # map shard SNP ids back to global ids by (chrom, pos)
+        import numpy as np_
+
+        sub_key = [(sub.chroms[k], int(sub.pos0[k])) for k in range(sub.nsnps)]
+        glob = {(table.chroms[k], int(table.pos0[k])): k
+                for k in range(table.nsnps)}
+        for c in range(csr.nbcs):
+            a, bnd = csr.cell_ptr[c], csr.cell_ptr[c + 1]
+            for j in range(a, bnd):
+                gk = glob[sub_key[int(csr.obs_snp[j])]]
+                key = (csr.barcodes[c], gk, int(csr.obs_allele[j]),
+                       int(csr.obs_bq[j]))
+                obs[key] = obs.get(key, 0) + 1
+
+    full_obs = {}
+    for c in range(full.nbcs):
+        a, bnd = full.cell_ptr[c], full.cell_ptr[c + 1]
+        for j in range(a, bnd):
+            key = (full.barcodes[c], int(full.obs_snp[j]),
+                   int(full.obs_allele[j]), int(full.obs_bq[j]))
+            full_obs[key] = full_obs.get(key, 0) + 1
+    assert obs == full_obs
+    for i, b in enumerate(full.barcodes):
+        assert totl.get(b, 0) == int(full.cell_totl[i]), b
+        assert uniq.get(b, 0) == int(full.cell_uniq[i]), b
