@@ -581,8 +581,6 @@ def _ingest(args, table, group_set):
     use_native = False
     if args.mode == "parity" and args.ingest == "auto":
         args.ingest = "python"  # parity needs the per-UMI dict pileup
-    if args.sam.endswith(".cram") and args.ingest == "auto":
-        args.ingest = "python"  # CRAM decode is Python-only for now
     if args.ingest in ("auto", "native"):
         try:
             from demuxlet_tpu.native import ingest as native_ingest
@@ -616,7 +614,7 @@ def _ingest(args, table, group_set):
     if args.sam.endswith(".cram"):
         from demuxlet_tpu.io.cram import CramReader
 
-        notice("CRAM input: using the Python CRAM 3.0 subset reader")
+        notice("CRAM input: using the Python CRAM 3.0 reader")
         rdr = CramReader(args.sam, min_mq=args.min_MQ, excl_flag=args.excl_flag)
     else:
         from demuxlet_tpu.io.bam import AlignmentReader

@@ -125,45 +125,91 @@ def build_codes_block(
       msk   (Bp, Sp) bool slot validity
     U is the block's max per-slot UMI count bucketed to a power of two; Bp/Sp
     are padded to pad_cells_to / pad_slots_to.
+
+    Fully vectorized over the block (obs are (cell, snp)-sorted in the CSR):
+    the per-cell Python loop this replaces dominated end-to-end wall clock
+    at 100K cells (~4.6 ms/cell host vs ~6 us/cell device).
     """
     nq = cap_bq + 1
     B = len(cell_ids)
-    per_cell = []
-    smax, umax = 1, 1
-    for c in cell_ids:
-        a, b = csr.cell_ptr[c], csr.cell_ptr[c + 1]
-        snps, inv = np.unique(csr.obs_snp[a:b], return_inverse=True)
-        per_cell.append((a, b, snps, inv))
-        smax = max(smax, len(snps))
-        if len(inv):
-            umax = max(umax, int(np.bincount(inv).max()))
+    ci = np.asarray(cell_ids, dtype=np.int64)
+    a = csr.cell_ptr[ci]
+    b = csr.cell_ptr[ci + 1]
+    lengths = (b - a).astype(np.int64)
+    tot = int(lengths.sum())
+
     # kernel tile requirements: slots %% 128, cells %% 32 (pallas_pair.TB/TS)
     pad_slots_to = max(pad_slots_to, 128)
     pad_cells_to = max(pad_cells_to, 32)
     if pad_cells_to % 32:
         pad_cells_to = -(-pad_cells_to // 32) * 32
+
+    if tot == 0:
+        Sp = pad_slots_to
+        Bp = max(pad_cells_to, -(-B // pad_cells_to) * pad_cells_to)
+        return (
+            np.full((Bp, Sp, 1), 255, dtype=np.uint8),
+            np.zeros((Bp, Sp), dtype=np.int32),
+            np.zeros((Bp, Sp), dtype=bool),
+        )
+
+    pos = np.arange(tot, dtype=np.int32)
+    row_of = np.repeat(np.arange(B, dtype=np.int32), lengths)
+    ends = np.cumsum(lengths)
+    cell_first = (ends - lengths).astype(np.int32)  # block-local starts
+    if (a[1:] == b[:-1]).all():
+        # contiguous cell range: the obs are one slice (no gather)
+        lo, hi = int(a[0]), int(b[-1])
+        snp = csr.obs_snp[lo:hi]
+        al = csr.obs_allele[lo:hi]
+        bq = np.minimum(csr.obs_bq[lo:hi], cap_bq)
+    else:
+        obs_pos = pos + np.repeat(a - cell_first, lengths)
+        snp = csr.obs_snp[obs_pos]
+        al = csr.obs_allele[obs_pos]
+        bq = np.minimum(csr.obs_bq[obs_pos], cap_bq)
+
+    # slot boundaries: first obs of a cell, or a snp change within the cell
+    new_slot = np.empty(tot, dtype=bool)
+    new_slot[0] = True
+    np.not_equal(snp[1:], snp[:-1], out=new_slot[1:])
+    new_slot[cell_first[lengths > 0]] = True
+    slot_global = np.cumsum(new_slot, dtype=np.int32)
+    slot_global -= 1
+    slot_of_start = np.flatnonzero(new_slot).astype(np.int32)
+    # per-cell local slot index: gather per obs via row_of (repeat with
+    # ragged sizes is ~10x slower than a fancy gather here)
+    nzmask = lengths > 0
+    cell_base = np.zeros(B, dtype=np.int32)
+    cell_base[nzmask] = slot_global[cell_first[nzmask]]
+    slot_local = slot_global - cell_base[row_of]
+    # umi index within slot
+    occ = pos - slot_of_start[slot_global]
+
+    n_slots_per_cell = np.zeros(B, dtype=np.int64)
+    n_slots_per_cell[nzmask] = slot_local[ends[nzmask] - 1] + 1
+    smax = int(n_slots_per_cell.max())
+    umax = int(occ.max()) + 1
+
     Sp = max(pad_slots_to, -(-smax // pad_slots_to) * pad_slots_to)
     Bp = max(pad_cells_to, -(-B // pad_cells_to) * pad_cells_to)
     U = 1
     while U < umax:
         U *= 2
+
     codes = np.full((Bp, Sp, U), 255, dtype=np.uint8)
     idx = np.zeros((Bp, Sp), dtype=np.int32)
     msk = np.zeros((Bp, Sp), dtype=bool)
-    for r, (a, b, snps, inv) in enumerate(per_cell):
-        k = len(snps)
-        idx[r, :k] = snps
-        msk[r, :k] = True
-        if not len(inv):
-            continue
-        order = np.argsort(inv, kind="stable")
-        occ = np.arange(len(inv)) - np.searchsorted(inv[order], inv[order])
-        al = csr.obs_allele[a:b][order]
-        bq = np.minimum(csr.obs_bq[a:b][order], cap_bq)
-        sel = al < 2
-        codes[r, inv[order][sel], occ[sel]] = (
-            al[sel].astype(np.int64) * nq + bq[sel]
-        ).astype(np.uint8)
+    flat2 = row_of[slot_of_start] * np.int32(Sp) + slot_local[slot_of_start]
+    idx.ravel()[flat2] = snp[slot_of_start]
+    msk.ravel()[flat2] = True
+    sel = np.flatnonzero(al < 2)
+    flat3 = (row_of[sel] * np.int32(Sp) + slot_local[sel]) * np.int32(
+        U
+    ) + occ[sel]
+    codes.ravel()[flat3] = (
+        al[sel].astype(np.uint16) * nq + bq[sel]
+    ).astype(np.uint8)
     return codes, idx, msk
 
 

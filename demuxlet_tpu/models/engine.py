@@ -35,6 +35,28 @@ def compute_gp0(gps: np.ndarray) -> np.ndarray:
     return out
 
 
+def _prefetched(pool, fn, items, depth: int = 4):
+    """Yield fn(item) in order with up to `depth` evaluations in flight on
+    `pool` — overlaps host block prep (numpy, releases the GIL) with device
+    compute; the serial prep was the end-to-end bottleneck at 100K cells."""
+    from collections import deque
+
+    futs = deque()
+    it = iter(items)
+    try:
+        for _ in range(depth):
+            futs.append(pool.submit(fn, next(it)))
+    except StopIteration:
+        pass
+    while futs:
+        out = futs.popleft().result()
+        try:
+            futs.append(pool.submit(fn, next(it)))
+        except StopIteration:
+            pass
+        yield out
+
+
 def _bucket(n: int, minimum: int = 8) -> int:
     b = minimum
     while b < n:
@@ -155,15 +177,19 @@ class DemuxEngine:
 
     def _run_block_fast(self, scl, cells):
         from demuxlet_tpu.host.csr import build_codes_block
+
+        return self._dispatch_fast(build_codes_block(
+            scl, cells, cap_bq=self.cap_bq, pad_cells_to=self.cell_block
+        ))
+
+    def _dispatch_fast(self, codes_blk):
         from demuxlet_tpu.ops.pallas_pair import demux_block_fast, extend_luts
 
         if self._fast_luts is None:
             self._fast_luts = tuple(
                 jnp.asarray(x) for x in extend_luts(self.w, self.logf)
             )
-        codes, idx, msk = build_codes_block(
-            scl, cells, cap_bq=self.cap_bq, pad_cells_to=self.cell_block
-        )
+        codes, idx, msk = codes_blk
         interpret = jax.default_backend() != "tpu"
         w_ext, logf_ext = self._fast_luts
         if self.mesh is not None:
@@ -191,8 +217,14 @@ class DemuxEngine:
         )
 
     def _run_block_exact_pallas(self, scl, cells):
-        """Exact-mode df32 Pallas block step (codes path, like fast)."""
         from demuxlet_tpu.host.csr import build_codes_block
+
+        return self._dispatch_exact_pallas(build_codes_block(
+            scl, cells, cap_bq=self.cap_bq, pad_cells_to=self.cell_block
+        ))
+
+    def _dispatch_exact_pallas(self, codes_blk):
+        """Exact-mode df32 Pallas block step (codes path, like fast)."""
         from demuxlet_tpu.ops import pallas_pair_exact as PE
 
         if self._df_tables is None:
@@ -203,9 +235,7 @@ class DemuxEngine:
                 )
             )
         gps_pair, gp0_pair, w_pair, logf_pair = self._df_tables
-        codes, idx, msk = build_codes_block(
-            scl, cells, cap_bq=self.cap_bq, pad_cells_to=self.cell_block
-        )
+        codes, idx, msk = codes_blk
         interpret = jax.default_backend() != "tpu"
         if self.mesh is not None:
             if self._sharded_exact_pallas is None:
@@ -266,14 +296,24 @@ class DemuxEngine:
             llk0s[cells] = b
             return c
 
+        blocks = [
+            list(range(start, min(start + self.cell_block, n)))
+            for start in range(0, n, self.cell_block)
+        ]
+
+        def prep(cells):
+            return cells, build_codes_block(
+                scl, cells, cap_bq=self.cap_bq,
+                pad_cells_to=self.cell_block,
+            )
+
         pending = []
-        with ThreadPoolExecutor(max_workers=2) as pool:
-            for start in range(0, n, self.cell_block):
-                cells = list(range(start, min(start + self.cell_block, n)))
-                codes, idx, msk = build_codes_block(
-                    scl, cells, cap_bq=self.cap_bq,
-                    pad_cells_to=self.cell_block,
-                )
+        with ThreadPoolExecutor(max_workers=2) as pool, ThreadPoolExecutor(
+            max_workers=4
+        ) as prep_pool:
+            for cells, (codes, idx, msk) in _prefetched(
+                prep_pool, prep, blocks
+            ):
                 if self.mesh is not None:
                     if (
                         self._sharded_compact is None
@@ -376,24 +416,42 @@ class DemuxEngine:
         # Dispatch (host prep + async H2D + device enqueue) stays on the
         # main thread; D2H readback runs on worker threads so the next
         # block's prep overlaps the previous blocks' compute + transfers.
+        blocks = [
+            list(range(start, min(start + self.cell_block, n)))
+            for start in range(0, n, self.cell_block)
+        ]
+
+        def prep(cells):
+            """Host-side block prep (spool probe / codes / dense slots);
+            runs on the prefetch pool, overlapping device compute."""
+            if spool_dir and os.path.exists(spool_path(cells)):
+                z = np.load(spool_path(cells))
+                return cells, ("spooled", (z["a"], z["b"], z["c"], z["d"]))
+            if self.mode == "fast" or self.use_exact_pallas:
+                from demuxlet_tpu.host.csr import build_codes_block
+
+                return cells, ("codes", build_codes_block(
+                    scl, cells, cap_bq=self.cap_bq,
+                    pad_cells_to=self.cell_block,
+                ))
+            blk = build_slots(scl, cells, cap_bq=self.cap_bq)
+            blk = _pad_block(blk, self.cell_block, _bucket(blk.idx.shape[1]))
+            return cells, ("slots", blk)
+
         pending = []
-        with ThreadPoolExecutor(max_workers=2) as pool:
-            for start in range(0, n, self.cell_block):
-                cells = list(range(start, min(start + self.cell_block, n)))
-                if spool_dir and os.path.exists(spool_path(cells)):
-                    z = np.load(spool_path(cells))
-                    store(cells, (z["a"], z["b"], z["c"], z["d"]))
+        with ThreadPoolExecutor(max_workers=2) as pool, ThreadPoolExecutor(
+            max_workers=4
+        ) as prep_pool:
+            for cells, (kind, data) in _prefetched(prep_pool, prep, blocks):
+                if kind == "spooled":
+                    store(cells, data)
                     continue
                 if self.mode == "fast":
-                    out = self._run_block_fast(scl, cells)
+                    out = self._dispatch_fast(data)
                 elif self.use_exact_pallas:
-                    out = self._run_block_exact_pallas(scl, cells)
+                    out = self._dispatch_exact_pallas(data)
                 else:
-                    blk = build_slots(scl, cells, cap_bq=self.cap_bq)
-                    blk = _pad_block(
-                        blk, self.cell_block, _bucket(blk.idx.shape[1])
-                    )
-                    out = self._run_block(blk)
+                    out = self._run_block(data)
                 pending.append(
                     (cells, pool.submit(fetch_and_spool, cells, out))
                 )

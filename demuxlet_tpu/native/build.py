@@ -34,6 +34,7 @@ def build(force: bool = False) -> str:
         OUT,
         SRC,
         "-lz",
+        "-llzma",
         "-lpthread",
     ]
     subprocess.run(cmd, check=True)

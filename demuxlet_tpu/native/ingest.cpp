@@ -507,7 +507,10 @@ class Ingest {
     finalize_all();
   }
 
-  Result take() { return std::move(res_); }
+  Result take() {
+    finalize_all();  // idempotent; the CRAM path feeds records without scan()
+    return std::move(res_);
+  }
 
  private:
   int32_t cell_id(const std::string& bcd) {
@@ -610,6 +613,46 @@ class Ingest {
     memcpy(&n_cigar, r + 12, 2);
     memcpy(&flag, r + 14, 2);
     memcpy(&l_seq, r + 16, 4);
+
+    const uint8_t* cig = r + 32 + l_read_name;
+    const uint8_t* seq4 = cig + 4 * n_cigar;
+    const uint8_t* qual = seq4 + (l_seq + 1) / 2;
+    const uint8_t* tags = qual + l_seq;
+    const uint8_t* end = r + len;
+
+    int64_t rlen = 0;
+    for (uint16_t i = 0; i < n_cigar; ++i) {
+      uint32_t c;
+      memcpy(&c, cig + 4 * i, 4);
+      const uint32_t op = c & 0xF;
+      if (op == 0 || op == 2 || op == 3 || op == 7 || op == 8) rlen += c >> 4;
+    }
+    const int64_t endpos = pos + (rlen ? rlen : 1);
+
+    const uint8_t* cb = nullptr;
+    size_t cb_len = 0;
+    const uint8_t* ub = nullptr;
+    size_t ub_len = 0;
+    scan_tags(tags, end, &cb, &cb_len, &ub, &ub_len);
+
+    auto resolver = [&](int64_t gpos, char /*ref_c*/, char* base, int* bq,
+                        int32_t* rpos) {
+      return base_at(cig, n_cigar, pos, gpos, l_seq, seq4, qual, base, bq,
+                     rpos);
+    };
+    process_generic(tid, pos, endpos, mapq, flag, l_seq, cb, cb_len, ub,
+                    ub_len, resolver);
+  }
+
+  // Shared record logic (filters, barcode/UMI, SNP loop, counters) for any
+  // alignment source; `resolve` yields (base, qual, read-pos) at a genomic
+  // position given the panel REF char (CRAM resolves matches through it).
+ public:
+  template <class ResolveFn>
+  void process_generic(int32_t tid, int32_t pos, int64_t endpos,
+                       uint8_t mapq, uint16_t flag, int32_t l_seq,
+                       const uint8_t* cb, size_t cb_len, const uint8_t* ub,
+                       size_t ub_len, ResolveFn&& resolve) {
     const int chrom = (tid >= 0 && tid < (int32_t)tid_to_chrom_.size())
                           ? tid_to_chrom_[tid]
                           : -1;
@@ -640,27 +683,6 @@ class Ingest {
     }
     if (chrom < 0) return;
     if (seg_chrom_ >= 0 && chrom != seg_chrom_) return;
-
-    const uint8_t* cig = r + 32 + l_read_name;
-    const uint8_t* seq4 = cig + 4 * n_cigar;
-    const uint8_t* qual = seq4 + (l_seq + 1) / 2;
-    const uint8_t* tags = qual + l_seq;
-    const uint8_t* end = r + len;
-
-    int64_t rlen = 0;
-    for (uint16_t i = 0; i < n_cigar; ++i) {
-      uint32_t c;
-      memcpy(&c, cig + 4 * i, 4);
-      const uint32_t op = c & 0xF;
-      if (op == 0 || op == 2 || op == 3 || op == 7 || op == 8) rlen += c >> 4;
-    }
-    const int64_t endpos = pos + (rlen ? rlen : 1);
-
-    const uint8_t* cb = nullptr;
-    size_t cb_len = 0;
-    const uint8_t* ub = nullptr;
-    size_t ub_len = 0;
-    scan_tags(tags, end, &cb, &cb_len, &ub, &ub_len);
 
     int32_t ibcd;
     if (!prm_.has_group_tag) {
@@ -720,16 +742,14 @@ class Ingest {
       char base;
       int bq;
       int32_t rpos;
-      if (!base_at(cig, n_cigar, pos, p_.snp_pos[k], l_seq, seq4, qual,
-                   &base, &bq, &rpos))
-        continue;
+      const int32_t sid = p_.snp_ids[k];
+      const char refc = (char)p_.snp_ref[sid];
+      if (!resolve(p_.snp_pos[k], refc, &base, &bq, &rpos)) continue;
       if (base == 'N') continue;
       nv_valid++;
       if (bq < prm_.min_bq) continue;
       if (rpos < prm_.min_td - 1) continue;
       if (rpos + prm_.min_td > l_seq) continue;
-      const int32_t sid = p_.snp_ids[k];
-      const char refc = (char)p_.snp_ref[sid];
       const char altc = (char)p_.snp_alt[sid];
       const uint8_t allele = base == refc ? 0 : (base == altc ? 1 : 2);
       const uint8_t cbq =
@@ -896,6 +916,8 @@ static BamHeaderInfo parse_bam_header(RecordReader& rr,
   }
   return info;
 }
+
+#include "cram_reader.inc"
 
 static Result merge_results(std::vector<Result>& parts) {
   Result out;
@@ -1088,7 +1110,16 @@ DmxHandle* dmx_ingest_bam(
         prm.group_set.emplace(std::string(
             grp_concat + grp_off[i], (size_t)(grp_off[i + 1] - grp_off[i])));
     }
-    h->res = run_ingest(path, panel, prm, n_threads < 1 ? 1 : n_threads);
+    {
+      // dispatch by magic: CRAM files go through the native CRAM reader
+      FileBuf probe(path);
+      const bool is_cram =
+          probe.size >= 4 && memcmp(probe.data, "CRAM", 4) == 0;
+      if (is_cram)
+        h->res = run_ingest_cram(path, panel, prm);
+      else
+        h->res = run_ingest(path, panel, prm, n_threads < 1 ? 1 : n_threads);
+    }
   } catch (const IngestError& e) {
     h->err = e.msg;
   } catch (const std::exception& e) {

@@ -147,13 +147,15 @@ def build_pileup(
     lib = _load()
     if lib is None:
         raise RuntimeError("native ingest library unavailable")
-    if path.endswith(".cram"):
-        error(
-            "CRAM input is not supported by this build (requires "
-            "reference-based codecs); convert to BAM first"
-        )
+    is_cram = False
+    with open(path, "rb") as fh:
+        is_cram = fh.read(4) == b"CRAM"
+    if is_cram:
+        from demuxlet_tpu.io.cram import CramReader
 
-    _check_chrom_order(_bam_refs(path), table.chrom_names)
+        _check_chrom_order(CramReader(path).refs, table.chrom_names)
+    else:
+        _check_chrom_order(_bam_refs(path), table.chrom_names)
 
     # per-chromosome sorted SNP arrays in table.chrom_names order
     chrom_arr = np.asarray(table.chroms)

@@ -303,3 +303,37 @@ def test_native_genome_region_shards_union(tmp_path):
     for i, b in enumerate(full.barcodes):
         assert totl.get(b, 0) == int(full.cell_totl[i]), b
         assert uniq.get(b, 0) == int(full.cell_uniq[i]), b
+
+
+@pytest.mark.parametrize("kw", [
+    dict(method=0),
+    dict(method=4, core_codecs=True, slices=2),
+])
+def test_native_cram_matches_python(tmp_path, kw):
+    """Native C++ CRAM reader == Python CRAM reader == BAM pileup,
+    including rANS blocks, core-bitstream codecs and multi-slice."""
+    import pathlib
+    import sys
+
+    sys.path.insert(0, str(pathlib.Path(__file__).parent))
+    from test_cram import _workload
+
+    from demuxlet_tpu.host.csr import CsrPileup
+    from demuxlet_tpu.host.pileup import build_pileup as py_build
+    from demuxlet_tpu.host.slots import build_slots
+    from demuxlet_tpu.io.cram import CramReader
+    from demuxlet_tpu.io.vcf import load_snp_table
+
+    vcf, bam, cram = _workload(tmp_path, seed=47, **kw)
+    table = load_snp_table(vcf, field_name="GT")
+    csr_n, ctr_n = native.build_pileup(cram, table)
+    scl_p, ctr_p = py_build(CramReader(cram), table)
+    csr_p = CsrPileup.from_pileup(scl_p)
+    assert csr_n.barcodes == csr_p.barcodes
+    assert ctr_n == ctr_p
+    np.testing.assert_array_equal(csr_n.cell_totl, csr_p.cell_totl)
+    np.testing.assert_array_equal(csr_n.cell_uniq, csr_p.cell_uniq)
+    cells = list(range(csr_n.nbcs))
+    bn, bp = build_slots(csr_n, cells), build_slots(csr_p, cells)
+    np.testing.assert_array_equal(bn.idx, bp.idx)
+    np.testing.assert_array_equal(bn.cnt, bp.cnt)
