@@ -349,3 +349,37 @@ def test_two_process_genome_sharded_cli(tmp_path):
             want = "\n".join(canonicalize_best(want.splitlines()))
             got = "\n".join(canonicalize_best(got.splitlines()))
         assert got == want, f"{ext} differs\n{errs[0][-1500:]}"
+
+
+def test_two_process_distributed_with_mesh(tmp_path):
+    """Multi-host AND multi-chip together: 2 processes x 2-device local
+    meshes; outputs byte-identical to the plain single-process run."""
+    import socket
+    import subprocess
+    import sys
+
+    vcf, bam = _write_workload(tmp_path, seed=83, n_cells=16)
+    env = _cli_env(n_devices=2)
+    _run_cli(["--sam", bam, "--vcf", vcf, "--field", "GT", "--mode",
+              "exact", "--out", str(tmp_path / "ref"), "--device", "cpu",
+              "--mesh", "none"], env)
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    coord = f"127.0.0.1:{port}"
+    procs = [subprocess.Popen(
+        [sys.executable, "-m", "demuxlet_tpu.cli", "--sam", bam,
+         "--vcf", vcf, "--field", "GT", "--mode", "exact",
+         "--out", str(tmp_path / "dist"), "--device", "cpu",
+         "--mesh", "auto", "--cell-block", "32",
+         "--num-shards", "2", "--shard-id", str(k),
+         "--dist-coordinator", coord],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+    ) for k in range(2)]
+    for p in procs:
+        out, err = p.communicate(timeout=600)
+        assert p.returncode == 0, err[-4000:]
+    for ext in (".single", ".sing2", ".best"):
+        want = open(str(tmp_path / "ref") + ext).read()
+        got = open(str(tmp_path / "dist") + ext).read()
+        assert got == want, f"{ext} differs"

@@ -46,7 +46,7 @@ def _dense_from_codes(codes, msk, cap=40):
     return cnt
 
 
-@pytest.mark.parametrize("seed", [0, 1])
+@pytest.mark.parametrize("seed", [0])  # interpret mode is slow; one adversarial seed
 def test_exact_pallas_matches_xla_f64(seed):
     codes, idx, msk, gps, gp0, w, logf, grid = _workload(seed)
     V, A = gps.shape[1], len(grid)
