@@ -338,6 +338,12 @@ def main(argv=None) -> int:
         shards = split_genome_shards(_bam_refs_len(args.sam), args.num_shards)
         args._genome_regions = shards[args.shard_id]
         table = filter_snp_table(table, args._genome_regions)
+        if not args.dist_coordinator:
+            notice(
+                "WARNING: genome-sharded run without --dist-coordinator "
+                "writes PARTIAL per-shard LLKs (this shard's SNPs only); "
+                "contributions from all shards must be sum-merged"
+            )
         notice(
             "Genome shard %d/%d: %d regions, %d SNPs",
             args.shard_id, args.num_shards, len(args._genome_regions),
