@@ -137,3 +137,53 @@ def test_golden_exact_engine_mode(tmp_path, ref_binary):
               mode="exact")
     _diff(str(tmp_path / "ref"), str(tmp_path / "ours"),
           exts=(".single", ".sing2", ".best"), canonicalize=True)
+
+
+TUT_VCF = "/root/reference/tutorial/jurkat_293T_exons_only.vcf.gz"
+
+
+@pytest.mark.skipif(not os.path.exists(TUT_VCF),
+                    reason="tutorial VCF not present")
+def test_golden_tutorial_vcf(tmp_path, ref_binary):
+    """Golden parity on the REAL tutorial panel (54,424 records, jurkat +
+    293T_RTG, GT:GQ:DP:PL:AD): synthetic droplets over the real SNPs,
+    reference binary vs our CLI, byte-for-byte."""
+    import gzip
+
+    import numpy as np
+
+    from demuxlet_tpu.io.vcf import load_snp_table
+    from fixtures import SimRead, write_sam
+
+    # the shim reads plain text: decompress the BGZF VCF
+    vcf = str(tmp_path / "tut.vcf")
+    with gzip.open(TUT_VCF, "rb") as src, open(vcf, "wb") as dst:
+        dst.write(src.read())
+
+    t = load_snp_table(TUT_VCF, field_name="GT")
+    rng = random.Random(5)
+    chrom = t.chroms[0]
+    geno = np.argmax(t.gps, axis=2)
+    cand = [
+        i for i in range(t.nsnps)
+        if t.chroms[i] == chrom and geno[i, 0] != geno[i, 1]
+    ][:200]
+    contigs = [(chrom, int(t.pos0[max(cand)] + 1000))]
+    reads = []
+    for c in range(12):
+        bc = "TBC%04d" % c
+        s = c % 2
+        for j in range(50):
+            i = cand[rng.randrange(len(cand))]
+            g = geno[i, s]
+            p_ref = [1.0, 0.5, 0.0][g]
+            base = chr(t.ref[i]) if rng.random() < p_ref else chr(t.alt[i])
+            reads.append(SimRead(chrom=chrom, pos0=int(t.pos0[i]), seq=base,
+                                 quals=[37], cb=bc, ub=f"U{c}_{j}"))
+    reads.sort(key=lambda r: r.pos0)  # the reference requires sorted input
+    sam = write_sam(str(tmp_path / "tut.sam"), contigs, reads)
+    _run_ref(ref_binary, vcf, sam, str(tmp_path / "ref"),
+             ["--field", "GT", "--write-pair"])
+    _run_ours(vcf, sam, str(tmp_path / "ours"),
+              ["--field", "GT", "--write-pair"])
+    _diff(str(tmp_path / "ref"), str(tmp_path / "ours"))
