@@ -456,11 +456,14 @@ def filter_snp_table(table: SnpTable, regions) -> SnpTable:
         )
     idx = np.nonzero(keep)[0]
     chroms = [table.chroms[i] for i in idx]
-    names = [c for c in table.chrom_names if c in set(chroms)]
+    # chrom_names is VCF-order metadata (drives the BAM<->VCF order check);
+    # keep it intact even for chromosomes whose SNPs were filtered away —
+    # a shard whose region holds zero SNPs must still pass the check and
+    # contribute an empty result to the distributed sum-gather.
     return SnpTable(
         sample_ids=table.sample_ids,
         chroms=chroms,
-        chrom_names=names,
+        chrom_names=table.chrom_names,
         pos0=table.pos0[idx],
         ref=table.ref[idx],
         alt=table.alt[idx],

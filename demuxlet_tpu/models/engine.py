@@ -94,6 +94,11 @@ class DemuxEngine:
         scale-out additionally stripes barcodes across processes
         (parallel/multihost.py)."""
         self.gps = np.ascontiguousarray(gps, dtype=np.float64)
+        if self.gps.shape[0] == 0:
+            # zero SNPs (e.g. a genome shard whose region holds no markers):
+            # pad one neutral row so LUT gathers stay well-formed; every
+            # slot is masked, so the row's value never reaches an output.
+            self.gps = np.full((1, gps.shape[1], 3), 1.0 / 3)
         self.gp0 = compute_gp0(self.gps)
         self.grid_alpha = list(grid_alpha)
         self.cap_bq = cap_bq

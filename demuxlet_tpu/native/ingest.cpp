@@ -986,11 +986,82 @@ static Result run_ingest(const char* path, const SnpPanel& panel,
   RecordReader hdr_rr(file.data, blocks, 0, 0, std::max(1, n_threads));
   BamHeaderInfo info = parse_bam_header(hdr_rr, panel);
 
+  Progress progress;
+  if (!prm.regions.empty()) {
+    // Genome-sharded scan: only this shard's regions. Reads are counted by
+    // the region owning their START; observations clamp to the region span
+    // (boundary reads are scanned by two shards, SNPs split disjointly).
+    // With a .bai, each region seeks via the linear index (reading
+    // ~|regions|/|genome| of the file); without one, a full sequential
+    // scan applies the same ownership via the region list.
+    std::vector<uint64_t> starts;
+    std::vector<std::vector<uint64_t>> linear;
+    if (!parse_bai_starts(path, info.n_ref, &starts, &linear)) {
+      Ingest ing(panel, prm, info.tid_to_chrom, INT32_MAX, &progress,
+                 &info.ref_names);
+      ing.set_region_list(&prm.regions);
+      ing.scan(hdr_rr);
+      return ing.take();
+    }
+    std::vector<int> chrom_to_tid;
+    for (int t = 0; t < info.n_ref; ++t) {
+      int c = info.tid_to_chrom[t];
+      if (c >= 0) {
+        if ((int)chrom_to_tid.size() <= c) chrom_to_tid.resize(c + 1, -1);
+        chrom_to_tid[c] = t;
+      }
+    }
+    const int n_reg = (int)prm.regions.size();
+    std::vector<Result> reg_parts(n_reg);
+    std::atomic<int> next_reg{0};
+    std::atomic<bool> reg_bad{false};
+    std::string reg_err;
+    std::mutex reg_mu;
+    auto reg_work = [&]() {
+      for (;;) {
+        int ri = next_reg.fetch_add(1);
+        if (ri >= n_reg) break;
+        try {
+          const auto& rg = prm.regions[ri];
+          const int c = (int)rg[0];
+          const int tid = (c >= 0 && c < (int)chrom_to_tid.size())
+                              ? chrom_to_tid[c]
+                              : -1;
+          if (tid < 0 || starts[tid] == UINT64_MAX) continue;  // no reads
+          // first 16kb linear-index window overlapping the region start;
+          // a zero ioffset means "no data recorded" — fall back to the
+          // chromosome's first read (correct, just scans from its start)
+          uint64_t vo = starts[tid];
+          const size_t win = (size_t)(rg[1] >> 14);
+          if (win < linear[tid].size() && linear[tid][win] != 0 &&
+              linear[tid][win] > vo)
+            vo = linear[tid][win];
+          size_t bi = block_index_for_coffset(blocks, vo >> 16);
+          RecordReader rr(file.data, blocks, bi, (uint32_t)(vo & 0xffff), 1);
+          Ingest ing(panel, prm, info.tid_to_chrom, INT32_MAX, &progress,
+                     &info.ref_names);
+          ing.set_region(c, tid, rg[1], rg[2]);
+          ing.scan(rr);
+          reg_parts[ri] = ing.take();
+        } catch (const IngestError& e) {
+          std::lock_guard<std::mutex> lk(reg_mu);
+          reg_err = e.msg;
+          reg_bad = true;
+        }
+      }
+    };
+    int nw = std::min(std::max(1, n_threads), n_reg);
+    std::vector<std::thread> rts;
+    for (int i = 0; i < nw; ++i) rts.emplace_back(reg_work);
+    for (auto& t : rts) t.join();
+    if (reg_bad.load()) fail(reg_err);
+    return merge_results(reg_parts);
+  }
+
   std::vector<uint64_t> starts;
   bool have_bai =
       n_threads > 1 && parse_bai_starts(path, info.n_ref, &starts);
 
-  Progress progress;
   if (!have_bai) {
     Ingest ing(panel, prm, info.tid_to_chrom, INT32_MAX, &progress,
                &info.ref_names);

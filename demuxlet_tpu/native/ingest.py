@@ -201,9 +201,11 @@ def build_pileup(
         cidx = {c: i for i, c in enumerate(table.chrom_names)}
         rc, rb, re_ = [], [], []
         for chrom, beg1, end0 in regions:
-            if chrom not in cidx:
-                continue
-            rc.append(cidx[chrom])
+            # a region chrom absent from the panel (no SNPs there) still
+            # keeps ownership mode active: sentinel -1 matches no read's
+            # panel chrom, so this shard owns nothing on it — the reads
+            # are skipped everywhere, exactly like an unsharded run
+            rc.append(cidx.get(chrom, -1))
             rb.append(beg1 - 1)
             re_.append(end0)  # 1-based inclusive end == 0-based exclusive
         rc = np.asarray(rc, np.int32)

@@ -351,6 +351,56 @@ def test_two_process_genome_sharded_cli(tmp_path):
         assert got == want, f"{ext} differs\n{errs[0][-1500:]}"
 
 
+def test_two_process_genome_shard_with_zero_snps(tmp_path):
+    """A genome shard whose region contains NO SNPs must still join the
+    distributed gather with an empty contribution (regression: it used to
+    fail the chrom-order check and deadlock the peer) and must not count
+    any reads outside its regions (regression: an all-dropped region list
+    used to disable ownership entirely, double-counting RD.TOTL)."""
+    import socket
+    import subprocess
+    import sys
+
+    from fixtures import SimRead
+
+    cg, names, variants, reads, truth = random_workload(
+        random.Random(7), n_cells=10, n_snps=20, n_samples=3,
+        reads_per_cell=30, chrom="chr1",
+    )
+    contigs = [("chr1", cg[0][1]), ("chr2", cg[0][1])]  # chr2: reads, 0 SNPs
+    for c in range(5):
+        reads.append(SimRead("chr2", 100 + c * 10, "ACGTACGTAC", [30] * 10,
+                             cb="BC%05d" % c, ub=f"x{c}"))
+    reads.sort(key=lambda r: (0 if r.chrom == "chr1" else 1, r.pos0))
+    vcf = write_vcf(str(tmp_path / "z.vcf"), names, variants, contigs=contigs)
+    bam = write_bam(str(tmp_path / "z.bam"), contigs, reads)
+
+    env = _cli_env()
+    _run_cli(["--sam", bam, "--vcf", vcf, "--field", "GT", "--mode",
+              "exact", "--out", str(tmp_path / "ref"), "--device", "cpu",
+              "--mesh", "none"], env)
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    coord = f"127.0.0.1:{port}"
+    procs = [subprocess.Popen(
+        [sys.executable, "-m", "demuxlet_tpu.cli", "--sam", bam,
+         "--vcf", vcf, "--field", "GT", "--mode", "exact",
+         "--out", str(tmp_path / "dist"), "--device", "cpu",
+         "--mesh", "none", "--num-shards", "2", "--shard-id", str(k),
+         "--shard-by", "genome", "--dist-coordinator", coord],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+    ) for k in range(2)]
+    for p in procs:
+        out, err = p.communicate(timeout=600)
+        assert p.returncode == 0, err[-4000:]
+    for ext in (".single", ".sing2", ".best"):
+        want = open(str(tmp_path / "ref") + ext).read()
+        got = open(str(tmp_path / "dist") + ext).read()
+        assert got == want, f"{ext} differs"
+
+
 def test_two_process_distributed_with_mesh(tmp_path):
     """Multi-host AND multi-chip together: 2 processes x 2-device local
     meshes; outputs byte-identical to the plain single-process run."""

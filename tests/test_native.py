@@ -271,9 +271,8 @@ def test_native_genome_region_shards_union(tmp_path):
     nsnp_sum = 0
     for regs in shards:
         sub = filter_snp_table(table, regs)
-        # chrom-order check needs the BAM's chroms; skip empty shards
-        if sub.nsnps == 0:
-            continue
+        # zero-SNP shards must still work (and own nothing beyond their
+        # regions' reads) — no skip
         csr, ctr = native.build_pileup(bam, sub, regions=regs)
         for i, b in enumerate(csr.barcodes):
             totl[b] = totl.get(b, 0) + int(csr.cell_totl[i])
@@ -284,6 +283,59 @@ def test_native_genome_region_shards_union(tmp_path):
         sub_key = [(sub.chroms[k], int(sub.pos0[k])) for k in range(sub.nsnps)]
         glob = {(table.chroms[k], int(table.pos0[k])): k
                 for k in range(table.nsnps)}
+        for c in range(csr.nbcs):
+            a, bnd = csr.cell_ptr[c], csr.cell_ptr[c + 1]
+            for j in range(a, bnd):
+                gk = glob[sub_key[int(csr.obs_snp[j])]]
+                key = (csr.barcodes[c], gk, int(csr.obs_allele[j]),
+                       int(csr.obs_bq[j]))
+                obs[key] = obs.get(key, 0) + 1
+
+    full_obs = {}
+    for c in range(full.nbcs):
+        a, bnd = full.cell_ptr[c], full.cell_ptr[c + 1]
+        for j in range(a, bnd):
+            key = (full.barcodes[c], int(full.obs_snp[j]),
+                   int(full.obs_allele[j]), int(full.obs_bq[j]))
+            full_obs[key] = full_obs.get(key, 0) + 1
+    assert obs == full_obs
+    for i, b in enumerate(full.barcodes):
+        assert totl.get(b, 0) == int(full.cell_totl[i]), b
+        assert uniq.get(b, 0) == int(full.cell_uniq[i]), b
+
+
+def test_native_mid_chromosome_region_split(tmp_path):
+    """Two shards splitting ONE chromosome mid-span: reads are owned by the
+    region containing their start, observations partition by SNP position,
+    and counter/observation unions equal the unsharded pileup exactly.
+    Also covers the BAI linear-index region seek (fixtures write a .bai)."""
+    import random
+
+    from demuxlet_tpu.io.vcf import filter_snp_table, load_snp_table
+    from fixtures import random_workload, write_bam, write_vcf
+
+    rng = random.Random(23)
+    contigs, names, variants, reads, truth = random_workload(
+        rng, n_cells=12, n_snps=40, n_samples=3, reads_per_cell=50,
+    )
+    vcf = write_vcf(str(tmp_path / "m.vcf"), names, variants, contigs=contigs)
+    bam = write_bam(str(tmp_path / "m.bam"), contigs, reads)
+    table = load_snp_table(vcf, field_name="GT")
+    full, _ = native.build_pileup(bam, table)
+
+    chrom, ln = contigs[0]
+    mid = int(table.pos0[table.nsnps // 2])  # boundary ON a SNP position
+    shard_regs = [[(chrom, 1, mid)], [(chrom, mid + 1, ln)]]
+    totl, uniq, obs = {}, {}, {}
+    for regs in shard_regs:
+        sub = filter_snp_table(table, regs)
+        csr, _ = native.build_pileup(bam, sub, regions=regs)
+        sub_key = [(sub.chroms[k], int(sub.pos0[k])) for k in range(sub.nsnps)]
+        glob = {(table.chroms[k], int(table.pos0[k])): k
+                for k in range(table.nsnps)}
+        for i, b in enumerate(csr.barcodes):
+            totl[b] = totl.get(b, 0) + int(csr.cell_totl[i])
+            uniq[b] = uniq.get(b, 0) + int(csr.cell_uniq[i])
         for c in range(csr.nbcs):
             a, bnd = csr.cell_ptr[c], csr.cell_ptr[c + 1]
             for j in range(a, bnd):
