@@ -180,12 +180,37 @@ class DemuxEngine:
         )
         return llk, llk0, llk_ab, llk_00
 
+    def _shrink_codes_blk(self, codes_blk):
+        """Cut fast-path H2D bytes (the tunneled-backend bottleneck at 100K
+        cells): when slot ids fit in 16 bits, adjacent pairs pack into one
+        int32 lane (unpacked on device — only u8/i32 cross the link, the
+        dtypes the transport is known-good for), and msk is dropped — the
+        device derives it from codes != 255 (see demux_block_fast_impl).
+        Valid slots whose observations were all allele==2 have no codes but
+        must stay masked-in (uniform-GL term, cmd_cram_demuxlet.cpp:435
+        semantics), so they get the reserved marker 254 in lane 0; real
+        codes top out at 2*(cap_bq+1)-1 <= 253 (shrink skipped otherwise).
+        ~14.7MB -> ~8.4MB per 2048x1024 e2e block. Mesh shard_map steps
+        keep the explicit (codes, idx, msk) signature."""
+        if self.mesh is not None or self.cap_bq > 126:
+            return codes_blk
+        codes, idx, msk = codes_blk
+        empty = msk & (codes == 255).all(axis=-1)
+        if empty.any():
+            b, s = np.nonzero(empty)
+            codes[b, s, 0] = 254
+        S = idx.shape[1]
+        if self.gps.shape[0] <= 0xFFFF and S % 2 == 0:
+            u = idx.astype(np.uint32)
+            idx = (u[:, 0::2] | (u[:, 1::2] << 16)).view(np.int32)
+        return codes, idx, None
+
     def _run_block_fast(self, scl, cells):
         from demuxlet_tpu.host.csr import build_codes_block
 
-        return self._dispatch_fast(build_codes_block(
+        return self._dispatch_fast(self._shrink_codes_blk(build_codes_block(
             scl, cells, cap_bq=self.cap_bq, pad_cells_to=self.cell_block
-        ))
+        )))
 
     def _dispatch_fast(self, codes_blk):
         from demuxlet_tpu.ops.pallas_pair import demux_block_fast, extend_luts
@@ -211,7 +236,7 @@ class DemuxEngine:
         return demux_block_fast(
             jnp.asarray(codes),
             jnp.asarray(idx),
-            jnp.asarray(msk),
+            None if msk is None else jnp.asarray(msk),
             self._gps_dev,
             self._gp0_dev,
             w_ext,
@@ -307,10 +332,10 @@ class DemuxEngine:
         ]
 
         def prep(cells):
-            return cells, build_codes_block(
+            return cells, self._shrink_codes_blk(build_codes_block(
                 scl, cells, cap_bq=self.cap_bq,
                 pad_cells_to=self.cell_block,
-            )
+            ))
 
         pending = []
         with ThreadPoolExecutor(max_workers=2) as pool, ThreadPoolExecutor(
@@ -341,7 +366,8 @@ class DemuxEngine:
                 else:
                     packed = D.demux_block_fast_compact(
                         jnp.asarray(codes), jnp.asarray(idx),
-                        jnp.asarray(msk), self._gps_dev, self._gp0_dev,
+                        None if msk is None else jnp.asarray(msk),
+                        self._gps_dev, self._gp0_dev,
                         w_ext, logf_ext, dbl_w, dbl_msk, self.n_alpha,
                         self.nv, doublet_prior, interpret=interpret,
                     )
@@ -435,10 +461,13 @@ class DemuxEngine:
             if self.mode == "fast" or self.use_exact_pallas:
                 from demuxlet_tpu.host.csr import build_codes_block
 
-                return cells, ("codes", build_codes_block(
+                blk = build_codes_block(
                     scl, cells, cap_bq=self.cap_bq,
                     pad_cells_to=self.cell_block,
-                ))
+                )
+                if self.mode == "fast":
+                    blk = self._shrink_codes_blk(blk)
+                return cells, ("codes", blk)
             blk = build_slots(scl, cells, cap_bq=self.cap_bq)
             blk = _pad_block(blk, self.cell_block, _bucket(blk.idx.shape[1]))
             return cells, ("slots", blk)

@@ -181,7 +181,15 @@ def demux_block_fast_impl(
     """Fused fast-mode block step: codes -> (llk, llk0, llk_ab, llk_00).
 
     codes (B,S,U) uint8 per-UMI observation codes (255 = none);
-    idx (B,S) int32 slot SNP ids; msk (B,S) bool;
+    idx: slot SNP ids — (B,S) int-typed, or (B,S//2) int32 with two
+    16-bit ids packed per lane (low half = even slot), shipped over thin
+    links and unpacked here; msk (B,S) bool, or None to derive it on
+    device as any(codes != 255, -1) — exact under the shrunk-block
+    contract (_shrink_codes_blk): masked-out slots carry all-255, and a
+    valid slot with zero real codes (all its observations were allele==2;
+    it still owes the uniform-GL term, cmd_cram_demuxlet.cpp:435) carries
+    the reserved marker 254, which maps to the neutral LUT row like 255.
+    Saves the B*S bool transfer;
     gps_table (NS,V,3) f32; gp0_table (NS,3) f32;
     w_ext (NB+1, A*9) f32 pair LUT with a zero "none" row appended;
     logf_ext (NB+1, 3) f32 singlet LUT with a zero row appended.
@@ -192,8 +200,16 @@ def demux_block_fast_impl(
     """
     B, S, U = codes.shape
     V, A = n_samples, n_alpha
+    if msk is None:
+        msk = jnp.any(codes != jnp.uint8(255), axis=-1)
+    if idx.shape[1] == S // 2 and S > 1:
+        u = jax.lax.bitcast_convert_type(idx.astype(jnp.int32), jnp.uint32)
+        pair = jnp.stack([u & 0xFFFF, u >> 16], axis=-1)
+        idx = pair.reshape(B, S).astype(jnp.int32)
+    else:
+        idx = idx.astype(jnp.int32)
     none_row = w_ext.shape[0] - 1
-    c = jnp.where(codes == 255, jnp.uint8(none_row), codes).astype(jnp.int32)
+    c = jnp.where(codes >= 254, jnp.uint8(none_row), codes).astype(jnp.int32)
 
     # pair LUT sum over UMIs -> lograw (B,S,A*9)
     lograw = jnp.take(w_ext, c[..., 0], axis=0)

@@ -132,3 +132,41 @@ def test_compact_decision_path_bytes(tmp_path):
     import numpy as np
 
     np.testing.assert_allclose(llks, res.llks, rtol=0, atol=0)
+
+
+def test_allele2_only_slot_keeps_uniform_gl_term():
+    """A slot whose only observations are allele==2 carries no codes but
+    must stay masked-in: the reference includes the SNP in the cell's
+    covered set and every sample's LLK gains the uniform-GL log(1/3) term
+    (cmd_cram_demuxlet.cpp:426-459 with the :435 skip). The shrunk fast
+    path (msk derived on device) marks such slots with the reserved code
+    254 — without it they would silently drop ~1.1 nats per slot."""
+    import random
+
+    import numpy as np
+
+    from demuxlet_tpu.models.engine import DemuxEngine
+    from oracle.numpy_oracle import PileupData, compute_gp0s, pass1_singlet
+
+    rng = random.Random(11)
+    nv, nsnps = 3, 8
+    g = np.random.RandomState(11).dirichlet([2, 2, 2], size=(nsnps, nv))
+    scl = PileupData([f"S{i}" for i in range(nv)], list(g))
+    for c in range(2):
+        scl.add_cell(f"BC{c:03d}")
+        for u in range(12):
+            s = 1 + rng.randrange(nsnps - 1)
+            scl.cell_totl[c] += 1
+            scl.add_read(s, c, f"U{u}", rng.choice([0, 1]), 30)
+    # cell 0, snp 0: only mismatch-both observations -> zero codes
+    scl.cell_totl[0] += 2
+    scl.add_read(0, 0, "UX1", 2, 30)
+    scl.add_read(0, 0, "UX2", 2, 30)
+
+    gp0s = compute_gp0s(scl)
+    o_llks, o_llk0s = pass1_singlet(scl, gp0s)
+
+    eng = DemuxEngine(np.stack(scl.snp_gps), [0.0, 0.5], mode="fast")
+    res = eng.run(scl)
+    np.testing.assert_allclose(res.llks, o_llks, rtol=0, atol=2e-3)
+    np.testing.assert_allclose(res.llk0s, o_llk0s, rtol=0, atol=2e-3)
