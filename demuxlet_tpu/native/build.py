@@ -36,6 +36,7 @@ def build(force: bool = False) -> str:
         "-lz",
         "-llzma",
         "-lpthread",
+        "-ldl",
     ]
     subprocess.run(cmd, check=True)
     return OUT

@@ -445,6 +445,10 @@ def _cram_block(ctype: int, cid: int, data: bytes, method: int = 0) -> bytes:
         import gzip as _gz
 
         comp = _gz.compress(data)
+    elif method == 2:
+        import bz2 as _bz2
+
+        comp = _bz2.compress(data)
     elif method == 4:
         from demuxlet_tpu.io import rans
 
@@ -605,7 +609,7 @@ def write_cram(
     """Spec-structured CRAM 3.0 writer for testing io/cram.py.
 
     ref_seqs: chrom -> str genome (reads encode as substitution features).
-    method: block compression (0 raw, 1 gzip, 4 rANS).
+    method: block compression (0 raw, 1 gzip, 2 bzip2, 4 rANS).
     core_codecs: encode the integer data series with core-bitstream codecs
     (BETA/GAMMA/SUBEXP/multi-symbol canonical HUFFMAN) in a CORE data
     block instead of EXTERNAL itf8 streams.

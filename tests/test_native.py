@@ -359,6 +359,7 @@ def test_native_mid_chromosome_region_split(tmp_path):
 
 @pytest.mark.parametrize("kw", [
     dict(method=0),
+    dict(method=2),
     dict(method=4, core_codecs=True, slices=2),
 ])
 def test_native_cram_matches_python(tmp_path, kw):
