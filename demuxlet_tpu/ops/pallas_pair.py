@@ -40,7 +40,14 @@ TB = 32  # cells per tile (sublanes)
 TS = 128  # slots per tile (lanes)
 
 
-def _pair_kernel(t_ref, g_ref, out_ref, out0_ref, acc_ref, acc0_ref, *, V, A, n_s):
+# exact-neutrality constant: with q = fl(1 + 1e-6), fl(q * fl(1/q)) == 1.0,
+# so a padded slot (lograw == 0 everywhere) yields t == 1 exactly and
+# contributes log(1) == 0 — no mask needed (checked in tests/test_pallas.py)
+_SMOOTH = np.float32(1e-6)
+_KNORM = np.float32(1.0) / (np.float32(1.0) + np.float32(1e-6))
+
+
+def _pair_kernel(lr_ref, g_ref, out_ref, out0_ref, acc_ref, acc0_ref, *, V, A, n_s):
     s_step = pl.program_id(1)
 
     @pl.when(s_step == 0)
@@ -48,7 +55,17 @@ def _pair_kernel(t_ref, g_ref, out_ref, out0_ref, acc_ref, acc0_ref, *, V, A, n_
         acc_ref[:] = jnp.zeros_like(acc_ref)
         acc0_ref[:] = jnp.zeros_like(acc0_ref)
 
-    t = [t_ref[x] for x in range(A * 9)]
+    # mixture table from raw log-sums, fused here so XLA neither re-reads
+    # lograw for the max pass nor materializes t (saves ~3 HBM passes of
+    # the (A*9, B, S) tensor): t = (exp(lr - max) + 1e-6) / (1 + 1e-6).
+    # The reference divides by the (telescoped) running max and smooths
+    # once (cmd_cram_demuxlet.cpp:631-663); the final max-division is the
+    # constant 1 + 1e-6 because max(exp(lr - max)) == 1 exactly.
+    lr = [lr_ref[x] for x in range(A * 9)]
+    mx = lr[0]
+    for x in range(1, A * 9):
+        mx = jnp.maximum(mx, lr[x])
+    t = [(jnp.exp(lr[x] - mx) + _SMOOTH) * _KNORM for x in range(A * 9)]
     g = [g_ref[i] for i in range(V * 3)]
 
     for j in range(V):
@@ -125,26 +142,23 @@ def pair_llks_pallas(cnt_t, gps_t, wt, n_alpha, n_samples, interpret=False):
     V, A = n_samples, n_alpha
     assert B % TB == 0 and S % TS == 0, (B, S)
 
-    # XLA front: LUT matmul + exp-normalization, (A*9)-major output. The
+    # XLA front: LUT matmul only (MXU), (A*9)-major output; the
+    # exp-normalization happens inside the kernel (see _pair_kernel). The
     # reference divides by the running max after each UMI and applies the
     # 1e-6 smoothing ONCE after all UMIs (cmd_cram_demuxlet.cpp:631-663);
-    # the per-UMI max-divisions telescope to this single max-shift, so the
+    # the per-UMI max-divisions telescope to one max-shift, so the
     # smoothing order here matches the reference exactly in real
     # arithmetic — fast mode's only approximation is f32 rounding.
     lograw = jnp.einsum(
         "nbs,nx->xbs", cnt_t, wt, preferred_element_type=jnp.float32
     )
-    mx = jnp.max(lograw, axis=0, keepdims=True)
-    t = jnp.exp(lograw - mx)
-    t = t + jnp.float32(1e-6)
-    t = t / jnp.max(t, axis=0, keepdims=True)
-
-    return _call_pair_kernel(t, gps_t, V, A, interpret)
+    return _call_pair_kernel(lograw, gps_t, V, A, interpret)
 
 
-def _call_pair_kernel(t, gps_t, V, A, interpret):
-    """Invoke the pair kernel; each output lane width padded to 128-mult."""
-    _, B, S = t.shape
+def _call_pair_kernel(lograw, gps_t, V, A, interpret):
+    """Invoke the pair kernel on raw (A*9, B, S) log-sums; each output
+    lane width padded to a 128-multiple."""
+    _, B, S = lograw.shape
     n_s = S // TS
     w_ab = -(-(V * V * A) // 128) * 128
     kernel = functools.partial(_pair_kernel, V=V, A=A, n_s=n_s)
@@ -168,7 +182,7 @@ def _call_pair_kernel(t, gps_t, V, A, interpret):
             pltpu.VMEM((A, TB, TS), jnp.float32),
         ],
         interpret=interpret,
-    )(t, gps_t)
+    )(lograw, gps_t)
     out_ab = out[:, : V * V * A].reshape(B, V, V, A)
     out_00 = out0[:, :A]
     return out_ab, out_00
@@ -211,15 +225,12 @@ def demux_block_fast_impl(
     none_row = w_ext.shape[0] - 1
     c = jnp.where(codes >= 254, jnp.uint8(none_row), codes).astype(jnp.int32)
 
-    # pair LUT sum over UMIs -> lograw (B,S,A*9)
+    # pair LUT sum over UMIs -> lograw (B,S,A*9); the exp-normalization
+    # happens inside the pair kernel (see _pair_kernel)
     lograw = jnp.take(w_ext, c[..., 0], axis=0)
     for u in range(1, U):
         lograw = lograw + jnp.take(w_ext, c[..., u], axis=0)
-    mx = jnp.max(lograw, axis=-1, keepdims=True)
-    t = jnp.exp(lograw - mx)
-    t = t + jnp.float32(1e-6)
-    t = t / jnp.max(t, axis=-1, keepdims=True)
-    t_x = jnp.transpose(t, (2, 0, 1))  # (A*9, B, S)
+    lograw_x = jnp.transpose(lograw, (2, 0, 1))  # (A*9, B, S)
 
     # per-slot genotype posteriors; padded/masked slots -> neutral (1,0,0)
     gps_g = jnp.take(gps_table, idx, axis=0)  # (B,S,V,3)
@@ -227,7 +238,7 @@ def demux_block_fast_impl(
     gps_g = jnp.where(msk[..., None, None], gps_g, neutral)
     gps_t = jnp.transpose(gps_g, (2, 3, 0, 1)).reshape(V * 3, B, S)
 
-    llk_ab, llk_00 = _call_pair_kernel(t_x, gps_t, V, A, interpret)
+    llk_ab, llk_00 = _call_pair_kernel(lograw_x, gps_t, V, A, interpret)
 
     # singlet pass (pass 1, :415-461): tiny relative to the pair search
     lograw_s = jnp.take(logf_ext, c[..., 0], axis=0)
