@@ -86,8 +86,50 @@ def _opaque(x):
     return jnp.minimum(jnp.maximum(x, -_F32_MAX), _F32_MAX)
 
 
+_F32_BRK = _np.float32(3.0e38)  # < _F32_MAX: see two_prod's fma branch
+
+
+def _cse_break(x):
+    """Value-preserving (for |x| <= 3e38) clamp that cannot collapse
+    with an _opaque clamp chain — bounds differ."""
+    return jnp.minimum(jnp.maximum(x, -_F32_BRK), _F32_BRK)
+
+
+# When the backend contracts `mul + sub` into a single-rounded FMA,
+# the residual e = a*b - p is EXACT in one op (Dekker's theorem: the
+# rounding error of a product is representable) and the Veltkamp split's
+# ~15 ops collapse to 2. benchmarks/probe_fma.py verifies the backend's
+# semantics on-device; tests/test_df32.py re-verifies per test run before
+# exercising the fma path. Off by default — the split path is
+# contraction-agnostic and always sound.
+_USE_FMA = False
+
+
+def use_fma(enabled: bool) -> bool:
+    """Select the FMA two_prod (returns the previous setting).
+
+    Only sound on backends where probe_fma reports ACTIVE+single-rounded,
+    and only under jit — EAGER dispatch executes ops one by one and the
+    residual folds to zero (df degenerates to f32). Callers must flip
+    BEFORE tracing (jit caches the code path taken at trace time)."""
+    global _USE_FMA
+    prev = _USE_FMA
+    _USE_FMA = bool(enabled)
+    return prev
+
+
 def two_prod(a, b):
-    """Error-free a * b = p + e (Dekker, no FMA needed)."""
+    """Error-free a * b = p + e (Dekker split, or FMA when enabled)."""
+    if _USE_FMA:
+        p = _opaque(a * b)
+        # _cse_break(a) keeps the residual multiply a DISTINCT node from
+        # p's (so the backend contracts this mul+sub into fma(a, b, -p)
+        # = the exact residual); it uses a different clamp bound than
+        # _opaque because clamp(clamp(x)) with equal bounds collapses,
+        # the muls CSE, and the residual folds to zero (seen in div,
+        # whose q1 is already _opaque-clamped)
+        e = _cse_break(a) * b - p
+        return p, e
     p = _opaque(a * b)
     ah, al = vsplit(a)
     bh, bl = vsplit(b)
