@@ -47,7 +47,29 @@ _SMOOTH = np.float32(1e-6)
 _KNORM = np.float32(1.0) / (np.float32(1.0) + np.float32(1e-6))
 
 
-def _pair_kernel(lr_ref, g_ref, out_ref, out0_ref, acc_ref, acc0_ref, *, V, A, n_s):
+def _norm_t(lograw, axis):
+    """Mixture table from raw LUT log-sums: t = (exp(lr-max)+1e-6)/(1+1e-6).
+
+    The reference divides by the (telescoped) running max and smooths once
+    (cmd_cram_demuxlet.cpp:631-663); the final max-division is the CONSTANT
+    1+1e-6 because max(exp(lr-max)) == 1 exactly — saving a second reduce
+    pass, and fl(q*fl(1/q)) == 1 keeps padded slots exactly neutral. Runs
+    in XLA, not the kernel: the kernel is VPU-op-bound, and A*9 exps per
+    tile on its critical path measured ~7%% slower than letting XLA fuse
+    them into the front (161.5K vs 173.3K barcodes/s)."""
+    mx = jnp.max(lograw, axis=axis, keepdims=True)
+    return (jnp.exp(lograw - mx) + _SMOOTH) * _KNORM
+
+
+def _pair_kernel(t_ref, g_ref, out_ref, out0_ref, acc_ref, acc0_ref, *, V, A, n_s):
+    """Accumulates per-slot log(inner mixture) into VMEM scratch planes.
+
+    Measured dead end (round 2): replacing the per-slot jnp.log with
+    mantissa-PRODUCT accumulation + i32 exponent tracking (log once per
+    lane at the end, renorm every 2nd grid step) ran 157.1K b/s vs this
+    version's 173.3K — Mosaic's vector log is cheap, and the extra
+    scratch traffic + renorm pass cost more than the 320 logs saved
+    (it also pushed scoped VMEM past the 16MB default)."""
     s_step = pl.program_id(1)
 
     @pl.when(s_step == 0)
@@ -55,17 +77,7 @@ def _pair_kernel(lr_ref, g_ref, out_ref, out0_ref, acc_ref, acc0_ref, *, V, A, n
         acc_ref[:] = jnp.zeros_like(acc_ref)
         acc0_ref[:] = jnp.zeros_like(acc0_ref)
 
-    # mixture table from raw log-sums, fused here so XLA neither re-reads
-    # lograw for the max pass nor materializes t (saves ~3 HBM passes of
-    # the (A*9, B, S) tensor): t = (exp(lr - max) + 1e-6) / (1 + 1e-6).
-    # The reference divides by the (telescoped) running max and smooths
-    # once (cmd_cram_demuxlet.cpp:631-663); the final max-division is the
-    # constant 1 + 1e-6 because max(exp(lr - max)) == 1 exactly.
-    lr = [lr_ref[x] for x in range(A * 9)]
-    mx = lr[0]
-    for x in range(1, A * 9):
-        mx = jnp.maximum(mx, lr[x])
-    t = [(jnp.exp(lr[x] - mx) + _SMOOTH) * _KNORM for x in range(A * 9)]
+    t = [t_ref[x] for x in range(A * 9)]
     g = [g_ref[i] for i in range(V * 3)]
 
     for j in range(V):
@@ -142,23 +154,19 @@ def pair_llks_pallas(cnt_t, gps_t, wt, n_alpha, n_samples, interpret=False):
     V, A = n_samples, n_alpha
     assert B % TB == 0 and S % TS == 0, (B, S)
 
-    # XLA front: LUT matmul only (MXU), (A*9)-major output; the
-    # exp-normalization happens inside the kernel (see _pair_kernel). The
-    # reference divides by the running max after each UMI and applies the
-    # 1e-6 smoothing ONCE after all UMIs (cmd_cram_demuxlet.cpp:631-663);
-    # the per-UMI max-divisions telescope to one max-shift, so the
-    # smoothing order here matches the reference exactly in real
+    # XLA front: LUT matmul (MXU) + exp-normalization (_norm_t; fused
+    # elementwise). The per-UMI max-divisions telescope to one max-shift,
+    # so the smoothing order matches the reference exactly in real
     # arithmetic — fast mode's only approximation is f32 rounding.
     lograw = jnp.einsum(
         "nbs,nx->xbs", cnt_t, wt, preferred_element_type=jnp.float32
     )
-    return _call_pair_kernel(lograw, gps_t, V, A, interpret)
+    return _call_pair_kernel(_norm_t(lograw, 0), gps_t, V, A, interpret)
 
 
-def _call_pair_kernel(lograw, gps_t, V, A, interpret):
-    """Invoke the pair kernel on raw (A*9, B, S) log-sums; each output
-    lane width padded to a 128-multiple."""
-    _, B, S = lograw.shape
+def _call_pair_kernel(t, gps_t, V, A, interpret):
+    """Invoke the pair kernel; each output lane width padded to 128-mult."""
+    _, B, S = t.shape
     n_s = S // TS
     w_ab = -(-(V * V * A) // 128) * 128
     kernel = functools.partial(_pair_kernel, V=V, A=A, n_s=n_s)
@@ -182,7 +190,7 @@ def _call_pair_kernel(lograw, gps_t, V, A, interpret):
             pltpu.VMEM((A, TB, TS), jnp.float32),
         ],
         interpret=interpret,
-    )(lograw, gps_t)
+    )(t, gps_t)
     out_ab = out[:, : V * V * A].reshape(B, V, V, A)
     out_00 = out0[:, :A]
     return out_ab, out_00
@@ -225,12 +233,11 @@ def demux_block_fast_impl(
     none_row = w_ext.shape[0] - 1
     c = jnp.where(codes >= 254, jnp.uint8(none_row), codes).astype(jnp.int32)
 
-    # pair LUT sum over UMIs -> lograw (B,S,A*9); the exp-normalization
-    # happens inside the pair kernel (see _pair_kernel)
+    # pair LUT sum over UMIs -> lograw (B,S,A*9) -> mixture table t
     lograw = jnp.take(w_ext, c[..., 0], axis=0)
     for u in range(1, U):
         lograw = lograw + jnp.take(w_ext, c[..., u], axis=0)
-    lograw_x = jnp.transpose(lograw, (2, 0, 1))  # (A*9, B, S)
+    t_x = jnp.transpose(_norm_t(lograw, -1), (2, 0, 1))  # (A*9, B, S)
 
     # per-slot genotype posteriors; padded/masked slots -> neutral (1,0,0)
     gps_g = jnp.take(gps_table, idx, axis=0)  # (B,S,V,3)
@@ -238,7 +245,7 @@ def demux_block_fast_impl(
     gps_g = jnp.where(msk[..., None, None], gps_g, neutral)
     gps_t = jnp.transpose(gps_g, (2, 3, 0, 1)).reshape(V * 3, B, S)
 
-    llk_ab, llk_00 = _call_pair_kernel(lograw_x, gps_t, V, A, interpret)
+    llk_ab, llk_00 = _call_pair_kernel(t_x, gps_t, V, A, interpret)
 
     # singlet pass (pass 1, :415-461): tiny relative to the pair search
     lograw_s = jnp.take(logf_ext, c[..., 0], axis=0)
