@@ -1,0 +1,188 @@
+"""Stage-level timing of the exact-mode (df32) block step on the real chip.
+
+Splits demux_block_exact_impl (ops/pallas_pair_exact.py) into its pipeline
+stages. Uses the two-point protocol (N vs 2N queued iterations, difference)
+to cancel the tunnel's fixed ~30ms scalar-readback sync cost — see
+bench.py:timeit.
+
+  A. t front: prod_gather    codes -> per-slot df product table (B,S,A9)
+  B. A + mixture table       normalize + smooth -> t
+  C. B + transpose           t in kernel layout (A9, B, S)
+  D. g gathers               gps/gp0 idx-gather + mask + kernel layout
+  E. gl table                pass-1 GL front (_gl_table_df)
+  F. kernel only             _call_pair_kernel_df on precomputed inputs
+  G. full                    demux_block_exact_impl
+
+Usage: python benchmarks/probe_exact_stages.py  (serialize with other TPU
+processes — never overlap two).
+"""
+
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+
+def main():
+    import jax
+
+    from demuxlet_tpu.utils.jaxcfg import enable_compilation_cache
+
+    enable_compilation_cache()
+    import jax.numpy as jnp
+
+    import bench
+    from demuxlet_tpu.models.engine import compute_gp0
+    from demuxlet_tpu.ops import pallas_pair_exact as PE
+    from demuxlet_tpu.ops import luts
+
+    NALPHA, NV, CAP_BQ, B = bench.NALPHA, bench.NV, bench.CAP_BQ, bench.TPU_BLOCK
+    S = bench.S_PER_CELL
+    grid = np.linspace(0.0, 0.5, NALPHA).tolist()
+    w = luts.pair_lut(grid, CAP_BQ)
+    rng = np.random.default_rng(0)
+    cnt, msk, gps, gp0, codes = bench._synth_block(B, rng)
+    NSNP = 4096
+    table_gps = rng.dirichlet(np.ones(3), size=(NSNP, NV))
+    table_gp0 = compute_gp0(table_gps)
+    idx = rng.integers(0, NSNP, size=(B, S)).astype(np.int32)
+    gps_pair, gp0_pair, w_pair, logf_pair = PE.split_tables(
+        table_gps, table_gp0, w, luts.singlet_lut(CAP_BQ)
+    )
+    dev = lambda pair: tuple(jax.device_put(jnp.asarray(x)) for x in pair)
+    codes_d = jax.device_put(jnp.asarray(codes))
+    idx_d = jax.device_put(jnp.asarray(idx))
+    msk_d = jax.device_put(jnp.asarray(msk))
+    gps_p, gp0_p, w_p, logf_p = map(dev, (gps_pair, gp0_pair, w_pair, logf_pair))
+    interpret = jax.default_backend() != "tpu"
+    V, A = NV, NALPHA
+
+    def timeit(fn, *args, iters=8):
+        def run(n):
+            t0 = time.time()
+            for _ in range(n):
+                out = fn(*args)
+            float(out)
+            return time.time() - t0
+
+        out = fn(*args)
+        float(out)
+        run(iters)
+        t1 = run(iters)
+        t2 = run(2 * iters)
+        dt = (t2 - t1) / iters
+        return (dt if dt > 0 else t2 / (2 * iters)) * 1e3
+
+    none_row = w_pair[0].shape[0] - 1
+
+    def codes_i32(codes):
+        return jnp.where(codes == 255, jnp.uint8(none_row), codes).astype(
+            jnp.int32
+        )
+
+    @jax.jit
+    def stage_a(codes):
+        mh, ml, ef = PE._prod_gather(w_p[0], w_p[1], codes_i32(codes))
+        return jnp.sum(mh) + jnp.sum(ef)
+
+    @jax.jit
+    def stage_b(codes):
+        mh, ml, ef = PE._prod_gather(w_p[0], w_p[1], codes_i32(codes))
+        th, tl = PE._mixture_table_df(mh, ml, ef)
+        return jnp.sum(th)
+
+    @jax.jit
+    def stage_c(codes):
+        mh, ml, ef = PE._prod_gather(w_p[0], w_p[1], codes_i32(codes))
+        th, tl = PE._mixture_table_df(mh, ml, ef)
+        t_h = jnp.transpose(th, (2, 0, 1))
+        t_l = jnp.transpose(tl, (2, 0, 1))
+        return jnp.sum(t_h) + jnp.sum(t_l)
+
+    @jax.jit
+    def stage_d(idx, msk):
+        neutral = jnp.zeros((3,), jnp.float32).at[0].set(1.0)
+        zero3 = jnp.zeros((3,), jnp.float32)
+        gh = jnp.take(gps_p[0], idx, axis=0)
+        gl = jnp.take(gps_p[1], idx, axis=0)
+        gh = jnp.where(msk[..., None, None], gh, neutral)
+        gl = jnp.where(msk[..., None, None], gl, zero3)
+        g0h = jnp.take(gp0_p[0], idx, axis=0)
+        g0l = jnp.take(gp0_p[1], idx, axis=0)
+        g0h = jnp.where(msk[..., None], g0h, neutral)
+        g0l = jnp.where(msk[..., None], g0l, zero3)
+        g_t = lambda x: jnp.transpose(x, (2, 3, 0, 1)).reshape(V * 3, B, S)
+        g0_t = lambda x: jnp.transpose(x, (2, 0, 1))
+        return (jnp.sum(g_t(gh)) + jnp.sum(g_t(gl)) + jnp.sum(g0_t(g0h))
+                + jnp.sum(g0_t(g0l)))
+
+    @jax.jit
+    def stage_e(codes, msk):
+        glh, gll = PE._gl_table_df(
+            codes_i32(codes), msk, logf_p[0], logf_p[1]
+        )
+        return jnp.sum(glh)
+
+    # kernel-only: precompute all kernel inputs once, device-resident
+    @jax.jit
+    def make_inputs(codes, idx, msk):
+        c = codes_i32(codes)
+        mh, ml, ef = PE._prod_gather(w_p[0], w_p[1], c)
+        th, tl = PE._mixture_table_df(mh, ml, ef)
+        t_h = jnp.transpose(th, (2, 0, 1))
+        t_l = jnp.transpose(tl, (2, 0, 1))
+        neutral = jnp.zeros((3,), jnp.float32).at[0].set(1.0)
+        zero3 = jnp.zeros((3,), jnp.float32)
+        gh = jnp.take(gps_p[0], idx, axis=0)
+        gl = jnp.take(gps_p[1], idx, axis=0)
+        gh = jnp.where(msk[..., None, None], gh, neutral)
+        gl = jnp.where(msk[..., None, None], gl, zero3)
+        g0h = jnp.take(gp0_p[0], idx, axis=0)
+        g0l = jnp.take(gp0_p[1], idx, axis=0)
+        g0h = jnp.where(msk[..., None], g0h, neutral)
+        g0l = jnp.where(msk[..., None], g0l, zero3)
+        glh, gll = PE._gl_table_df(c, msk, logf_p[0], logf_p[1])
+        glh = jnp.where(msk[..., None], glh, neutral)
+        gll = jnp.where(msk[..., None], gll, zero3)
+        g_t = lambda x: jnp.transpose(x, (2, 3, 0, 1)).reshape(V * 3, B, S)
+        g0_t = lambda x: jnp.transpose(x, (2, 0, 1))
+        return (t_h, t_l, g_t(gh), g_t(gl), g0_t(g0h), g0_t(g0l),
+                g0_t(glh), g0_t(gll))
+
+    ins = [jax.device_put(x) for x in make_inputs(codes_d, idx_d, msk_d)]
+
+    @jax.jit
+    def stage_f(t_h, t_l, ghh, gll_, g0h, g0l, glh, gll):
+        ab, z0, sing = PE._call_pair_kernel_df(
+            (t_h, t_l), (ghh, gll_), (g0h, g0l), (glh, gll),
+            V, A, interpret,
+        )
+        return jnp.sum(ab[0]) + jnp.sum(z0[0]) + jnp.sum(sing[0])
+
+    @jax.jit
+    def stage_g(codes, idx, msk):
+        llk, llk0, ab, z0 = PE.demux_block_exact_impl(
+            codes, idx, msk, gps_p, gp0_p, w_p, logf_p,
+            NALPHA, NV, interpret=interpret,
+        )
+        return (jnp.sum(ab[0]) + jnp.sum(ab[1]) + jnp.sum(llk[0])
+                + jnp.sum(z0[0]))
+
+    res = {
+        "prod_gather_ms": timeit(stage_a, codes_d),
+        "mixture_ms": timeit(stage_b, codes_d),
+        "t_front_ms": timeit(stage_c, codes_d),
+        "g_gather_ms": timeit(stage_d, idx_d, msk_d),
+        "gl_table_ms": timeit(stage_e, codes_d, msk_d),
+        "kernel_only_ms": timeit(stage_f, *ins),
+        "full_ms": timeit(stage_g, codes_d, idx_d, msk_d),
+        "block": B,
+    }
+    print({k: (round(v, 3) if isinstance(v, float) else v)
+           for k, v in res.items()})
+
+
+if __name__ == "__main__":
+    main()
