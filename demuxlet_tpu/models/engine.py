@@ -153,7 +153,12 @@ class DemuxEngine:
 
     def _run_block(self, blk: SlotBlock):
         idx = jnp.asarray(blk.idx)
-        gps_g = jnp.take(self._gps_dev, idx, axis=0)  # (B,S,V,3)
+        # gather the gps table as 2D — take() on a 3D (NS, V, 3) table
+        # lowers ~5.6x slower on TPU (benchmarks/probe_gather_variants.py)
+        ns, nv = self._gps_dev.shape[:2]
+        gps_g = jnp.take(
+            self._gps_dev.reshape(ns, nv * 3), idx, axis=0
+        ).reshape(idx.shape + (nv, 3))  # (B,S,V,3)
         gp0_g = jnp.take(self._gp0_dev, idx, axis=0)  # (B,S,3)
         cnt = jnp.asarray(blk.cnt)
         msk = jnp.asarray(blk.msk)

@@ -239,11 +239,15 @@ def demux_block_fast_impl(
         lograw = lograw + jnp.take(w_ext, c[..., u], axis=0)
     t_x = jnp.transpose(_norm_t(lograw, -1), (2, 0, 1))  # (A*9, B, S)
 
-    # per-slot genotype posteriors; padded/masked slots -> neutral (1,0,0)
-    gps_g = jnp.take(gps_table, idx, axis=0)  # (B,S,V,3)
+    # per-slot genotype posteriors; padded/masked slots -> neutral (1,0,0).
+    # The table gathers as 2D (NS, V*3): XLA TPU lowers take() on a 3D
+    # (NS, V, 3) table ~5.6x slower (benchmarks/probe_gather_variants.py)
     neutral = jnp.zeros((3,), jnp.float32).at[0].set(1.0)
-    gps_g = jnp.where(msk[..., None, None], gps_g, neutral)
-    gps_t = jnp.transpose(gps_g, (2, 3, 0, 1)).reshape(V * 3, B, S)
+    NS = gps_table.shape[0]
+    gps_2d = jnp.take(gps_table.reshape(NS, V * 3), idx, axis=0)  # (B,S,V3)
+    gps_2d = jnp.where(msk[..., None], gps_2d, jnp.tile(neutral, V))
+    gps_g = gps_2d.reshape(B, S, V, 3)
+    gps_t = jnp.transpose(gps_2d, (2, 0, 1))
 
     llk_ab, llk_00 = _call_pair_kernel(t_x, gps_t, V, A, interpret)
 

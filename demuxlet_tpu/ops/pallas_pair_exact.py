@@ -88,6 +88,46 @@ def _lane_sum_df(h, l, width=TS):
     return h, l
 
 
+def _presplit(h):
+    """Veltkamp halves of a plane, computed once and reused by every
+    product that touches it (two_prod re-splits both operands on every
+    call — the dominant cost when operands are reused V or A times)."""
+    c = np.float32(df.SPLIT) * h
+    hi = c - (c - h)
+    return hi, h - hi
+
+
+def _mul_raw(a, b):
+    """df*df with presplit operands -> UNNORMALIZED (p, e).
+
+    a, b are (h, l, sp_hi, sp_lo) quads. p is the rounded hi product, e
+    the exact split residual plus the lo cross terms (|e| <= ~4 ulp(p));
+    callers renormalize once per dot, not per product."""
+    ah, al, a0, a1 = a
+    bh, bl, b0, b1 = b
+    p = df._opaque(ah * bh)
+    e = ((a0 * b0 - p) + a0 * b1 + a1 * b0) + a1 * b1
+    return p, e + (ah * bl + al * bh)
+
+
+def _dot3(ga, gb, gc, ta, tb, tc):
+    """sum_l g[l]*t[l] in df via Dot2: exact two_sum chain on the hi
+    products, all residuals accumulated in f32 (terms are non-negative
+    probabilities, ~2^-46 relative — no cancellation), one final
+    renormalization. Args are presplit quads."""
+    p1, e1 = _mul_raw(ga, ta)
+    p2, e2 = _mul_raw(gb, tb)
+    p3, e3 = _mul_raw(gc, tc)
+    s, t1 = df.two_sum(p1, p2)
+    s, t2 = df.two_sum(s, p3)
+    return df.fast_two_sum(s, ((e1 + e2) + (e3 + t1)) + t2)
+
+
+def _quad(h, l):
+    s0, s1 = _presplit(h)
+    return (h, l, s0, s1)
+
+
 def _pair_kernel_df(
     th_ref, tl_ref, gh_ref, gl_ref, g0h_ref, g0l_ref, slh_ref, sll_ref,
     outh_ref, outl_ref, out0h_ref, out0l_ref, outsh_ref, outsl_ref,
@@ -109,30 +149,22 @@ def _pair_kernel_df(
         sl_ref[:] = jnp.zeros_like(sl_ref)
         se_ref[:] = jnp.zeros_like(se_ref)
 
-    t = [(th_ref[x], tl_ref[x]) for x in range(A * 9)]
-    g = [(gh_ref[i], gl_ref[i]) for i in range(V * 3)]
-    g0 = [(g0h_ref[i], g0l_ref[i]) for i in range(3)]
-    glt = [(slh_ref[i], sll_ref[i]) for i in range(3)]
-
-    def dot3(ga, gb, gc, ta, tb, tc):
-        """sum_l g[l]*t[l], l-ascending; all terms non-negative
-        (probabilities), so the sloppy positive add applies."""
-        s = df.mul(*ga, *ta)
-        s = df.add_pos(*s, *df.mul(*gb, *tb))
-        s = df.add_pos(*s, *df.mul(*gc, *tc))
-        return s
+    t = [_quad(th_ref[x], tl_ref[x]) for x in range(A * 9)]
+    g = [_quad(gh_ref[i], gl_ref[i]) for i in range(V * 3)]
+    g0 = [_quad(g0h_ref[i], g0l_ref[i]) for i in range(3)]
+    glt = [_quad(slh_ref[i], sll_ref[i]) for i in range(3)]
 
     for j in range(V):
         u = []
         for a in range(A):
             for m in range(3):
-                u.append(dot3(
+                u.append(_quad(*_dot3(
                     g[j * 3], g[j * 3 + 1], g[j * 3 + 2],
                     t[a * 9 + m], t[a * 9 + 3 + m], t[a * 9 + 6 + m],
-                ))
+                )))
         for k in range(V):
             for a in range(A):
-                inner = dot3(
+                inner = _dot3(
                     g[k * 3], g[k * 3 + 1], g[k * 3 + 2],
                     u[a * 3], u[a * 3 + 1], u[a * 3 + 2],
                 )
@@ -145,10 +177,11 @@ def _pair_kernel_df(
 
     # background pair term llks00 (:700-709), host-exact gp0 planes
     for a in range(A):
-        u0 = [dot3(g0[0], g0[1], g0[2],
-                   t[a * 9 + m], t[a * 9 + 3 + m], t[a * 9 + 6 + m])
+        u0 = [_quad(*_dot3(
+                  g0[0], g0[1], g0[2],
+                  t[a * 9 + m], t[a * 9 + 3 + m], t[a * 9 + 6 + m]))
               for m in range(3)]
-        inner0 = dot3(g0[0], g0[1], g0[2], u0[0], u0[1], u0[2])
+        inner0 = _dot3(g0[0], g0[1], g0[2], u0[0], u0[1], u0[2])
         nh, nl = df.mul(m0h_ref[a], m0l_ref[a], *inner0)
         nh, nl, ne = _renorm(nh, nl, m0e_ref[a])
         m0h_ref[a] = nh
@@ -160,7 +193,7 @@ def _pair_kernel_df(
     # per-cell slot product (one log per cell at the end)
     for j in range(V + 1):
         src = g0 if j == V else g[j * 3 : j * 3 + 3]
-        inner = dot3(glt[0], glt[1], glt[2], src[0], src[1], src[2])
+        inner = _dot3(glt[0], glt[1], glt[2], src[0], src[1], src[2])
         nh, nl = df.mul(sh_ref[j], sl_ref[j], *inner)
         nh, nl, ne = _renorm(nh, nl, se_ref[j])
         sh_ref[j] = nh
@@ -424,10 +457,16 @@ def demux_block_exact_impl(
 
     neutral = jnp.zeros((3,), jnp.float32).at[0].set(1.0)
     zero3 = jnp.zeros((3,), jnp.float32)
-    gh = jnp.take(gps_pair[0], idx, axis=0)  # (B,S,V,3)
-    gl = jnp.take(gps_pair[1], idx, axis=0)
-    gh = jnp.where(msk[..., None, None], gh, neutral)
-    gl = jnp.where(msk[..., None, None], gl, zero3)
+    # 2D-table gathers: XLA TPU lowers take() on a (NS, V, 3) table ~5.6x
+    # slower than the same data as (NS, V*3) (benchmarks/
+    # probe_gather_variants.py: 29ms vs 5.2ms per 1024x1024 block) — the
+    # row-major reshape is free and preserves the kernel's j*3+l order
+    neutral_v = jnp.tile(neutral, V)
+    NS = gps_pair[0].shape[0]
+    gh = jnp.take(gps_pair[0].reshape(NS, V * 3), idx, axis=0)  # (B,S,V3)
+    gl = jnp.take(gps_pair[1].reshape(NS, V * 3), idx, axis=0)
+    gh = jnp.where(msk[..., None], gh, neutral_v)
+    gl = jnp.where(msk[..., None], gl, jnp.float32(0.0))
     g0h = jnp.take(gp0_pair[0], idx, axis=0)  # (B,S,3)
     g0l = jnp.take(gp0_pair[1], idx, axis=0)
     g0h = jnp.where(msk[..., None], g0h, neutral)
@@ -439,8 +478,8 @@ def demux_block_exact_impl(
     glh = jnp.where(msk[..., None], glh, neutral)
     gll = jnp.where(msk[..., None], gll, zero3)
 
-    g_t = lambda x: jnp.transpose(x, (2, 3, 0, 1)).reshape(V * 3, B, S)
     g0_t = lambda x: jnp.transpose(x, (2, 0, 1))
+    g_t = g0_t
     ab, z0, sing = _call_pair_kernel_df(
         (t_h, t_l), (g_t(gh), g_t(gl)), (g0_t(g0h), g0_t(g0l)),
         (g0_t(glh), g0_t(gll)),
