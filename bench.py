@@ -206,7 +206,7 @@ def measure_tpu() -> dict:
     def exact_df_step(codes, idx, msk, gps_p, gp0_p, w_p, logf_p):
         llk, llk0, ab, z0 = PE.demux_block_exact_impl(
             codes, idx, msk, gps_p, gp0_p, w_p, logf_p,
-            NALPHA, NV, interpret=interpret,
+            NALPHA, NV, interpret=interpret, a0_zero=True,
         )
         return (jnp.sum(ab[0]) + jnp.sum(ab[1]) + jnp.sum(llk[0])
                 + jnp.sum(z0[0]))

@@ -103,20 +103,22 @@ def main():
 
     @jax.jit
     def stage_d(idx, msk):
+        # mirrors demux_block_exact_impl's 2D-table gathers
         neutral = jnp.zeros((3,), jnp.float32).at[0].set(1.0)
         zero3 = jnp.zeros((3,), jnp.float32)
-        gh = jnp.take(gps_p[0], idx, axis=0)
-        gl = jnp.take(gps_p[1], idx, axis=0)
-        gh = jnp.where(msk[..., None, None], gh, neutral)
-        gl = jnp.where(msk[..., None, None], gl, zero3)
+        neutral_v = jnp.tile(neutral, V)
+        NSt = gps_p[0].shape[0]
+        gh = jnp.take(gps_p[0].reshape(NSt, V * 3), idx, axis=0)
+        gl = jnp.take(gps_p[1].reshape(NSt, V * 3), idx, axis=0)
+        gh = jnp.where(msk[..., None], gh, neutral_v)
+        gl = jnp.where(msk[..., None], gl, jnp.float32(0.0))
         g0h = jnp.take(gp0_p[0], idx, axis=0)
         g0l = jnp.take(gp0_p[1], idx, axis=0)
         g0h = jnp.where(msk[..., None], g0h, neutral)
         g0l = jnp.where(msk[..., None], g0l, zero3)
-        g_t = lambda x: jnp.transpose(x, (2, 3, 0, 1)).reshape(V * 3, B, S)
-        g0_t = lambda x: jnp.transpose(x, (2, 0, 1))
-        return (jnp.sum(g_t(gh)) + jnp.sum(g_t(gl)) + jnp.sum(g0_t(g0h))
-                + jnp.sum(g0_t(g0l)))
+        g_t = lambda x: jnp.transpose(x, (2, 0, 1))
+        return (jnp.sum(g_t(gh)) + jnp.sum(g_t(gl)) + jnp.sum(g_t(g0h))
+                + jnp.sum(g_t(g0l)))
 
     @jax.jit
     def stage_e(codes, msk):
@@ -135,10 +137,11 @@ def main():
         t_l = jnp.transpose(tl, (2, 0, 1))
         neutral = jnp.zeros((3,), jnp.float32).at[0].set(1.0)
         zero3 = jnp.zeros((3,), jnp.float32)
-        gh = jnp.take(gps_p[0], idx, axis=0)
-        gl = jnp.take(gps_p[1], idx, axis=0)
-        gh = jnp.where(msk[..., None, None], gh, neutral)
-        gl = jnp.where(msk[..., None, None], gl, zero3)
+        NSt = gps_p[0].shape[0]
+        gh = jnp.take(gps_p[0].reshape(NSt, V * 3), idx, axis=0)
+        gl = jnp.take(gps_p[1].reshape(NSt, V * 3), idx, axis=0)
+        gh = jnp.where(msk[..., None], gh, jnp.tile(neutral, V))
+        gl = jnp.where(msk[..., None], gl, jnp.float32(0.0))
         g0h = jnp.take(gp0_p[0], idx, axis=0)
         g0l = jnp.take(gp0_p[1], idx, axis=0)
         g0h = jnp.where(msk[..., None], g0h, neutral)
@@ -146,8 +149,8 @@ def main():
         glh, gll = PE._gl_table_df(c, msk, logf_p[0], logf_p[1])
         glh = jnp.where(msk[..., None], glh, neutral)
         gll = jnp.where(msk[..., None], gll, zero3)
-        g_t = lambda x: jnp.transpose(x, (2, 3, 0, 1)).reshape(V * 3, B, S)
         g0_t = lambda x: jnp.transpose(x, (2, 0, 1))
+        g_t = g0_t
         return (t_h, t_l, g_t(gh), g_t(gl), g0_t(g0h), g0_t(g0l),
                 g0_t(glh), g0_t(gll))
 
@@ -157,7 +160,7 @@ def main():
     def stage_f(t_h, t_l, ghh, gll_, g0h, g0l, glh, gll):
         ab, z0, sing = PE._call_pair_kernel_df(
             (t_h, t_l), (ghh, gll_), (g0h, g0l), (glh, gll),
-            V, A, interpret,
+            V, A, interpret, a0_zero=True,
         )
         return jnp.sum(ab[0]) + jnp.sum(z0[0]) + jnp.sum(sing[0])
 
@@ -165,7 +168,7 @@ def main():
     def stage_g(codes, idx, msk):
         llk, llk0, ab, z0 = PE.demux_block_exact_impl(
             codes, idx, msk, gps_p, gp0_p, w_p, logf_p,
-            NALPHA, NV, interpret=interpret,
+            NALPHA, NV, interpret=interpret, a0_zero=True,
         )
         return (jnp.sum(ab[0]) + jnp.sum(ab[1]) + jnp.sum(llk[0])
                 + jnp.sum(z0[0]))

@@ -280,6 +280,7 @@ class DemuxEngine:
                     pmesh.build_sharded_exact_pallas_step(
                         self.mesh, self.n_alpha, self.nv,
                         interpret=interpret,
+                        a0_zero=self.grid_alpha[0] == 0.0,
                     )
                 )
             return self._sharded_exact_pallas(
@@ -291,6 +292,7 @@ class DemuxEngine:
             jnp.asarray(codes), jnp.asarray(idx), jnp.asarray(msk),
             gps_pair, gp0_pair, w_pair, logf_pair,
             self.n_alpha, self.nv, interpret=interpret,
+            a0_zero=self.grid_alpha[0] == 0.0,
         )
 
     def run_compact(self, scl, doublet_prior: float, pipeline_depth: int = 3):

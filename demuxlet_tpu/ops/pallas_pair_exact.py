@@ -71,21 +71,33 @@ def _renorm(h, l, e_acc):
     return h * sc, l * sc, e_acc + ee.astype(jnp.float32)
 
 
-def _lane_sum_df(h, l, width=TS):
-    """Compensated (df32) sum over the lane axis via a roll butterfly.
+def _lane_prod_df(h, l, e, fence, width=TS):
+    """df32 PRODUCT over the lane axis via a roll butterfly, with f32
+    exponent-sum tracking. After log2(width) stages every lane holds the
+    full product; the caller reads column 0 and takes the log in XLA —
+    one log per (j,k,a) per cell ROW instead of one per lane (the in-
+    kernel df.log + compensated lane-sum was ~60%% of the finish cost).
 
-    After log2(width) stages every lane holds the full sum; column 0 is
-    returned. Tree order differs from the reference's sequential slot
-    order — irrelevant at df precision (~1e-13 << printed 1e-4/1e-5)."""
+    Mantissas enter in [1, 2); the hi product of n in-range mantissas
+    stays < 2^n, so no per-stage renorm is needed until the factor count
+    approaches the f32 exponent range (renorm at > 64). Tree order
+    differs from the reference's sequential slot order — irrelevant at
+    df precision (~1e-13 << printed 1e-4/1e-5)."""
+    n_acc = 1
     sh = width // 2
     while sh >= 1:
+        if 2 * n_acc > 64:
+            h, l, e = _renorm(h, l, e)
+            n_acc = 1
         # np.int32: a bare Python int traces as i64 under x64 and Mosaic's
         # dynamic_rotate requires an i32 shift
         h2 = pltpu.roll(h, shift=np.int32(sh), axis=1)
         l2 = pltpu.roll(l, shift=np.int32(sh), axis=1)
-        h, l = df.add(h, l, h2, l2)
+        e = e + pltpu.roll(e, shift=np.int32(sh), axis=1)
+        h, l = _mul2(h, l, h2, l2, fence)
+        n_acc *= 2
         sh //= 2
-    return h, l
+    return h, l, e
 
 
 def _presplit(h):
@@ -97,27 +109,50 @@ def _presplit(h):
     return hi, h - hi
 
 
-def _mul_raw(a, b):
+def _mul_raw(a, b, fence):
     """df*df with presplit operands -> UNNORMALIZED (p, e).
 
     a, b are (h, l, sp_hi, sp_lo) quads. p is the rounded hi product, e
     the exact split residual plus the lo cross terms (|e| <= ~4 ulp(p));
-    callers renormalize once per dot, not per product."""
+    callers renormalize once per dot, not per product.
+
+    fence: guard p against downstream FMA contraction (needed under
+    XLA/LLVM, i.e. interpret mode; Mosaic does not contract mul+add —
+    benchmarks/probe_fma.py verdict on this backend — so the real-TPU
+    trace elides the clamps)."""
     ah, al, a0, a1 = a
     bh, bl, b0, b1 = b
-    p = df._opaque(ah * bh)
+    p = ah * bh
+    if fence:
+        p = df._opaque(p)
     e = ((a0 * b0 - p) + a0 * b1 + a1 * b0) + a1 * b1
     return p, e + (ah * bl + al * bh)
 
 
-def _dot3(ga, gb, gc, ta, tb, tc):
+def _mul2(ah, al, bh, bl, fence):
+    """df*df for unsplit operands (used where neither side is reused)."""
+    p = ah * bh
+    if fence:
+        p = df._opaque(p)
+    a0, a1 = _presplit(ah)
+    b0, b1 = _presplit(bh)
+    e = ((a0 * b0 - p) + a0 * b1 + a1 * b0) + a1 * b1
+    return df.fast_two_sum(p, e + (ah * bl + al * bh))
+
+
+def _mul_pair(a, b, fence):
+    """quad*quad -> normalized df pair."""
+    return df.fast_two_sum(*_mul_raw(a, b, fence))
+
+
+def _dot3(ga, gb, gc, ta, tb, tc, fence):
     """sum_l g[l]*t[l] in df via Dot2: exact two_sum chain on the hi
     products, all residuals accumulated in f32 (terms are non-negative
     probabilities, ~2^-46 relative — no cancellation), one final
     renormalization. Args are presplit quads."""
-    p1, e1 = _mul_raw(ga, ta)
-    p2, e2 = _mul_raw(gb, tb)
-    p3, e3 = _mul_raw(gc, tc)
+    p1, e1 = _mul_raw(ga, ta, fence)
+    p2, e2 = _mul_raw(gb, tb, fence)
+    p3, e3 = _mul_raw(gc, tc, fence)
     s, t1 = df.two_sum(p1, p2)
     s, t2 = df.two_sum(s, p3)
     return df.fast_two_sum(s, ((e1 + e2) + (e3 + t1)) + t2)
@@ -130,10 +165,11 @@ def _quad(h, l):
 
 def _pair_kernel_df(
     th_ref, tl_ref, gh_ref, gl_ref, g0h_ref, g0l_ref, slh_ref, sll_ref,
-    outh_ref, outl_ref, out0h_ref, out0l_ref, outsh_ref, outsl_ref,
+    outh_ref, outl_ref, oute_ref, out0h_ref, out0l_ref, out0e_ref,
+    outsh_ref, outsl_ref, outse_ref,
     mh_ref, ml_ref, me_ref, m0h_ref, m0l_ref, m0e_ref,
     sh_ref, sl_ref, se_ref,
-    *, V, A, n_s,
+    *, V, A, n_s, fence, a0_zero,
 ):
     s_step = pl.program_id(1)
 
@@ -154,22 +190,48 @@ def _pair_kernel_df(
     g0 = [_quad(g0h_ref[i], g0l_ref[i]) for i in range(3)]
     glt = [_quad(slh_ref[i], sll_ref[i]) for i in range(3)]
 
+    # alpha[0] == 0 degeneracy (static): t[0,l,m] is bit-identical across
+    # m (p = 0.5l + (m-l)*0.5*alpha depends only on l at alpha=0, and the
+    # LUT/normalization pipeline applies identical ops to identical
+    # columns), so inner[j,k,0] = (sum_l g[j,l] t[0,l]) * (sum_m g[k,m]) —
+    # one df mul instead of a 3-term dot per (j,k).
+    if a0_zero:
+        gsum = []
+        for k in range(V):
+            s1 = df.add_pos(g[k * 3][0], g[k * 3][1],
+                            g[k * 3 + 1][0], g[k * 3 + 1][1])
+            s1 = df.add_pos(*s1, g[k * 3 + 2][0], g[k * 3 + 2][1])
+            gsum.append(_quad(*s1))
+        g0sum = df.add_pos(g0[0][0], g0[0][1], g0[1][0], g0[1][1])
+        g0sum = _quad(*df.add_pos(*g0sum, g0[2][0], g0[2][1]))
+
     for j in range(V):
         u = []
         for a in range(A):
+            if a0_zero and a == 0:
+                d = _quad(*_dot3(
+                    g[j * 3], g[j * 3 + 1], g[j * 3 + 2],
+                    t[0], t[3], t[6], fence,
+                ))
+                u += [d, d, d]
+                continue
             for m in range(3):
                 u.append(_quad(*_dot3(
                     g[j * 3], g[j * 3 + 1], g[j * 3 + 2],
                     t[a * 9 + m], t[a * 9 + 3 + m], t[a * 9 + 6 + m],
+                    fence,
                 )))
         for k in range(V):
             for a in range(A):
-                inner = _dot3(
-                    g[k * 3], g[k * 3 + 1], g[k * 3 + 2],
-                    u[a * 3], u[a * 3 + 1], u[a * 3 + 2],
-                )
+                if a0_zero and a == 0:
+                    inner = _mul_pair(gsum[k], u[0], fence)
+                else:
+                    inner = _dot3(
+                        g[k * 3], g[k * 3 + 1], g[k * 3 + 2],
+                        u[a * 3], u[a * 3 + 1], u[a * 3 + 2], fence,
+                    )
                 idx = (j * V + k) * A + a
-                nh, nl = df.mul(mh_ref[idx], ml_ref[idx], *inner)
+                nh, nl = _mul2(mh_ref[idx], ml_ref[idx], *inner, fence)
                 nh, nl, ne = _renorm(nh, nl, me_ref[idx])
                 mh_ref[idx] = nh
                 ml_ref[idx] = nl
@@ -177,12 +239,18 @@ def _pair_kernel_df(
 
     # background pair term llks00 (:700-709), host-exact gp0 planes
     for a in range(A):
-        u0 = [_quad(*_dot3(
-                  g0[0], g0[1], g0[2],
-                  t[a * 9 + m], t[a * 9 + 3 + m], t[a * 9 + 6 + m]))
-              for m in range(3)]
-        inner0 = _dot3(g0[0], g0[1], g0[2], u0[0], u0[1], u0[2])
-        nh, nl = df.mul(m0h_ref[a], m0l_ref[a], *inner0)
+        if a0_zero and a == 0:
+            u00 = _quad(*_dot3(g0[0], g0[1], g0[2],
+                               t[0], t[3], t[6], fence))
+            inner0 = _mul_pair(g0sum, u00, fence)
+        else:
+            u0 = [_quad(*_dot3(
+                      g0[0], g0[1], g0[2],
+                      t[a * 9 + m], t[a * 9 + 3 + m], t[a * 9 + 6 + m],
+                      fence))
+                  for m in range(3)]
+            inner0 = _dot3(g0[0], g0[1], g0[2], u0[0], u0[1], u0[2], fence)
+        nh, nl = _mul2(m0h_ref[a], m0l_ref[a], *inner0, fence)
         nh, nl, ne = _renorm(nh, nl, m0e_ref[a])
         m0h_ref[a] = nh
         m0l_ref[a] = nl
@@ -193,8 +261,8 @@ def _pair_kernel_df(
     # per-cell slot product (one log per cell at the end)
     for j in range(V + 1):
         src = g0 if j == V else g[j * 3 : j * 3 + 3]
-        inner = _dot3(glt[0], glt[1], glt[2], src[0], src[1], src[2])
-        nh, nl = df.mul(sh_ref[j], sl_ref[j], *inner)
+        inner = _dot3(glt[0], glt[1], glt[2], src[0], src[1], src[2], fence)
+        nh, nl = _mul2(sh_ref[j], sl_ref[j], *inner, fence)
         nh, nl, ne = _renorm(nh, nl, se_ref[j])
         sh_ref[j] = nh
         sl_ref[j] = nl
@@ -202,48 +270,41 @@ def _pair_kernel_df(
 
     @pl.when(s_step == n_s - 1)
     def _():
+        # butterfly-PRODUCT each accumulator plane over lanes; outputs are
+        # (mantissa hi, mantissa lo, exponent) — the caller takes the log
+        # in XLA (elementwise over (B, V*V*A), negligible there)
         def finish(mh, ml, me):
-            """log(mantissa) + e*ln2, then compensated lane sum."""
-            lgh, lgl = df.log(mh, ml)
-            th_, tl_ = df.two_prod(me, df._LN2_HI)
-            tl_ = tl_ + me * df._LN2_LO
-            vh, vl = df.add(lgh, lgl, th_, tl_)
-            rh, rl = _lane_sum_df(vh, vl)
-            return rh[:, 0], rl[:, 0]
+            rh, rl, re = _lane_prod_df(mh, ml, me, fence)
+            return rh[:, 0], rl[:, 0], re[:, 0]
 
-        colsh, colsl = [], []
-        for idx in range(V * V * A):
-            rh, rl = finish(mh_ref[idx], ml_ref[idx], me_ref[idx])
-            colsh.append(rh)
-            colsl.append(rl)
-        while len(colsh) < outh_ref.shape[1]:
-            colsh.append(jnp.zeros_like(colsh[0]))
-            colsl.append(jnp.zeros_like(colsl[0]))
-        outh_ref[:] = jnp.stack(colsh, axis=1)
-        outl_ref[:] = jnp.stack(colsl, axis=1)
-        cols0h, cols0l = [], []
-        for a in range(A):
-            rh, rl = finish(m0h_ref[a], m0l_ref[a], m0e_ref[a])
-            cols0h.append(rh)
-            cols0l.append(rl)
-        while len(cols0h) < out0h_ref.shape[1]:
-            cols0h.append(jnp.zeros_like(cols0h[0]))
-            cols0l.append(jnp.zeros_like(cols0l[0]))
-        out0h_ref[:] = jnp.stack(cols0h, axis=1)
-        out0l_ref[:] = jnp.stack(cols0l, axis=1)
-        colssh, colssl = [], []
-        for j in range(V + 1):
-            rh, rl = finish(sh_ref[j], sl_ref[j], se_ref[j])
-            colssh.append(rh)
-            colssl.append(rl)
-        while len(colssh) < outsh_ref.shape[1]:
-            colssh.append(jnp.zeros_like(colssh[0]))
-            colssl.append(jnp.zeros_like(colssl[0]))
-        outsh_ref[:] = jnp.stack(colssh, axis=1)
-        outsl_ref[:] = jnp.stack(colssl, axis=1)
+        def write(refs, planes, n):
+            cols = [[], [], []]
+            for i in range(n):
+                for c, v in zip(cols, finish(*[p[i] for p in planes])):
+                    c.append(v)
+            for ref, c in zip(refs, cols):
+                while len(c) < ref.shape[1]:
+                    c.append(jnp.zeros_like(c[0]))
+                ref[:] = jnp.stack(c, axis=1)
+
+        write((outh_ref, outl_ref, oute_ref),
+              (mh_ref, ml_ref, me_ref), V * V * A)
+        write((out0h_ref, out0l_ref, out0e_ref),
+              (m0h_ref, m0l_ref, m0e_ref), A)
+        write((outsh_ref, outsl_ref, outse_ref),
+              (sh_ref, sl_ref, se_ref), V + 1)
 
 
-def _call_pair_kernel_df(t_pair, g_pair, g0_pair, gl_pair, V, A, interpret):
+def _log_mantissa(mh, ml, ee):
+    """(mantissa, exponent) kernel outputs -> df log values (XLA side)."""
+    lgh, lgl = df.log(mh, ml)
+    th_, tl_ = df.two_prod(ee, df._LN2_HI)
+    tl_ = tl_ + ee * df._LN2_LO
+    return df.add(lgh, lgl, th_, tl_)
+
+
+def _call_pair_kernel_df(t_pair, g_pair, g0_pair, gl_pair, V, A, interpret,
+                         a0_zero=False):
     th, tl = t_pair
     gh, gl = g_pair
     g0h, g0l = g0_pair
@@ -251,27 +312,20 @@ def _call_pair_kernel_df(t_pair, g_pair, g0_pair, gl_pair, V, A, interpret):
     _, B, S = th.shape
     n_s = S // TS
     w_ab = -(-(V * V * A) // 128) * 128
-    kernel = functools.partial(_pair_kernel_df, V=V, A=A, n_s=n_s)
+    kernel = functools.partial(_pair_kernel_df, V=V, A=A, n_s=n_s,
+                               fence=bool(interpret), a0_zero=a0_zero)
     in_spec3 = lambda C: pl.BlockSpec((C, TB, TS), lambda ib, is_: (ib * 0, ib, is_))
     out_spec = lambda W: pl.BlockSpec((TB, W), lambda ib, is_: (ib, ib * 0))
-    outh, outl, out0h, out0l, outsh, outsl = pl.pallas_call(
+    shp = lambda W: jax.ShapeDtypeStruct((B, W), jnp.float32)
+    outs = pl.pallas_call(
         kernel,
         grid=(B // TB, n_s),
         in_specs=[in_spec3(A * 9), in_spec3(A * 9),
                   in_spec3(V * 3), in_spec3(V * 3),
                   in_spec3(3), in_spec3(3),
                   in_spec3(3), in_spec3(3)],
-        out_specs=[out_spec(w_ab), out_spec(w_ab),
-                   out_spec(128), out_spec(128),
-                   out_spec(128), out_spec(128)],
-        out_shape=[
-            jax.ShapeDtypeStruct((B, w_ab), jnp.float32),
-            jax.ShapeDtypeStruct((B, w_ab), jnp.float32),
-            jax.ShapeDtypeStruct((B, 128), jnp.float32),
-            jax.ShapeDtypeStruct((B, 128), jnp.float32),
-            jax.ShapeDtypeStruct((B, 128), jnp.float32),
-            jax.ShapeDtypeStruct((B, 128), jnp.float32),
-        ],
+        out_specs=[out_spec(w_ab)] * 3 + [out_spec(128)] * 6,
+        out_shape=[shp(w_ab)] * 3 + [shp(128)] * 6,
         scratch_shapes=[
             pltpu.VMEM((V * V * A, TB, TS), jnp.float32),
             pltpu.VMEM((V * V * A, TB, TS), jnp.float32),
@@ -285,9 +339,13 @@ def _call_pair_kernel_df(t_pair, g_pair, g0_pair, gl_pair, V, A, interpret):
         ],
         interpret=interpret,
     )(th, tl, gh, gl, g0h, g0l, slh, sll)
-    ab = (outh[:, : V * V * A], outl[:, : V * V * A])
-    z0 = (out0h[:, :A], out0l[:, :A])
-    sing = (outsh[:, : V + 1], outsl[:, : V + 1])
+    outh, outl, oute, out0h, out0l, out0e, outsh, outsl, outse = outs
+    n_ab = V * V * A
+    ab = _log_mantissa(outh[:, :n_ab], outl[:, :n_ab], oute[:, :n_ab])
+    z0 = _log_mantissa(out0h[:, :A], out0l[:, :A], out0e[:, :A])
+    sing = _log_mantissa(
+        outsh[:, : V + 1], outsl[:, : V + 1], outse[:, : V + 1]
+    )
     return ab, z0, sing
 
 
@@ -436,7 +494,7 @@ def split_tables(gps, gp0, w, logf):
 
 def demux_block_exact_impl(
     codes, idx, msk, gps_pair, gp0_pair, w_pair, logf_pair,
-    n_alpha, n_samples, interpret=False,
+    n_alpha, n_samples, interpret=False, a0_zero=False,
 ):
     """Fused exact-mode (df32) block step.
 
@@ -483,7 +541,7 @@ def demux_block_exact_impl(
     ab, z0, sing = _call_pair_kernel_df(
         (t_h, t_l), (g_t(gh), g_t(gl)), (g0_t(g0h), g0_t(g0l)),
         (g0_t(glh), g0_t(gll)),
-        V, A, interpret,
+        V, A, interpret, a0_zero=a0_zero,
     )
     llk_ab = (ab[0].reshape(B, V, V, A), ab[1].reshape(B, V, V, A))
     llk = (sing[0][:, :V], sing[1][:, :V])
@@ -493,7 +551,7 @@ def demux_block_exact_impl(
 
 demux_block_exact = jax.jit(
     demux_block_exact_impl,
-    static_argnames=("n_alpha", "n_samples", "interpret"),
+    static_argnames=("n_alpha", "n_samples", "interpret", "a0_zero"),
 )
 
 

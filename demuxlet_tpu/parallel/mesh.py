@@ -233,6 +233,7 @@ def build_sharded_exact_pallas_step(
     n_alpha: int,
     n_samples: int,
     interpret: bool = False,
+    a0_zero: bool = False,
 ):
     """Exact-mode df32 Pallas step (ops/pallas_pair_exact.py) sharded over
     the "b" barcode axis; df table planes replicate. Outputs are (hi, lo)
@@ -245,7 +246,7 @@ def build_sharded_exact_pallas_step(
         return demux_block_exact_impl(
             codes, idx, msk, (gps_h, gps_l), (gp0_h, gp0_l),
             (w_h, w_l), (lf_h, lf_l), n_alpha, n_samples,
-            interpret=interpret,
+            interpret=interpret, a0_zero=a0_zero,
         )
 
     rep2 = P(None, None)

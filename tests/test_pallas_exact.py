@@ -146,3 +146,27 @@ def test_exact_pallas_cli_byte_parity(tmp_path):
             want = "\n".join(canonicalize_best(want.splitlines()))
             got = "\n".join(canonicalize_best(got.splitlines()))
         assert got == want, f"{ext} differs between pallas-df32 and XLA f64"
+
+
+@pytest.mark.parametrize("seed", [1])
+def test_exact_pallas_a0_zero_factorization(seed):
+    """a0_zero=True (engine path for grids starting at alpha=0) agrees
+    with the general kernel to df precision: inner[j,k,0] factorizes as
+    (g[j].t[0,:,0]) * sum(g[k]) bit-compatibly at the 1e-10 contract."""
+    codes, idx, msk, gps, gp0, w, logf, grid = _workload(seed)
+    assert grid[0] == 0.0
+    V, A = gps.shape[1], len(grid)
+    gps_pair, gp0_pair, w_pair, logf_pair = PE.split_tables(gps, gp0, w, logf)
+    args = (
+        jnp.asarray(codes), jnp.asarray(idx), jnp.asarray(msk),
+        tuple(map(jnp.asarray, gps_pair)), tuple(map(jnp.asarray, gp0_pair)),
+        tuple(map(jnp.asarray, w_pair)), tuple(map(jnp.asarray, logf_pair)),
+        A, V,
+    )
+    gen = PE.demux_block_exact(*args, interpret=True, a0_zero=False)
+    fac = PE.demux_block_exact(*args, interpret=True, a0_zero=True)
+    for name, a, b in zip(
+        ("llk", "llk0", "llk_ab", "llk00"), gen, fac
+    ):
+        err = np.abs(PE.combine(a) - PE.combine(b)).max()
+        assert err < 1e-10, (name, err)
