@@ -193,26 +193,26 @@ def measure_tpu() -> dict:
     table_gps = rng.dirichlet(np.ones(3), size=(NSNP, NV))
     table_gp0 = compute_gp0(table_gps)
     idx = rng.integers(0, NSNP, size=(TPU_BLOCK, S_PER_CELL)).astype(np.int32)
-    gps_pair, gp0_pair, w_pair, logf_pair = PE.split_tables(
+    gps_pair, gp0_pair, tabs, meta = PE.split_tables(
         table_gps, table_gp0, w, singlet_lut(CAP_BQ)
     )
     dev = lambda pair: tuple(jax.device_put(jnp.asarray(x)) for x in pair)
     codes_d = jax.device_put(jnp.asarray(codes))
     idx_d = jax.device_put(jnp.asarray(idx))
     msk_d = jax.device_put(jnp.asarray(msk))
-    gps_p, gp0_p, w_p, logf_p = map(dev, (gps_pair, gp0_pair, w_pair, logf_pair))
+    gps_p, gp0_p, tabs_p = map(dev, (gps_pair, gp0_pair, tabs))
 
     @jax.jit
-    def exact_df_step(codes, idx, msk, gps_p, gp0_p, w_p, logf_p):
+    def exact_df_step(codes, idx, msk, gps_p, gp0_p, tabs_p):
         llk, llk0, ab, z0 = PE.demux_block_exact_impl(
-            codes, idx, msk, gps_p, gp0_p, w_p, logf_p,
+            codes, idx, msk, gps_p, gp0_p, tabs_p, meta,
             NALPHA, NV, interpret=interpret, a0_zero=True,
         )
         return (jnp.sum(ab[0]) + jnp.sum(ab[1]) + jnp.sum(llk[0])
                 + jnp.sum(z0[0]))
 
     dt_exact_df = timeit(
-        exact_df_step, codes_d, idx_d, msk_d, gps_p, gp0_p, w_p, logf_p,
+        exact_df_step, codes_d, idx_d, msk_d, gps_p, gp0_p, tabs_p,
         iters=max(2, TPU_ITERS // 2),
     )
 

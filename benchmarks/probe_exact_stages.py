@@ -5,13 +5,14 @@ stages. Uses the two-point protocol (N vs 2N queued iterations, difference)
 to cancel the tunnel's fixed ~30ms scalar-readback sync cost — see
 bench.py:timeit.
 
-  A. t front: prod_gather    codes -> per-slot df product table (B,S,A9)
-  B. A + mixture table       normalize + smooth -> t
-  C. B + transpose           t in kernel layout (A9, B, S)
-  D. g gathers               gps/gp0 idx-gather + mask + kernel layout
-  E. gl table                pass-1 GL front (_gl_table_df)
-  F. kernel only             _call_pair_kernel_df on precomputed inputs
-  G. full                    demux_block_exact_impl
+  A. pair gather    codes -> per-slot df product planes (B,S,C) via the
+                    pair-code LUT (one gather per two UMIs)
+  B. A + mixture    normalize + smooth -> t
+  C. B + transpose  t in kernel layout (C, B, S)
+  D. g gathers      gps/gp0 idx-gather + mask + kernel layout
+  E. gl table       pass-1 GL front on the gather's GL channels
+  F. kernel only    _call_pair_kernel_df on precomputed inputs
+  G. full           demux_block_exact_impl
 
 Usage: python benchmarks/probe_exact_stages.py  (serialize with other TPU
 processes — never overlap two).
@@ -48,14 +49,15 @@ def main():
     table_gps = rng.dirichlet(np.ones(3), size=(NSNP, NV))
     table_gp0 = compute_gp0(table_gps)
     idx = rng.integers(0, NSNP, size=(B, S)).astype(np.int32)
-    gps_pair, gp0_pair, w_pair, logf_pair = PE.split_tables(
+    gps_pair, gp0_pair, tabs, meta = PE.split_tables(
         table_gps, table_gp0, w, luts.singlet_lut(CAP_BQ)
     )
+    C, expand_w, expand_gl = meta
     dev = lambda pair: tuple(jax.device_put(jnp.asarray(x)) for x in pair)
     codes_d = jax.device_put(jnp.asarray(codes))
     idx_d = jax.device_put(jnp.asarray(idx))
     msk_d = jax.device_put(jnp.asarray(msk))
-    gps_p, gp0_p, w_p, logf_p = map(dev, (gps_pair, gp0_pair, w_pair, logf_pair))
+    gps_p, gp0_p, tabs_p = map(dev, (gps_pair, gp0_pair, tabs))
     interpret = jax.default_backend() != "tpu"
     V, A = NV, NALPHA
 
@@ -75,7 +77,8 @@ def main():
         dt = (t2 - t1) / iters
         return (dt if dt > 0 else t2 / (2 * iters)) * 1e3
 
-    none_row = w_pair[0].shape[0] - 1
+    n_rows = int(round(np.sqrt(tabs[0].shape[0])))
+    none_row = n_rows - 1
 
     def codes_i32(codes):
         return jnp.where(codes == 255, jnp.uint8(none_row), codes).astype(
@@ -84,18 +87,18 @@ def main():
 
     @jax.jit
     def stage_a(codes):
-        mh, ml, ef = PE._prod_gather(w_p[0], w_p[1], codes_i32(codes))
+        mh, ml, ef = PE._pair_prod_gather(tabs_p, codes_i32(codes), n_rows)
         return jnp.sum(mh) + jnp.sum(ef)
 
     @jax.jit
     def stage_b(codes):
-        mh, ml, ef = PE._prod_gather(w_p[0], w_p[1], codes_i32(codes))
+        mh, ml, ef = PE._pair_prod_gather(tabs_p, codes_i32(codes), n_rows)
         th, tl = PE._mixture_table_df(mh, ml, ef)
         return jnp.sum(th)
 
     @jax.jit
     def stage_c(codes):
-        mh, ml, ef = PE._prod_gather(w_p[0], w_p[1], codes_i32(codes))
+        mh, ml, ef = PE._pair_prod_gather(tabs_p, codes_i32(codes), n_rows)
         th, tl = PE._mixture_table_df(mh, ml, ef)
         t_h = jnp.transpose(th, (2, 0, 1))
         t_l = jnp.transpose(tl, (2, 0, 1))
@@ -122,16 +125,17 @@ def main():
 
     @jax.jit
     def stage_e(codes, msk):
-        glh, gll = PE._gl_table_df(
-            codes_i32(codes), msk, logf_p[0], logf_p[1]
-        )
+        mh, ml, ef = PE._pair_prod_gather(tabs_p, codes_i32(codes), n_rows)
+        gsel = list(expand_gl)
+        glh, gll = PE._gl_table_df(mh[..., gsel], ml[..., gsel],
+                                   ef[..., gsel])
         return jnp.sum(glh)
 
     # kernel-only: precompute all kernel inputs once, device-resident
     @jax.jit
     def make_inputs(codes, idx, msk):
         c = codes_i32(codes)
-        mh, ml, ef = PE._prod_gather(w_p[0], w_p[1], c)
+        mh, ml, ef = PE._pair_prod_gather(tabs_p, c, n_rows)
         th, tl = PE._mixture_table_df(mh, ml, ef)
         t_h = jnp.transpose(th, (2, 0, 1))
         t_l = jnp.transpose(tl, (2, 0, 1))
@@ -146,7 +150,9 @@ def main():
         g0l = jnp.take(gp0_p[1], idx, axis=0)
         g0h = jnp.where(msk[..., None], g0h, neutral)
         g0l = jnp.where(msk[..., None], g0l, zero3)
-        glh, gll = PE._gl_table_df(c, msk, logf_p[0], logf_p[1])
+        gsel = list(expand_gl)
+        glh, gll = PE._gl_table_df(mh[..., gsel], ml[..., gsel],
+                                   ef[..., gsel])
         glh = jnp.where(msk[..., None], glh, neutral)
         gll = jnp.where(msk[..., None], gll, zero3)
         g0_t = lambda x: jnp.transpose(x, (2, 0, 1))
@@ -160,27 +166,28 @@ def main():
     def stage_f(t_h, t_l, ghh, gll_, g0h, g0l, glh, gll):
         ab, z0, sing = PE._call_pair_kernel_df(
             (t_h, t_l), (ghh, gll_), (g0h, g0l), (glh, gll),
-            V, A, interpret, a0_zero=True,
+            V, A, interpret, a0_zero=True, expand=expand_w,
         )
         return jnp.sum(ab[0]) + jnp.sum(z0[0]) + jnp.sum(sing[0])
 
     @jax.jit
     def stage_g(codes, idx, msk):
         llk, llk0, ab, z0 = PE.demux_block_exact_impl(
-            codes, idx, msk, gps_p, gp0_p, w_p, logf_p,
+            codes, idx, msk, gps_p, gp0_p, tabs_p, meta,
             NALPHA, NV, interpret=interpret, a0_zero=True,
         )
         return (jnp.sum(ab[0]) + jnp.sum(ab[1]) + jnp.sum(llk[0])
                 + jnp.sum(z0[0]))
 
     res = {
-        "prod_gather_ms": timeit(stage_a, codes_d),
+        "pair_gather_ms": timeit(stage_a, codes_d),
         "mixture_ms": timeit(stage_b, codes_d),
         "t_front_ms": timeit(stage_c, codes_d),
         "g_gather_ms": timeit(stage_d, idx_d, msk_d),
         "gl_table_ms": timeit(stage_e, codes_d, msk_d),
         "kernel_only_ms": timeit(stage_f, *ins),
         "full_ms": timeit(stage_g, codes_d, idx_d, msk_d),
+        "n_uniq_channels": C,
         "block": B,
     }
     print({k: (round(v, 3) if isinstance(v, float) else v)

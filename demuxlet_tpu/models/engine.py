@@ -263,13 +263,16 @@ class DemuxEngine:
         from demuxlet_tpu.ops import pallas_pair_exact as PE
 
         if self._df_tables is None:
-            self._df_tables = tuple(
-                tuple(jnp.asarray(p) for p in pair)
-                for pair in PE.split_tables(
-                    self.gps, self.gp0, self.w, self.logf
-                )
+            gps_pair, gp0_pair, tabs, meta = PE.split_tables(
+                self.gps, self.gp0, self.w, self.logf
             )
-        gps_pair, gp0_pair, w_pair, logf_pair = self._df_tables
+            self._df_tables = (
+                tuple(jnp.asarray(p) for p in gps_pair),
+                tuple(jnp.asarray(p) for p in gp0_pair),
+                tuple(jnp.asarray(p) for p in tabs),
+                meta,
+            )
+        gps_pair, gp0_pair, tabs, meta = self._df_tables
         codes, idx, msk = codes_blk
         interpret = jax.default_backend() != "tpu"
         if self.mesh is not None:
@@ -278,7 +281,7 @@ class DemuxEngine:
 
                 self._sharded_exact_pallas = (
                     pmesh.build_sharded_exact_pallas_step(
-                        self.mesh, self.n_alpha, self.nv,
+                        self.mesh, meta, self.n_alpha, self.nv,
                         interpret=interpret,
                         a0_zero=self.grid_alpha[0] == 0.0,
                     )
@@ -286,11 +289,11 @@ class DemuxEngine:
             return self._sharded_exact_pallas(
                 jnp.asarray(codes), jnp.asarray(idx), jnp.asarray(msk),
                 gps_pair[0], gps_pair[1], gp0_pair[0], gp0_pair[1],
-                w_pair[0], w_pair[1], logf_pair[0], logf_pair[1],
+                tabs[0], tabs[1], tabs[2],
             )
         return PE.demux_block_exact(
             jnp.asarray(codes), jnp.asarray(idx), jnp.asarray(msk),
-            gps_pair, gp0_pair, w_pair, logf_pair,
+            gps_pair, gp0_pair, tabs, meta,
             self.n_alpha, self.nv, interpret=interpret,
             a0_zero=self.grid_alpha[0] == 0.0,
         )

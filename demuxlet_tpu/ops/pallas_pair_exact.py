@@ -10,12 +10,15 @@ reference-printed precision.
 
 Arithmetic strategy — probability-domain products, like the reference
 itself (cmd_cram_demuxlet.cpp:606-663), NOT exp(sum of logs):
-  * XLA front (fused elementwise f32): per-UMI probability LUT gathers
-    multiplied in df with per-multiply exponent renormalization (mantissa
-    kept in [1,2), integer exponent accumulated in f32) — no df exp
-    anywhere; then the telescoped max-division, +1e-6 smoothing and
-    final renormalization, emitting the mixture table t as (hi, lo)
-    f32 planes. Pass 1 runs the same way.
+  * XLA front (fused elementwise f32): ONE pair-code LUT gather per two
+    UMIs (host-precomputed f64-exact products, stored as mantissa df +
+    f32 exponent planes over channel-DEDUPED columns — the A*9 mixture
+    columns collapse to the unique p values and share the three singlet
+    GL columns); leftover pairs multiplied in df with exponent
+    renormalization — no df exp anywhere; then the telescoped
+    max-division, +1e-6 smoothing and final renormalization, emitting
+    the mixture table t as (hi, lo) f32 planes. Pass 1 shares the same
+    gather.
   * Pallas kernel (VPU): per-(cell,slot) U[j,a,m] = sum_l g[j,l] t[a,l,m];
     inner[j,k,a] = sum_m g[k,m] U[j,a,m]; the slot accumulation multiplies
     inner into a per-(j,k,a) df mantissa with exponent tracking — ONE df
@@ -169,7 +172,7 @@ def _pair_kernel_df(
     outsh_ref, outsl_ref, outse_ref,
     mh_ref, ml_ref, me_ref, m0h_ref, m0l_ref, m0e_ref,
     sh_ref, sl_ref, se_ref,
-    *, V, A, n_s, fence, a0_zero,
+    *, V, A, n_s, fence, a0_zero, n_tch, expand,
 ):
     s_step = pl.program_id(1)
 
@@ -185,7 +188,10 @@ def _pair_kernel_df(
         sl_ref[:] = jnp.zeros_like(sl_ref)
         se_ref[:] = jnp.zeros_like(se_ref)
 
-    t = [_quad(th_ref[x], tl_ref[x]) for x in range(A * 9)]
+    # deduped mixture channels: quad/presplit once per UNIQUE column, then
+    # expand to the logical a*9 + l*3 + m order via the static map
+    t_u = [_quad(th_ref[x], tl_ref[x]) for x in range(n_tch)]
+    t = [t_u[expand[x]] for x in range(A * 9)]
     g = [_quad(gh_ref[i], gl_ref[i]) for i in range(V * 3)]
     g0 = [_quad(g0h_ref[i], g0l_ref[i]) for i in range(3)]
     glt = [_quad(slh_ref[i], sll_ref[i]) for i in range(3)]
@@ -304,23 +310,26 @@ def _log_mantissa(mh, ml, ee):
 
 
 def _call_pair_kernel_df(t_pair, g_pair, g0_pair, gl_pair, V, A, interpret,
-                         a0_zero=False):
+                         a0_zero=False, expand=None):
     th, tl = t_pair
     gh, gl = g_pair
     g0h, g0l = g0_pair
     slh, sll = gl_pair
-    _, B, S = th.shape
+    n_tch, B, S = th.shape
+    if expand is None:
+        expand = tuple(range(A * 9))
     n_s = S // TS
     w_ab = -(-(V * V * A) // 128) * 128
     kernel = functools.partial(_pair_kernel_df, V=V, A=A, n_s=n_s,
-                               fence=bool(interpret), a0_zero=a0_zero)
+                               fence=bool(interpret), a0_zero=a0_zero,
+                               n_tch=n_tch, expand=tuple(expand))
     in_spec3 = lambda C: pl.BlockSpec((C, TB, TS), lambda ib, is_: (ib * 0, ib, is_))
     out_spec = lambda W: pl.BlockSpec((TB, W), lambda ib, is_: (ib, ib * 0))
     shp = lambda W: jax.ShapeDtypeStruct((B, W), jnp.float32)
     outs = pl.pallas_call(
         kernel,
         grid=(B // TB, n_s),
-        in_specs=[in_spec3(A * 9), in_spec3(A * 9),
+        in_specs=[in_spec3(n_tch), in_spec3(n_tch),
                   in_spec3(V * 3), in_spec3(V * 3),
                   in_spec3(3), in_spec3(3),
                   in_spec3(3), in_spec3(3)],
@@ -350,29 +359,45 @@ def _call_pair_kernel_df(t_pair, g_pair, g0_pair, gl_pair, V, A, interpret,
 
 
 # ---------------------------------------------------------------- XLA front
-def _prod_gather(tab_h, tab_l, codes_i32):
-    """Per-UMI probability products in df with exponent tracking.
+def _pair_prod_gather(tabs, codes_i32, n_rows):
+    """Per-slot probability products via the PAIR-code LUT: codes are
+    consumed two at a time (c0 * n_rows + c1 indexes the host-built
+    (n_rows^2, C) product table), halving gather traffic and eliminating
+    the per-UMI device df mul + renorm entirely for U == 2 — the host
+    pair products are f64-exact, tighter than a device df mul. Odd
+    trailing UMIs pair with the none row (exact *1.0).
 
-    Returns (mh, ml, ef): value = (mh + ml) * 2^ef, mh in [1, 2).
-    The LUT's none-row is exactly 1.0, so absent UMIs are identity."""
-    h = jnp.take(tab_h, codes_i32[..., 0], axis=0)
-    l = jnp.take(tab_l, codes_i32[..., 0], axis=0)
-    h, l, e = _renorm(h, l, jnp.zeros_like(h))
-    for uu in range(1, codes_i32.shape[-1]):
-        h2 = jnp.take(tab_h, codes_i32[..., uu], axis=0)
-        l2 = jnp.take(tab_l, codes_i32[..., uu], axis=0)
-        h, l = df.mul(h, l, h2, l2)
-        h, l, e = _renorm(h, l, e)
+    Returns (mh, ml, ef): value = (mh + ml) * 2^ef, mh in [1, 2)."""
+    pm_h, pm_l, pe = tabs
+    U = codes_i32.shape[-1]
+    none = n_rows - 1
+    h = l = e = None
+    for u in range(0, U, 2):
+        c1 = codes_i32[..., u + 1] if u + 1 < U else none
+        pc = codes_i32[..., u] * n_rows + c1
+        h2 = jnp.take(pm_h, pc, axis=0)
+        l2 = jnp.take(pm_l, pc, axis=0)
+        e2 = jnp.take(pe, pc, axis=0)
+        if h is None:
+            h, l, e = h2, l2, e2
+        else:
+            h, l = df.mul(h, l, h2, l2)
+            h, l, e = _renorm(h, l, e + e2)
     return h, l, e
 
 
-def _normalize_prod(mh, ml, ef, axis=-1):
+def _normalize_prod(mh, ml, ef, axis=-1, chan_mask=None):
     """(m, e) table -> reference-normalized values in [0, 1]:
     v = (m/m_max) * 2^(e - e_max) over `axis`.
 
     key = e + (m - 1) orders (e, m) pairs exactly (e integer-valued,
-    m - 1 in [0, 1))."""
+    m - 1 in [0, 1)). chan_mask (np bool over `axis`, optional) restricts
+    the max to a channel subset (the mixture channels, when the deduped
+    table also carries GL-only columns) while still scaling every
+    channel."""
     key = ef + (mh - np.float32(1.0))
+    if chan_mask is not None:
+        key = jnp.where(chan_mask, key, np.float32(-np.inf))
     kmax = jnp.max(key, axis=axis, keepdims=True)
     mask = key == kmax
     ninf = np.float32(-np.inf)
@@ -390,13 +415,16 @@ def _normalize_prod(mh, ml, ef, axis=-1):
     return vh, vl
 
 
-def _mixture_table_df(mh, ml, ef, axis=-1):
+def _mixture_table_df(mh, ml, ef, axis=-1, chan_mask=None):
     """Product table -> reference-normalized mixture table t (df):
     t = (v + 1e-6) / (1 + 1e-6). The per-UMI max-divisions telescope to
     the single max-division (cmd_cram_demuxlet.cpp:626-663); the max of
     the smoothed table is exactly 1 + 1e-6 because the argmax element of
-    the normalized table is exactly 1 in df."""
-    vh, vl = _normalize_prod(mh, ml, ef, axis=axis)
+    the normalized table is exactly 1 in df. Deduped channels are exact:
+    bit-identical columns produce bit-identical table entries, so the max
+    over unique mixture channels equals the reference's max over all
+    (k,l,m)."""
+    vh, vl = _normalize_prod(mh, ml, ef, axis=axis, chan_mask=chan_mask)
     wh, wl = df.add(vh, vl, _SMOOTH_DF[0], _SMOOTH_DF[1])
     return df.mul(wh, wl, _K_SMOOTH[0], _K_SMOOTH[1])
 
@@ -449,14 +477,14 @@ def _df_sum_axis(h, l, axis):
     return jnp.squeeze(h, axis), jnp.squeeze(l, axis)
 
 
-def _gl_table_df(codes_i32, msk, plogf_h, plogf_l):
+def _gl_table_df(mh, ml, ef):
     """Pass-1 GL table (cmd_cram_demuxlet.cpp:428-452) in df32,
     probability domain: per-UMI products, sum-normalize, +1e-6,
-    renormalize. Masked slots get the (1,0,0)-compatible identity row
-    handled by the kernel via neutral gps; here they just carry whatever
-    the none-code products give (exactly uniform), masked downstream.
-    Returns (B,S,3) df planes."""
-    mh, ml, ef = _prod_gather(plogf_h, plogf_l, codes_i32)  # (B,S,3)
+    renormalize. Takes the (B,S,3) product planes (the GL channels of the
+    shared pair-code gather — the singlet factors f0/f1/f2 coincide
+    exactly with the p in {0, .5, 1} mixture columns, so dedup shares
+    them). Masked slots carry the none-code products (exactly uniform),
+    masked downstream. Returns (B,S,3) df planes."""
     uh, ul = _normalize_prod(mh, ml, ef)
     # sequential l-order sum (reference :440-443)
     sh, sl = df.add(uh[..., 0], ul[..., 0], uh[..., 1], ul[..., 1])
@@ -472,44 +500,77 @@ def _gl_table_df(codes_i32, msk, plogf_h, plogf_l):
 
 
 def split_tables(gps, gp0, w, logf):
-    """Host-side: split f64 tables into df planes.
+    """Host-side: build the df gps/gp0 planes plus the PAIR-code product
+    LUT for the device front.
 
     w and logf are the LOG-domain LUTs (ops/luts.py) — converted here to
     probability domain (exp) with a 1.0 none-row appended, since this
-    path multiplies probabilities directly like the reference. The exp
-    round-trip recovers the f64 probabilities to 1 ulp; use
-    luts.pair_prob_lut/singlet_prob_lut values where exactness vs the
-    reference's own products matters (they are byte-identical here
-    because the LUT construction computes probabilities first)."""
+    path multiplies probabilities directly like the reference
+    (cmd_cram_demuxlet.cpp:606-663). The exp round-trip recovers the f64
+    probabilities to 1 ulp.
+
+    Two front optimizations are baked in here:
+    * Channel dedup: the mixture value pr*(1-p)+pa*p depends only on
+      p = 0.5*l + (m-l)*0.5*alpha, so the A*9 mixture columns collapse to
+      the unique p values (5 for the default [0, .5] grid), and the
+      singlet GL factors f0/f1/f2 are exactly the p in {0, .5, 1}
+      columns. expand_w/expand_gl map logical channels to unique ones.
+    * Pair-code LUT: rows are code PAIRS (c0*(NB+1)+c1) holding the
+      f64-exact per-channel product — one device gather covers two UMIs
+      with no df mul.
+
+    Returns (gps_pair, gp0_pair, tabs, meta):
+      tabs = (pm_h, pm_l, pe) each ((NB+1)^2, C) f32 — mantissa df pair
+        (hi in [1,2)) + integer-valued exponent plane;
+      meta = (C, expand_w, expand_gl) — static (hashable) channel maps.
+    """
     gps_h, gps_l = df.from_f64(gps)
     gp0_h, gp0_l = df.from_f64(gp0)
-    wz = np.ones((w.shape[0] + 1, w.shape[1]), dtype=np.float64)
-    wz[:-1] = np.exp(w)
-    lz = np.ones((logf.shape[0] + 1, 3), dtype=np.float64)
-    lz[:-1] = np.exp(logf)
-    w_h, w_l = df.from_f64(wz)
-    logf_h, logf_l = df.from_f64(lz)
-    return (gps_h, gps_l), (gp0_h, gp0_l), (w_h, w_l), (logf_h, logf_l)
+    nw = w.shape[1]
+    allc = np.ones((w.shape[0] + 1, nw + 3), dtype=np.float64)
+    allc[:-1, :nw] = np.exp(w)
+    allc[:-1, nw:] = np.exp(logf)
+    seen, cols, inv = {}, [], []
+    for j in range(allc.shape[1]):
+        key = allc[:, j].tobytes()
+        if key not in seen:
+            seen[key] = len(cols)
+            cols.append(allc[:, j])
+        inv.append(seen[key])
+    T = np.stack(cols, axis=1)  # (NB+1, C)
+    P = (T[:, None, :] * T[None, :, :]).reshape(-1, T.shape[1])
+    mant, ex = np.frexp(P)
+    pm_h, pm_l = df.from_f64(mant * 2.0)  # exact scale: mant -> [1, 2)
+    pe = (ex - 1).astype(np.float32)
+    meta = (len(cols), tuple(inv[:nw]), tuple(inv[nw:]))
+    return (gps_h, gps_l), (gp0_h, gp0_l), (pm_h, pm_l, pe), meta
 
 
 def demux_block_exact_impl(
-    codes, idx, msk, gps_pair, gp0_pair, w_pair, logf_pair,
+    codes, idx, msk, gps_pair, gp0_pair, tabs, meta,
     n_alpha, n_samples, interpret=False, a0_zero=False,
 ):
     """Fused exact-mode (df32) block step.
 
     codes (B,S,U) uint8 (255 = none); idx (B,S) int32; msk (B,S) bool;
-    gps_pair ((NS,V,3) hi, lo); gp0_pair ((NS,3) hi, lo); w_pair
-    ((NB+1, A*9) hi, lo probability LUT); logf_pair ((NB+1, 3) hi, lo).
+    gps_pair ((NS,V,3) hi, lo); gp0_pair ((NS,3) hi, lo); tabs/meta from
+    split_tables (pair-code product LUT + static channel-dedup maps).
     Returns df pairs: (llk (B,V), llk0 (B,), llk_ab (B,V,V,A), llk00 (B,A)),
     each as (hi, lo) f32 — combine to f64 on the host."""
     B, S, U = codes.shape
     V, A = n_samples, n_alpha
-    none_row = w_pair[0].shape[0] - 1
+    C, expand_w, expand_gl = meta
+    n_rows = int(round(np.sqrt(tabs[0].shape[0])))
+    none_row = n_rows - 1
     c = jnp.where(codes == 255, jnp.uint8(none_row), codes).astype(jnp.int32)
 
-    mh, ml, ef = _prod_gather(w_pair[0], w_pair[1], c)  # (B,S,A9)
-    th, tl = _mixture_table_df(mh, ml, ef)
+    mh, ml, ef = _pair_prod_gather(tabs, c, n_rows)  # (B,S,C)
+    w_used = sorted(set(expand_w))
+    cmask = None
+    if w_used != list(range(C)):
+        cmask = np.zeros((C,), dtype=bool)
+        cmask[w_used] = True
+    th, tl = _mixture_table_df(mh, ml, ef, chan_mask=cmask)
     t_h = jnp.transpose(th, (2, 0, 1))
     t_l = jnp.transpose(tl, (2, 0, 1))
 
@@ -530,9 +591,11 @@ def demux_block_exact_impl(
     g0h = jnp.where(msk[..., None], g0h, neutral)
     g0l = jnp.where(msk[..., None], g0l, zero3)
 
-    # pass-1 GL table; masked slots -> (1,0,0) so with neutral gps the
-    # kernel's singlet product accumulates an exact 1
-    glh, gll = _gl_table_df(c, msk, logf_pair[0], logf_pair[1])
+    # pass-1 GL table from the shared gather's GL channels; masked slots
+    # -> (1,0,0) so with neutral gps the kernel's singlet product
+    # accumulates an exact 1
+    gsel = list(expand_gl)
+    glh, gll = _gl_table_df(mh[..., gsel], ml[..., gsel], ef[..., gsel])
     glh = jnp.where(msk[..., None], glh, neutral)
     gll = jnp.where(msk[..., None], gll, zero3)
 
@@ -541,7 +604,7 @@ def demux_block_exact_impl(
     ab, z0, sing = _call_pair_kernel_df(
         (t_h, t_l), (g_t(gh), g_t(gl)), (g0_t(g0h), g0_t(g0l)),
         (g0_t(glh), g0_t(gll)),
-        V, A, interpret, a0_zero=a0_zero,
+        V, A, interpret, a0_zero=a0_zero, expand=expand_w,
     )
     llk_ab = (ab[0].reshape(B, V, V, A), ab[1].reshape(B, V, V, A))
     llk = (sing[0][:, :V], sing[1][:, :V])
@@ -551,7 +614,7 @@ def demux_block_exact_impl(
 
 demux_block_exact = jax.jit(
     demux_block_exact_impl,
-    static_argnames=("n_alpha", "n_samples", "interpret", "a0_zero"),
+    static_argnames=("meta", "n_alpha", "n_samples", "interpret", "a0_zero"),
 )
 
 

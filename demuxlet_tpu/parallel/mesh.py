@@ -230,22 +230,24 @@ def build_sharded_compact_step(
 
 def build_sharded_exact_pallas_step(
     mesh: Mesh,
+    meta,
     n_alpha: int,
     n_samples: int,
     interpret: bool = False,
     a0_zero: bool = False,
 ):
     """Exact-mode df32 Pallas step (ops/pallas_pair_exact.py) sharded over
-    the "b" barcode axis; df table planes replicate. Outputs are (hi, lo)
-    f32 pairs, combined to f64 on the host. Per-device batch must be a
-    multiple of 16 cells (pallas_pair_exact.TB)."""
+    the "b" barcode axis; df table planes replicate. meta is the static
+    channel-dedup map from split_tables. Outputs are (hi, lo) f32 pairs,
+    combined to f64 on the host. Per-device batch must be a multiple of
+    16 cells (pallas_pair_exact.TB)."""
     from demuxlet_tpu.ops.pallas_pair_exact import demux_block_exact_impl
 
     def body(codes, idx, msk, gps_h, gps_l, gp0_h, gp0_l,
-             w_h, w_l, lf_h, lf_l):
+             pm_h, pm_l, pe):
         return demux_block_exact_impl(
             codes, idx, msk, (gps_h, gps_l), (gp0_h, gp0_l),
-            (w_h, w_l), (lf_h, lf_l), n_alpha, n_samples,
+            (pm_h, pm_l, pe), meta, n_alpha, n_samples,
             interpret=interpret, a0_zero=a0_zero,
         )
 
@@ -262,8 +264,7 @@ def build_sharded_exact_pallas_step(
             b2, b2,              # idx, msk
             rep3, rep3,          # gps planes
             rep2, rep2,          # gp0 planes
-            rep2, rep2,          # w planes
-            rep2, rep2,          # logf planes
+            rep2, rep2, rep2,    # pair-code LUT planes
         ),
         out_specs=((b2, b2), (b1, b1), (b4, b4), (b2, b2)),
         check_vma=False,

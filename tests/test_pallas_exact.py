@@ -51,11 +51,11 @@ def test_exact_pallas_matches_xla_f64(seed):
     codes, idx, msk, gps, gp0, w, logf, grid = _workload(seed)
     V, A = gps.shape[1], len(grid)
 
-    gps_pair, gp0_pair, w_pair, logf_pair = PE.split_tables(gps, gp0, w, logf)
+    gps_pair, gp0_pair, tabs, meta = PE.split_tables(gps, gp0, w, logf)
     llk, llk0, llk_ab, llk00 = PE.demux_block_exact(
         jnp.asarray(codes), jnp.asarray(idx), jnp.asarray(msk),
         tuple(map(jnp.asarray, gps_pair)), tuple(map(jnp.asarray, gp0_pair)),
-        tuple(map(jnp.asarray, w_pair)), tuple(map(jnp.asarray, logf_pair)),
+        tuple(map(jnp.asarray, tabs)), meta,
         A, V, interpret=True,
     )
 
@@ -101,11 +101,11 @@ def test_exact_pallas_empty_slots_neutral():
     gp0 = gps.mean(axis=1)
     w = luts.pair_lut([0.0, 0.5], 40)
     logf = luts.singlet_lut(40)
-    gps_pair, gp0_pair, w_pair, logf_pair = PE.split_tables(gps, gp0, w, logf)
+    gps_pair, gp0_pair, tabs, meta = PE.split_tables(gps, gp0, w, logf)
     llk, llk0, llk_ab, llk00 = PE.demux_block_exact(
         jnp.asarray(codes), jnp.asarray(idx), jnp.asarray(msk),
         tuple(map(jnp.asarray, gps_pair)), tuple(map(jnp.asarray, gp0_pair)),
-        tuple(map(jnp.asarray, w_pair)), tuple(map(jnp.asarray, logf_pair)),
+        tuple(map(jnp.asarray, tabs)), meta,
         2, 4, interpret=True,
     )
     assert (PE.combine(llk_ab) == 0).all()
@@ -156,11 +156,11 @@ def test_exact_pallas_a0_zero_factorization(seed):
     codes, idx, msk, gps, gp0, w, logf, grid = _workload(seed)
     assert grid[0] == 0.0
     V, A = gps.shape[1], len(grid)
-    gps_pair, gp0_pair, w_pair, logf_pair = PE.split_tables(gps, gp0, w, logf)
+    gps_pair, gp0_pair, tabs, meta = PE.split_tables(gps, gp0, w, logf)
     args = (
         jnp.asarray(codes), jnp.asarray(idx), jnp.asarray(msk),
         tuple(map(jnp.asarray, gps_pair)), tuple(map(jnp.asarray, gp0_pair)),
-        tuple(map(jnp.asarray, w_pair)), tuple(map(jnp.asarray, logf_pair)),
+        tuple(map(jnp.asarray, tabs)), meta,
         A, V,
     )
     gen = PE.demux_block_exact(*args, interpret=True, a0_zero=False)
