@@ -157,7 +157,8 @@ def measure_tpu() -> dict:
     @jax.jit
     def fast_step(cnt_t, gps_t, wt):
         ab, z0 = pair_llks_pallas(
-            cnt_t, gps_t, wt, NALPHA, NV, interpret=interpret
+            cnt_t, gps_t, wt, NALPHA, NV, interpret=interpret,
+            a0_sep=True, sym_a=NALPHA - 1,
         )
         return jnp.sum(ab) + jnp.sum(z0)
 
@@ -207,6 +208,7 @@ def measure_tpu() -> dict:
         llk, llk0, ab, z0 = PE.demux_block_exact_impl(
             codes, idx, msk, gps_p, gp0_p, tabs_p, meta,
             NALPHA, NV, interpret=interpret, a0_zero=True,
+            sym_a=NALPHA - 1,
         )
         return (jnp.sum(ab[0]) + jnp.sum(ab[1]) + jnp.sum(llk[0])
                 + jnp.sum(z0[0]))

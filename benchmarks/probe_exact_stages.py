@@ -5,11 +5,10 @@ stages. Uses the two-point protocol (N vs 2N queued iterations, difference)
 to cancel the tunnel's fixed ~30ms scalar-readback sync cost — see
 bench.py:timeit.
 
-  A. pair gather    codes -> per-slot df product planes (B,S,C) via the
-                    pair-code LUT (one gather per two UMIs)
-  B. A + mixture    normalize + smooth -> t
-  C. B + transpose  t in kernel layout (C, B, S)
-  D. g gathers      gps/gp0 idx-gather + mask + kernel layout
+  A. pair gather    codes -> per-slot df product planes (C,B,S) via ONE
+                    fused-LUT take per two UMIs (kernel layout direct)
+  B. A + mixture    normalize + smooth -> t (channel-leading df math)
+  D. g gather       ONE fused gps|gp0 hi|lo take + mask + kernel layout
   E. gl table       pass-1 GL front on the gather's GL channels
   F. kernel only    _call_pair_kernel_df on precomputed inputs
   G. full           demux_block_exact_impl
@@ -93,42 +92,30 @@ def main():
     @jax.jit
     def stage_b(codes):
         mh, ml, ef = PE._pair_prod_gather(tabs_p, codes_i32(codes), n_rows)
-        th, tl = PE._mixture_table_df(mh, ml, ef)
+        th, tl = PE._mixture_table_df(mh, ml, ef, axis=0)
         return jnp.sum(th)
 
-    @jax.jit
-    def stage_c(codes):
-        mh, ml, ef = PE._pair_prod_gather(tabs_p, codes_i32(codes), n_rows)
-        th, tl = PE._mixture_table_df(mh, ml, ef)
-        t_h = jnp.transpose(th, (2, 0, 1))
-        t_l = jnp.transpose(tl, (2, 0, 1))
-        return jnp.sum(t_h) + jnp.sum(t_l)
+    def g_fused(idx, msk):
+        NSt = gps_p[0].shape[0]
+        W3 = V * 3 + 3
+        fused_g = jnp.concatenate(
+            [gps_p[0].reshape(NSt, V * 3), gp0_p[0],
+             gps_p[1].reshape(NSt, V * 3), gp0_p[1]], axis=1)
+        gall = jnp.transpose(jnp.take(fused_g, idx, axis=0), (2, 0, 1))
+        neutral_c = np.zeros((2 * W3, 1, 1), dtype=np.float32)
+        neutral_c[0 : V * 3 : 3] = 1.0
+        neutral_c[V * 3] = 1.0
+        return jnp.where(msk[None], gall, neutral_c)
 
     @jax.jit
     def stage_d(idx, msk):
-        # mirrors demux_block_exact_impl's 2D-table gathers
-        neutral = jnp.zeros((3,), jnp.float32).at[0].set(1.0)
-        zero3 = jnp.zeros((3,), jnp.float32)
-        neutral_v = jnp.tile(neutral, V)
-        NSt = gps_p[0].shape[0]
-        gh = jnp.take(gps_p[0].reshape(NSt, V * 3), idx, axis=0)
-        gl = jnp.take(gps_p[1].reshape(NSt, V * 3), idx, axis=0)
-        gh = jnp.where(msk[..., None], gh, neutral_v)
-        gl = jnp.where(msk[..., None], gl, jnp.float32(0.0))
-        g0h = jnp.take(gp0_p[0], idx, axis=0)
-        g0l = jnp.take(gp0_p[1], idx, axis=0)
-        g0h = jnp.where(msk[..., None], g0h, neutral)
-        g0l = jnp.where(msk[..., None], g0l, zero3)
-        g_t = lambda x: jnp.transpose(x, (2, 0, 1))
-        return (jnp.sum(g_t(gh)) + jnp.sum(g_t(gl)) + jnp.sum(g_t(g0h))
-                + jnp.sum(g_t(g0l)))
+        return jnp.sum(g_fused(idx, msk))
 
     @jax.jit
     def stage_e(codes, msk):
         mh, ml, ef = PE._pair_prod_gather(tabs_p, codes_i32(codes), n_rows)
-        gsel = list(expand_gl)
-        glh, gll = PE._gl_table_df(mh[..., gsel], ml[..., gsel],
-                                   ef[..., gsel])
+        gsel = np.asarray(expand_gl)
+        glh, gll = PE._gl_table_df(mh[gsel], ml[gsel], ef[gsel])
         return jnp.sum(glh)
 
     # kernel-only: precompute all kernel inputs once, device-resident
@@ -136,37 +123,24 @@ def main():
     def make_inputs(codes, idx, msk):
         c = codes_i32(codes)
         mh, ml, ef = PE._pair_prod_gather(tabs_p, c, n_rows)
-        th, tl = PE._mixture_table_df(mh, ml, ef)
-        t_h = jnp.transpose(th, (2, 0, 1))
-        t_l = jnp.transpose(tl, (2, 0, 1))
-        neutral = jnp.zeros((3,), jnp.float32).at[0].set(1.0)
-        zero3 = jnp.zeros((3,), jnp.float32)
-        NSt = gps_p[0].shape[0]
-        gh = jnp.take(gps_p[0].reshape(NSt, V * 3), idx, axis=0)
-        gl = jnp.take(gps_p[1].reshape(NSt, V * 3), idx, axis=0)
-        gh = jnp.where(msk[..., None], gh, jnp.tile(neutral, V))
-        gl = jnp.where(msk[..., None], gl, jnp.float32(0.0))
-        g0h = jnp.take(gp0_p[0], idx, axis=0)
-        g0l = jnp.take(gp0_p[1], idx, axis=0)
-        g0h = jnp.where(msk[..., None], g0h, neutral)
-        g0l = jnp.where(msk[..., None], g0l, zero3)
-        gsel = list(expand_gl)
-        glh, gll = PE._gl_table_df(mh[..., gsel], ml[..., gsel],
-                                   ef[..., gsel])
-        glh = jnp.where(msk[..., None], glh, neutral)
-        gll = jnp.where(msk[..., None], gll, zero3)
-        g0_t = lambda x: jnp.transpose(x, (2, 0, 1))
-        g_t = g0_t
-        return (t_h, t_l, g_t(gh), g_t(gl), g0_t(g0h), g0_t(g0l),
-                g0_t(glh), g0_t(gll))
+        t_h, t_l = PE._mixture_table_df(mh, ml, ef, axis=0)
+        gall = g_fused(idx, msk)
+        gsel = np.asarray(expand_gl)
+        glh, gll = PE._gl_table_df(mh[gsel], ml[gsel], ef[gsel])
+        neutral3 = np.zeros((3, 1, 1), dtype=np.float32)
+        neutral3[0] = 1.0
+        glh = jnp.where(msk[None], glh, neutral3)
+        gll = jnp.where(msk[None], gll, np.float32(0.0))
+        return (t_h, t_l, gall, glh, gll)
 
     ins = [jax.device_put(x) for x in make_inputs(codes_d, idx_d, msk_d)]
 
     @jax.jit
-    def stage_f(t_h, t_l, ghh, gll_, g0h, g0l, glh, gll):
+    def stage_f(t_h, t_l, gall, glh, gll):
         ab, z0, sing = PE._call_pair_kernel_df(
-            (t_h, t_l), (ghh, gll_), (g0h, g0l), (glh, gll),
+            (t_h, t_l), gall, (glh, gll),
             V, A, interpret, a0_zero=True, expand=expand_w,
+            sym_a=NALPHA - 1,
         )
         return jnp.sum(ab[0]) + jnp.sum(z0[0]) + jnp.sum(sing[0])
 
@@ -175,14 +149,14 @@ def main():
         llk, llk0, ab, z0 = PE.demux_block_exact_impl(
             codes, idx, msk, gps_p, gp0_p, tabs_p, meta,
             NALPHA, NV, interpret=interpret, a0_zero=True,
+            sym_a=NALPHA - 1,
         )
         return (jnp.sum(ab[0]) + jnp.sum(ab[1]) + jnp.sum(llk[0])
                 + jnp.sum(z0[0]))
 
     res = {
         "pair_gather_ms": timeit(stage_a, codes_d),
-        "mixture_ms": timeit(stage_b, codes_d),
-        "t_front_ms": timeit(stage_c, codes_d),
+        "t_front_ms": timeit(stage_b, codes_d),
         "g_gather_ms": timeit(stage_d, idx_d, msk_d),
         "gl_table_ms": timeit(stage_e, codes_d, msk_d),
         "kernel_only_ms": timeit(stage_f, *ins),

@@ -118,6 +118,74 @@ def main():
         gl = jnp.take(gps3d_l, idx, axis=0)
         return jnp.sum(gh) + jnp.sum(gl)
 
+    # g-stage fusion candidates: gp0 (3 narrow channels) rides the gps
+    # take — narrow (<128B-row) takes cost nearly as much as wide ones
+    gp0 = gps.mean(axis=1)  # (NSNP, 3)
+    g27_h = jax.device_put(jnp.asarray(
+        np.concatenate([gps.reshape(NSNP, V * 3), gp0], axis=1)))
+    g27_l = jax.device_put(jnp.asarray(
+        np.concatenate([gps.reshape(NSNP, V * 3), gp0], axis=1) * 1e-8))
+    g54 = jax.device_put(jnp.concatenate([g27_h, g27_l], axis=1))
+
+    @jax.jit
+    def v7_merged27_pair(idx, msk):
+        gh = jnp.take(g27_h, idx, axis=0)  # (B,S,27)
+        gl = jnp.take(g27_l, idx, axis=0)
+        g_t = lambda x: jnp.transpose(x, (2, 0, 1))
+        gh, gl = g_t(gh), g_t(gl)
+        gh = jnp.where(msk[None], gh, 0.5)
+        return jnp.sum(gh) + jnp.sum(gl)
+
+    @jax.jit
+    def v8_merged54_single(idx, msk):
+        g = jnp.take(g54, idx, axis=0)  # (B,S,54)
+        gt = jnp.transpose(g, (2, 0, 1))
+        gt = jnp.where(msk[None], gt, 0.5)
+        return jnp.sum(gt)
+
+    @jax.jit
+    def v9_narrow3(idx):
+        g0h = jnp.take(jnp.asarray(g27_h[:, -3:]), idx, axis=0)
+        g0l = jnp.take(jnp.asarray(g27_l[:, -3:]), idx, axis=0)
+        return jnp.sum(g0h) + jnp.sum(g0l)
+
+    @jax.jit
+    def v10_concat_in_jit(idx, msk):
+        g54x = jnp.concatenate([g27_h, g27_l], axis=1)
+        g = jnp.take(g54x, idx, axis=0)
+        gt = jnp.transpose(g, (2, 0, 1))
+        gt = jnp.where(msk[None], gt, 0.5)
+        return jnp.sum(gt)
+
+    neutral_c = np.zeros((54, 1, 1), dtype=np.float32)
+    neutral_c[0:24:3] = 1.0
+    neutral_c[24] = 1.0
+
+    @jax.jit
+    def v11_impl_form(idx, msk):
+        # exactly demux_block_exact_impl's g stage: in-jit concat, one
+        # take, transpose, broadcast-neutral where, 4 slices
+        g54x = jnp.concatenate([g27_h, g27_l], axis=1)
+        gall = jnp.transpose(jnp.take(g54x, idx, axis=0), (2, 0, 1))
+        gall = jnp.where(msk[None], gall, neutral_c)
+        return (jnp.sum(gall[:24]) + jnp.sum(gall[24:27])
+                + jnp.sum(gall[27:51]) + jnp.sum(gall[51:]))
+
+    @jax.jit
+    def v12_bcast_where(idx, msk):
+        g54x = jnp.concatenate([g27_h, g27_l], axis=1)
+        gall = jnp.transpose(jnp.take(g54x, idx, axis=0), (2, 0, 1))
+        gall = jnp.where(msk[None], gall, neutral_c)
+        return jnp.sum(gall)
+
+    @jax.jit
+    def v13_four_slices(idx, msk):
+        g54x = jnp.concatenate([g27_h, g27_l], axis=1)
+        gall = jnp.transpose(jnp.take(g54x, idx, axis=0), (2, 0, 1))
+        gall = jnp.where(msk[None], gall, 0.5)
+        return (jnp.sum(gall[:24]) + jnp.sum(gall[24:27])
+                + jnp.sum(gall[27:51]) + jnp.sum(gall[51:]))
+
     res = {
         "v0_current": timeit(v0_current, idx, msk),
         "v1_2d_takes": timeit(v1_2d_takes, idx, msk),
@@ -126,6 +194,13 @@ def main():
         "v4_2d_take_only": timeit(v4_no_mask_no_t, idx),
         "v5_2d_take_transpose": timeit(v5_no_mask_t, idx),
         "v6_3d_take_only": timeit(v6_3d_take_only, idx),
+        "v7_merged27_pair": timeit(v7_merged27_pair, idx, msk),
+        "v8_merged54_single": timeit(v8_merged54_single, idx, msk),
+        "v9_narrow3_takes": timeit(v9_narrow3, idx),
+        "v10_concat_in_jit": timeit(v10_concat_in_jit, idx, msk),
+        "v11_impl_form": timeit(v11_impl_form, idx, msk),
+        "v12_bcast_where": timeit(v12_bcast_where, idx, msk),
+        "v13_four_slices": timeit(v13_four_slices, idx, msk),
     }
     print({k: round(v, 3) for k, v in res.items()})
 

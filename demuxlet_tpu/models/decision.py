@@ -144,7 +144,8 @@ _PACK_KEYS = (
 
 def compact_step_body(
     codes, idx, msk, gps_table, gp0_table, w_ext, logf_ext, dbl_w, dbl_msk,
-    n_alpha, n_samples, doublet_prior, interpret=False,
+    n_alpha, n_samples, doublet_prior, interpret=False, a0_sep=False,
+    sym_a=None,
 ):
     """Traceable fused fast block step + device decision pass, packed into
     ONE (B, 2V+A+11) f64 array. Shared by the single-device jit
@@ -158,7 +159,7 @@ def compact_step_body(
 
     llk, llk0, llk_ab, llk_00 = demux_block_fast_impl(
         codes, idx, msk, gps_table, gp0_table, w_ext, logf_ext,
-        n_alpha, n_samples, interpret=interpret,
+        n_alpha, n_samples, interpret=interpret, a0_sep=a0_sep, sym_a=sym_a,
     )
     out = decide(
         llk_ab.astype(jnp.float64),
@@ -175,11 +176,13 @@ def compact_step_body(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n_alpha", "n_samples", "doublet_prior", "interpret"),
+    static_argnames=("n_alpha", "n_samples", "doublet_prior", "interpret",
+                     "a0_sep", "sym_a"),
 )
 def demux_block_fast_compact(
     codes, idx, msk, gps_table, gp0_table, w_ext, logf_ext, dbl_w, dbl_msk,
-    n_alpha, n_samples, doublet_prior, interpret=False,
+    n_alpha, n_samples, doublet_prior, interpret=False, a0_sep=False,
+    sym_a=None,
 ):
     """Single-device jit wrapper over compact_step_body: one device->host
     buffer per block (the tunneled backend pays per-transfer latency, and
@@ -187,6 +190,7 @@ def demux_block_fast_compact(
     return compact_step_body(
         codes, idx, msk, gps_table, gp0_table, w_ext, logf_ext, dbl_w,
         dbl_msk, n_alpha, n_samples, doublet_prior, interpret=interpret,
+        a0_sep=a0_sep, sym_a=sym_a,
     )
 
 

@@ -185,6 +185,12 @@ class DemuxEngine:
         )
         return llk, llk0, llk_ab, llk_00
 
+    def _sym_a(self):
+        """Index of alpha == 0.5 in the grid (the (j,k)-symmetric doublet
+        plane the kernels mirror instead of recomputing), if present."""
+        return (self.grid_alpha.index(0.5)
+                if 0.5 in self.grid_alpha else None)
+
     def _shrink_codes_blk(self, codes_blk):
         """Cut fast-path H2D bytes (the tunneled-backend bottleneck at 100K
         cells): when slot ids fit in 16 bits, adjacent pairs pack into one
@@ -232,7 +238,8 @@ class DemuxEngine:
                 from demuxlet_tpu.parallel import mesh as pmesh
 
                 self._sharded_fast = pmesh.build_sharded_fast_step(
-                    self.mesh, self.n_alpha, self.nv, interpret=interpret
+                    self.mesh, self.n_alpha, self.nv, interpret=interpret,
+                    a0_sep=self.grid_alpha[0] == 0.0, sym_a=self._sym_a(),
                 )
             return self._sharded_fast(
                 jnp.asarray(codes), jnp.asarray(idx), jnp.asarray(msk),
@@ -249,6 +256,8 @@ class DemuxEngine:
             self.n_alpha,
             self.nv,
             interpret=interpret,
+            a0_sep=self.grid_alpha[0] == 0.0,
+            sym_a=self._sym_a(),
         )
 
     def _run_block_exact_pallas(self, scl, cells):
@@ -275,6 +284,7 @@ class DemuxEngine:
         gps_pair, gp0_pair, tabs, meta = self._df_tables
         codes, idx, msk = codes_blk
         interpret = jax.default_backend() != "tpu"
+        sym_a = self._sym_a()
         if self.mesh is not None:
             if self._sharded_exact_pallas is None:
                 from demuxlet_tpu.parallel import mesh as pmesh
@@ -284,6 +294,7 @@ class DemuxEngine:
                         self.mesh, meta, self.n_alpha, self.nv,
                         interpret=interpret,
                         a0_zero=self.grid_alpha[0] == 0.0,
+                        sym_a=sym_a,
                     )
                 )
             return self._sharded_exact_pallas(
@@ -295,7 +306,7 @@ class DemuxEngine:
             jnp.asarray(codes), jnp.asarray(idx), jnp.asarray(msk),
             gps_pair, gp0_pair, tabs, meta,
             self.n_alpha, self.nv, interpret=interpret,
-            a0_zero=self.grid_alpha[0] == 0.0,
+            a0_zero=self.grid_alpha[0] == 0.0, sym_a=sym_a,
         )
 
     def run_compact(self, scl, doublet_prior: float, pipeline_depth: int = 3):
@@ -366,6 +377,8 @@ class DemuxEngine:
                             pmesh.build_sharded_compact_step(
                                 self.mesh, self.n_alpha, self.nv,
                                 doublet_prior, interpret=interpret,
+                                a0_sep=self.grid_alpha[0] == 0.0,
+                                sym_a=self._sym_a(),
                             ),
                         )
                     packed = self._sharded_compact[1](
@@ -380,6 +393,8 @@ class DemuxEngine:
                         self._gps_dev, self._gp0_dev,
                         w_ext, logf_ext, dbl_w, dbl_msk, self.n_alpha,
                         self.nv, doublet_prior, interpret=interpret,
+                        a0_sep=self.grid_alpha[0] == 0.0,
+                        sym_a=self._sym_a(),
                     )
                 pending.append(pool.submit(fetch, cells, packed))
                 while len(pending) > pipeline_depth:

@@ -61,86 +61,165 @@ def _norm_t(lograw, axis):
     return (jnp.exp(lograw - mx) + _SMOOTH) * _KNORM
 
 
-def _pair_kernel(t_ref, g_ref, out_ref, out0_ref, acc_ref, acc0_ref, *, V, A, n_s):
+def _pair_kernel(t_ref, g_ref, out_ref, out0_ref, acc_ref, acc0_ref,
+                 accs_ref, *, V, A, n_g, halves, a0_sep, sym_a):
     """Accumulates per-slot log(inner mixture) into VMEM scratch planes.
+
+    Three structural cuts on the V*V*A log+dot count per slot:
+    * halves == 2: each grid step owns TWO 128-lane slot groups and
+      accumulates log(inner_a * inner_b) — halving the transcendental
+      count (safe: inner >= ~1e-6 since t >= 1e-6/(1+1e-6) and gps rows
+      sum to 1, so the pair product stays far above f32 underflow; the
+      one extra rounding is ~1e-7 relative, inside fast-mode tolerance).
+    * a0_sep: the alpha == 0 plane factorizes — llk_ab[j,k,0] =
+      sum_s log d_s[j] + sum_s log gsum_s[k] (t[0,l,m] identical across
+      m) — so V + V separable accumulators (accs_ref) replace V*V.
+    * sym_a: the alpha == 0.5 plane is (j,k)-symmetric (the W LUT columns
+      for (l,m) and (m,l) coincide at alpha = 0.5), so j > k channels
+      are skipped and mirrored in the finish.
 
     Measured dead end (round 2): replacing the per-slot jnp.log with
     mantissa-PRODUCT accumulation + i32 exponent tracking (log once per
-    lane at the end, renorm every 2nd grid step) ran 157.1K b/s vs this
-    version's 173.3K — Mosaic's vector log is cheap, and the extra
-    scratch traffic + renorm pass cost more than the 320 logs saved
-    (it also pushed scoped VMEM past the 16MB default)."""
+    lane at the end, renorm every 2nd grid step) ran 157.1K b/s vs
+    173.3K — Mosaic's vector log is cheap, and the extra scratch traffic
+    + renorm pass cost more than the 320 logs saved (it also pushed
+    scoped VMEM past the 16MB default)."""
     s_step = pl.program_id(1)
 
     @pl.when(s_step == 0)
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
         acc0_ref[:] = jnp.zeros_like(acc0_ref)
+        if a0_sep:
+            accs_ref[:] = jnp.zeros_like(accs_ref)
 
-    t = [t_ref[x] for x in range(A * 9)]
-    g = [g_ref[i] for i in range(V * 3)]
+    def lane_half(x, h):
+        return x[:, h * TS : (h + 1) * TS] if halves == 2 else x
+
+    t = [[lane_half(t_ref[x], h) for x in range(A * 9)]
+         for h in range(halves)]
+    g = [[lane_half(g_ref[i], h) for i in range(V * 3)]
+         for h in range(halves)]
+
+    def logprod(vals):
+        p = vals[0]
+        for v in vals[1:]:
+            p = p * v
+        return jnp.log(p)
+
+    if a0_sep:
+        for k in range(V):
+            gs = [g[h][k * 3] + g[h][k * 3 + 1] + g[h][k * 3 + 2]
+                  for h in range(halves)]
+            accs_ref[V + k] = accs_ref[V + k] + logprod(gs)
 
     for j in range(V):
-        u = []
-        for a in range(A):
-            for m in range(3):
-                u.append(
-                    g[j * 3] * t[a * 9 + m]
-                    + g[j * 3 + 1] * t[a * 9 + 3 + m]
-                    + g[j * 3 + 2] * t[a * 9 + 6 + m]
-                )
+        u = [[] for _ in range(halves)]
+        for h in range(halves):
+            for a in range(A):
+                if a0_sep and a == 0:
+                    d = (g[h][j * 3] * t[h][0]
+                         + g[h][j * 3 + 1] * t[h][3]
+                         + g[h][j * 3 + 2] * t[h][6])
+                    u[h] += [d, d, d]
+                    continue
+                for m in range(3):
+                    u[h].append(
+                        g[h][j * 3] * t[h][a * 9 + m]
+                        + g[h][j * 3 + 1] * t[h][a * 9 + 3 + m]
+                        + g[h][j * 3 + 2] * t[h][a * 9 + 6 + m]
+                    )
+        if a0_sep:
+            accs_ref[j] = accs_ref[j] + logprod(
+                [u[h][0] for h in range(halves)]
+            )
         for k in range(V):
             for a in range(A):
-                inner = (
-                    g[k * 3] * u[a * 3]
-                    + g[k * 3 + 1] * u[a * 3 + 1]
-                    + g[k * 3 + 2] * u[a * 3 + 2]
-                )
+                if a0_sep and a == 0:
+                    continue  # separable accumulators above
+                if sym_a == a and j > k:
+                    continue  # mirrored from (k, j, a) at finish
+                inner = [
+                    g[h][k * 3] * u[h][a * 3]
+                    + g[h][k * 3 + 1] * u[h][a * 3 + 1]
+                    + g[h][k * 3 + 2] * u[h][a * 3 + 2]
+                    for h in range(halves)
+                ]
                 idx = (j * V + k) * A + a
-                acc_ref[idx] = acc_ref[idx] + jnp.log(inner)
+                acc_ref[idx] = acc_ref[idx] + logprod(inner)
 
     # background pair term llks00 (reference :700-709): g0 = mean over samples
     inv_v = jnp.float32(1.0 / V)
     g0 = []
-    for l in range(3):
-        s = g[l]
-        for j in range(1, V):
-            s = s + g[j * 3 + l]
-        g0.append(s * inv_v)
-    u0 = []
+    for h in range(halves):
+        g0h = []
+        for l in range(3):
+            s = g[h][l]
+            for j in range(1, V):
+                s = s + g[h][j * 3 + l]
+            g0h.append(s * inv_v)
+        g0.append(g0h)
+    if a0_sep:
+        d0 = [g0[h][0] * t[h][0] + g0[h][1] * t[h][3] + g0[h][2] * t[h][6]
+              for h in range(halves)]
+        accs_ref[2 * V] = accs_ref[2 * V] + logprod(d0)
+        g0s = [g0[h][0] + g0[h][1] + g0[h][2] for h in range(halves)]
+        accs_ref[2 * V + 1] = accs_ref[2 * V + 1] + logprod(g0s)
     for a in range(A):
-        for m in range(3):
-            u0.append(
-                g0[0] * t[a * 9 + m]
-                + g0[1] * t[a * 9 + 3 + m]
-                + g0[2] * t[a * 9 + 6 + m]
+        if a0_sep and a == 0:
+            continue
+        inner0 = []
+        for h in range(halves):
+            u0 = [
+                g0[h][0] * t[h][a * 9 + m]
+                + g0[h][1] * t[h][a * 9 + 3 + m]
+                + g0[h][2] * t[h][a * 9 + 6 + m]
+                for m in range(3)
+            ]
+            inner0.append(
+                g0[h][0] * u0[0] + g0[h][1] * u0[1] + g0[h][2] * u0[2]
             )
-    for a in range(A):
-        inner0 = g0[0] * u0[a * 3] + g0[1] * u0[a * 3 + 1] + g0[2] * u0[a * 3 + 2]
-        acc0_ref[a] = acc0_ref[a] + jnp.log(inner0)
+        acc0_ref[a] = acc0_ref[a] + logprod(inner0)
 
-    @pl.when(s_step == n_s - 1)
+    @pl.when(s_step == n_g - 1)
     def _():
         # separate outputs, each padded to a 128-multiple lane width — a
         # single fused odd-width output sends Mosaic into a compile tailspin
+        if a0_sep:
+            sd = [jnp.sum(accs_ref[j], axis=1) for j in range(V)]
+            sg = [jnp.sum(accs_ref[V + k], axis=1) for k in range(V)]
         cols = []
         for idx in range(V * V * A):
-            cols.append(jnp.sum(acc_ref[idx], axis=1))
+            a = idx % A
+            jk = idx // A
+            j, k = jk // V, jk % V
+            if a0_sep and a == 0:
+                cols.append(sd[j] + sg[k])
+            elif sym_a == a and j > k:
+                cols.append(cols[(k * V + j) * A + a])
+            else:
+                cols.append(jnp.sum(acc_ref[idx], axis=1))
         while len(cols) < out_ref.shape[1]:
             cols.append(jnp.zeros_like(cols[0]))
         out_ref[:] = jnp.stack(cols, axis=1)
         cols0 = []
         for a in range(A):
-            cols0.append(jnp.sum(acc0_ref[a], axis=1))
+            if a0_sep and a == 0:
+                cols0.append(jnp.sum(accs_ref[2 * V], axis=1)
+                             + jnp.sum(accs_ref[2 * V + 1], axis=1))
+            else:
+                cols0.append(jnp.sum(acc0_ref[a], axis=1))
         while len(cols0) < out0_ref.shape[1]:
             cols0.append(jnp.zeros_like(cols0[0]))
         out0_ref[:] = jnp.stack(cols0, axis=1)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("n_alpha", "n_samples", "interpret")
+    jax.jit,
+    static_argnames=("n_alpha", "n_samples", "interpret", "a0_sep", "sym_a"),
 )
-def pair_llks_pallas(cnt_t, gps_t, wt, n_alpha, n_samples, interpret=False):
+def pair_llks_pallas(cnt_t, gps_t, wt, n_alpha, n_samples, interpret=False,
+                     a0_sep=False, sym_a=None):
     """Fast-mode pair-search LLKs.
 
     cnt_t: (NB, B, S) f32 — slot counts; B %% 32 == 0, S %% 128 == 0,
@@ -148,6 +227,9 @@ def pair_llks_pallas(cnt_t, gps_t, wt, n_alpha, n_samples, interpret=False):
     gps_t: (V*3, B, S) f32 — per-slot genotype posteriors ((j,l) major);
            padded slots carry the neutral row (1,0,0) per sample.
     wt:    (NB, A*9) f32 — pair LUT (log domain).
+    a0_sep: grid's alpha[0] == 0 (separable plane); sym_a: index of
+           alpha == 0.5 in the grid, if present (symmetric plane) — see
+           _pair_kernel.
     Returns (llk_ab[B, V, V, A] f32, llk_00[B, A] f32).
     """
     NB, B, S = cnt_t.shape
@@ -161,21 +243,29 @@ def pair_llks_pallas(cnt_t, gps_t, wt, n_alpha, n_samples, interpret=False):
     lograw = jnp.einsum(
         "nbs,nx->xbs", cnt_t, wt, preferred_element_type=jnp.float32
     )
-    return _call_pair_kernel(_norm_t(lograw, 0), gps_t, V, A, interpret)
+    return _call_pair_kernel(_norm_t(lograw, 0), gps_t, V, A, interpret,
+                             a0_sep=a0_sep, sym_a=sym_a)
 
 
-def _call_pair_kernel(t, gps_t, V, A, interpret):
-    """Invoke the pair kernel; each output lane width padded to 128-mult."""
+def _call_pair_kernel(t, gps_t, V, A, interpret, a0_sep=False, sym_a=None):
+    """Invoke the pair kernel; each output lane width padded to 128-mult.
+
+    When the slot-tile count is even, grid steps own 2x128 lanes so the
+    kernel can pair slots per log (halves == 2)."""
     _, B, S = t.shape
     n_s = S // TS
+    halves = 2 if n_s % 2 == 0 else 1
+    n_g = n_s // halves
     w_ab = -(-(V * V * A) // 128) * 128
-    kernel = functools.partial(_pair_kernel, V=V, A=A, n_s=n_s)
+    kernel = functools.partial(_pair_kernel, V=V, A=A, n_g=n_g,
+                               halves=halves, a0_sep=a0_sep, sym_a=sym_a)
+    TSW = TS * halves
     out, out0 = pl.pallas_call(
         kernel,
-        grid=(B // TB, n_s),
+        grid=(B // TB, n_g),
         in_specs=[
-            pl.BlockSpec((A * 9, TB, TS), lambda ib, is_: (ib * 0, ib, is_)),
-            pl.BlockSpec((V * 3, TB, TS), lambda ib, is_: (ib * 0, ib, is_)),
+            pl.BlockSpec((A * 9, TB, TSW), lambda ib, is_: (ib * 0, ib, is_)),
+            pl.BlockSpec((V * 3, TB, TSW), lambda ib, is_: (ib * 0, ib, is_)),
         ],
         out_specs=[
             pl.BlockSpec((TB, w_ab), lambda ib, is_: (ib, ib * 0)),
@@ -188,6 +278,7 @@ def _call_pair_kernel(t, gps_t, V, A, interpret):
         scratch_shapes=[
             pltpu.VMEM((V * V * A, TB, TS), jnp.float32),
             pltpu.VMEM((A, TB, TS), jnp.float32),
+            pltpu.VMEM((2 * V + 2, TB, TS), jnp.float32),
         ],
         interpret=interpret,
     )(t, gps_t)
@@ -198,7 +289,7 @@ def _call_pair_kernel(t, gps_t, V, A, interpret):
 
 def demux_block_fast_impl(
     codes, idx, msk, gps_table, gp0_table, w_ext, logf_ext,
-    n_alpha, n_samples, interpret=False,
+    n_alpha, n_samples, interpret=False, a0_sep=False, sym_a=None,
 ):
     """Fused fast-mode block step: codes -> (llk, llk0, llk_ab, llk_00).
 
@@ -249,7 +340,8 @@ def demux_block_fast_impl(
     gps_g = gps_2d.reshape(B, S, V, 3)
     gps_t = jnp.transpose(gps_2d, (2, 0, 1))
 
-    llk_ab, llk_00 = _call_pair_kernel(t_x, gps_t, V, A, interpret)
+    llk_ab, llk_00 = _call_pair_kernel(t_x, gps_t, V, A, interpret,
+                                       a0_sep=a0_sep, sym_a=sym_a)
 
     # singlet pass (pass 1, :415-461): tiny relative to the pair search
     lograw_s = jnp.take(logf_ext, c[..., 0], axis=0)
@@ -273,7 +365,7 @@ def demux_block_fast_impl(
 
 demux_block_fast = jax.jit(
     demux_block_fast_impl,
-    static_argnames=("n_alpha", "n_samples", "interpret"),
+    static_argnames=("n_alpha", "n_samples", "interpret", "a0_sep", "sym_a"),
 )
 
 

@@ -14,17 +14,22 @@ itself (cmd_cram_demuxlet.cpp:606-663), NOT exp(sum of logs):
     UMIs (host-precomputed f64-exact products, stored as mantissa df +
     f32 exponent planes over channel-DEDUPED columns — the A*9 mixture
     columns collapse to the unique p values and share the three singlet
-    GL columns); leftover pairs multiplied in df with exponent
-    renormalization — no df exp anywhere; then the telescoped
-    max-division, +1e-6 smoothing and final renormalization, emitting
-    the mixture table t as (hi, lo) f32 planes. Pass 1 shares the same
-    gather.
+    GL columns; all three planes fused into a single wide take);
+    leftover pairs multiplied in df with exponent renormalization — no
+    df exp anywhere; then the telescoped max-division, +1e-6 smoothing
+    and final renormalization, emitting the mixture table t as (hi, lo)
+    f32 planes. Everything runs in channel-LEADING (C, B, S) layout so
+    each df op fills all 128 lanes, and the gps|gp0 hi|lo gathers fuse
+    into one wide take (probe_gather_variants: ~4x over split takes).
+    Pass 1 shares the pair-code gather.
   * Pallas kernel (VPU): per-(cell,slot) U[j,a,m] = sum_l g[j,l] t[a,l,m];
     inner[j,k,a] = sum_m g[k,m] U[j,a,m]; the slot accumulation multiplies
     inner into a per-(j,k,a) df mantissa with exponent tracking — ONE df
     log per (j,k,a) per cell-tile at the end (a log per slot-step was the
     dominant cost), followed by a roll-butterfly compensated lane
-    reduction (a plain f32 lane sum would lose ~1e-4).
+    reduction (a plain f32 lane sum would lose ~1e-4). The alpha == 0
+    plane accumulates separably (a0_sep) and the alpha == 0.5 plane only
+    for j <= k (sym_a mirror) — see _pair_kernel_df.
 
 Padded slots are exactly neutral: none-codes hit the LUT's 1.0 row, so
 the slot's product table is all-ones, normalizing to t == 1 exactly, and
@@ -167,13 +172,23 @@ def _quad(h, l):
 
 
 def _pair_kernel_df(
-    th_ref, tl_ref, gh_ref, gl_ref, g0h_ref, g0l_ref, slh_ref, sll_ref,
+    th_ref, tl_ref, gall_ref, slh_ref, sll_ref,
     outh_ref, outl_ref, oute_ref, out0h_ref, out0l_ref, out0e_ref,
     outsh_ref, outsl_ref, outse_ref,
     mh_ref, ml_ref, me_ref, m0h_ref, m0l_ref, m0e_ref,
     sh_ref, sl_ref, se_ref,
-    *, V, A, n_s, fence, a0_zero, n_tch, expand,
+    *, V, A, n_s, fence, a0_zero, n_tch, expand, a0_sep, sym_a,
 ):
+    """a0_sep: the alpha == 0 plane factorizes COMPLETELY — llk_ab[j,k,0]
+    = (prod_s d_s[j]) * (prod_s gsum_s[k]) with d[j] = sum_l g[j,l] t0[l]
+    and gsum[k] = sum_m g[k,m] — so instead of V*V accumulators the
+    kernel keeps V+V separable ones (in the sing scratch at lanes
+    [V+1, 3V+3)) and the XLA caller combines logs. sym_a: the alpha ==
+    0.5 plane is (j,k)-symmetric (p(l,m,.5) = p(m,l,.5), bit-identical
+    via channel dedup), so j > k entries are skipped and mirrored at
+    finish. Both cut the per-slot accumulate count and the finish
+    butterflies (~35%% for the A=5 bench grid, ~60%% for the default
+    [0, .5] grid)."""
     s_step = pl.program_id(1)
 
     @pl.when(s_step == 0)
@@ -192,15 +207,28 @@ def _pair_kernel_df(
     # expand to the logical a*9 + l*3 + m order via the static map
     t_u = [_quad(th_ref[x], tl_ref[x]) for x in range(n_tch)]
     t = [t_u[expand[x]] for x in range(A * 9)]
-    g = [_quad(gh_ref[i], gl_ref[i]) for i in range(V * 3)]
-    g0 = [_quad(g0h_ref[i], g0l_ref[i]) for i in range(3)]
+    # gall carries gps-hi|gp0-hi|gps-lo|gp0-lo in one plane stack (the
+    # XLA-side 4-way slice of the fused gather measured 2.4x slower than
+    # handing the whole stack to the kernel — probe_gather_variants v13)
+    W3 = V * 3 + 3
+    g = [_quad(gall_ref[i], gall_ref[W3 + i]) for i in range(V * 3)]
+    g0 = [_quad(gall_ref[V * 3 + i], gall_ref[W3 + V * 3 + i])
+          for i in range(3)]
     glt = [_quad(slh_ref[i], sll_ref[i]) for i in range(3)]
+
+    def acc(hs, ls, es, i, inner):
+        nh, nl = _mul2(hs[i], ls[i], *inner, fence)
+        nh, nl, ne = _renorm(nh, nl, es[i])
+        hs[i] = nh
+        ls[i] = nl
+        es[i] = ne
 
     # alpha[0] == 0 degeneracy (static): t[0,l,m] is bit-identical across
     # m (p = 0.5l + (m-l)*0.5*alpha depends only on l at alpha=0, and the
     # LUT/normalization pipeline applies identical ops to identical
-    # columns), so inner[j,k,0] = (sum_l g[j,l] t[0,l]) * (sum_m g[k,m]) —
-    # one df mul instead of a 3-term dot per (j,k).
+    # columns), so inner[j,k,0] = (sum_l g[j,l] t[0,l]) * (sum_m g[k,m]).
+    # With a0_sep the two factors accumulate separably (see docstring);
+    # otherwise one df mul replaces the 3-term dot per (j,k).
     if a0_zero:
         gsum = []
         for k in range(V):
@@ -210,6 +238,11 @@ def _pair_kernel_df(
             gsum.append(_quad(*s1))
         g0sum = df.add_pos(g0[0][0], g0[0][1], g0[1][0], g0[1][1])
         g0sum = _quad(*df.add_pos(*g0sum, g0[2][0], g0[2][1]))
+    if a0_sep:
+        for k in range(V):
+            acc(sh_ref, sl_ref, se_ref, 2 * V + 1 + k,
+                (gsum[k][0], gsum[k][1]))
+        acc(sh_ref, sl_ref, se_ref, 3 * V + 2, (g0sum[0], g0sum[1]))
 
     for j in range(V):
         u = []
@@ -227,27 +260,31 @@ def _pair_kernel_df(
                     t[a * 9 + m], t[a * 9 + 3 + m], t[a * 9 + 6 + m],
                     fence,
                 )))
+        if a0_sep:
+            acc(sh_ref, sl_ref, se_ref, V + 1 + j, (u[0][0], u[0][1]))
         for k in range(V):
             for a in range(A):
+                if sym_a == a and j > k:
+                    continue  # mirrored from (k, j, a) at finish
                 if a0_zero and a == 0:
+                    if a0_sep:
+                        continue  # separable accumulators above
                     inner = _mul_pair(gsum[k], u[0], fence)
                 else:
                     inner = _dot3(
                         g[k * 3], g[k * 3 + 1], g[k * 3 + 2],
                         u[a * 3], u[a * 3 + 1], u[a * 3 + 2], fence,
                     )
-                idx = (j * V + k) * A + a
-                nh, nl = _mul2(mh_ref[idx], ml_ref[idx], *inner, fence)
-                nh, nl, ne = _renorm(nh, nl, me_ref[idx])
-                mh_ref[idx] = nh
-                ml_ref[idx] = nl
-                me_ref[idx] = ne
+                acc(mh_ref, ml_ref, me_ref, (j * V + k) * A + a, inner)
 
     # background pair term llks00 (:700-709), host-exact gp0 planes
     for a in range(A):
         if a0_zero and a == 0:
             u00 = _quad(*_dot3(g0[0], g0[1], g0[2],
                                t[0], t[3], t[6], fence))
+            if a0_sep:
+                acc(sh_ref, sl_ref, se_ref, 3 * V + 1, (u00[0], u00[1]))
+                continue
             inner0 = _mul_pair(g0sum, u00, fence)
         else:
             u0 = [_quad(*_dot3(
@@ -256,11 +293,7 @@ def _pair_kernel_df(
                       fence))
                   for m in range(3)]
             inner0 = _dot3(g0[0], g0[1], g0[2], u0[0], u0[1], u0[2], fence)
-        nh, nl = _mul2(m0h_ref[a], m0l_ref[a], *inner0, fence)
-        nh, nl, ne = _renorm(nh, nl, m0e_ref[a])
-        m0h_ref[a] = nh
-        m0l_ref[a] = nl
-        m0e_ref[a] = ne
+        acc(m0h_ref, m0l_ref, m0e_ref, a, inner0)
 
     # pass 1 (:415-461): contrib = sum_l gl[l] * gps[j,l]; the XLA front
     # ships the normalized+smoothed GL table, this kernel accumulates the
@@ -278,27 +311,53 @@ def _pair_kernel_df(
     def _():
         # butterfly-PRODUCT each accumulator plane over lanes; outputs are
         # (mantissa hi, mantissa lo, exponent) — the caller takes the log
-        # in XLA (elementwise over (B, V*V*A), negligible there)
+        # in XLA (elementwise over (B, V*V*A), negligible there).
+        # Channels skipped by a0_sep emit the neutral (1, 0, 0) triple
+        # (log == 0; the caller overwrites them from the separable
+        # accumulators); sym_a mirror channels reuse the (k, j) butterfly.
         def finish(mh, ml, me):
             rh, rl, re = _lane_prod_df(mh, ml, me, fence)
             return rh[:, 0], rl[:, 0], re[:, 0]
 
-        def write(refs, planes, n):
+        def write(refs, planes, n, skip=None, mirror=None):
+            done = {}
             cols = [[], [], []]
             for i in range(n):
-                for c, v in zip(cols, finish(*[p[i] for p in planes])):
+                if skip is not None and skip(i):
+                    one = jnp.ones_like(planes[0][0, :, 0])
+                    zero = jnp.zeros_like(one)
+                    res = (one, zero, zero)
+                elif mirror is not None and mirror(i) is not None:
+                    res = done[mirror(i)]
+                else:
+                    res = finish(*[p[i] for p in planes])
+                done[i] = res
+                for c, v in zip(cols, res):
                     c.append(v)
             for ref, c in zip(refs, cols):
                 while len(c) < ref.shape[1]:
                     c.append(jnp.zeros_like(c[0]))
                 ref[:] = jnp.stack(c, axis=1)
 
+        def ab_skip(i):
+            return a0_sep and i % A == 0
+
+        def ab_mirror(i):
+            a = i % A
+            jk = i // A
+            j, k = jk // V, jk % V
+            if sym_a == a and j > k:
+                return (k * V + j) * A + a
+            return None
+
         write((outh_ref, outl_ref, oute_ref),
-              (mh_ref, ml_ref, me_ref), V * V * A)
+              (mh_ref, ml_ref, me_ref), V * V * A,
+              skip=ab_skip, mirror=ab_mirror)
         write((out0h_ref, out0l_ref, out0e_ref),
-              (m0h_ref, m0l_ref, m0e_ref), A)
+              (m0h_ref, m0l_ref, m0e_ref), A,
+              skip=lambda a: a0_sep and a == 0)
         write((outsh_ref, outsl_ref, outse_ref),
-              (sh_ref, sl_ref, se_ref), V + 1)
+              (sh_ref, sl_ref, se_ref), (3 * V + 3) if a0_sep else (V + 1))
 
 
 def _log_mantissa(mh, ml, ee):
@@ -309,20 +368,21 @@ def _log_mantissa(mh, ml, ee):
     return df.add(lgh, lgl, th_, tl_)
 
 
-def _call_pair_kernel_df(t_pair, g_pair, g0_pair, gl_pair, V, A, interpret,
-                         a0_zero=False, expand=None):
+def _call_pair_kernel_df(t_pair, gall, gl_pair, V, A, interpret,
+                         a0_zero=False, expand=None, sym_a=None):
     th, tl = t_pair
-    gh, gl = g_pair
-    g0h, g0l = g0_pair
     slh, sll = gl_pair
     n_tch, B, S = th.shape
     if expand is None:
         expand = tuple(range(A * 9))
+    a0_sep = a0_zero and 3 * V + 3 <= 128
+    n_sing = (3 * V + 3) if a0_sep else (V + 1)
     n_s = S // TS
     w_ab = -(-(V * V * A) // 128) * 128
     kernel = functools.partial(_pair_kernel_df, V=V, A=A, n_s=n_s,
                                fence=bool(interpret), a0_zero=a0_zero,
-                               n_tch=n_tch, expand=tuple(expand))
+                               n_tch=n_tch, expand=tuple(expand),
+                               a0_sep=a0_sep, sym_a=sym_a)
     in_spec3 = lambda C: pl.BlockSpec((C, TB, TS), lambda ib, is_: (ib * 0, ib, is_))
     out_spec = lambda W: pl.BlockSpec((TB, W), lambda ib, is_: (ib, ib * 0))
     shp = lambda W: jax.ShapeDtypeStruct((B, W), jnp.float32)
@@ -330,8 +390,7 @@ def _call_pair_kernel_df(t_pair, g_pair, g0_pair, gl_pair, V, A, interpret,
         kernel,
         grid=(B // TB, n_s),
         in_specs=[in_spec3(n_tch), in_spec3(n_tch),
-                  in_spec3(V * 3), in_spec3(V * 3),
-                  in_spec3(3), in_spec3(3),
+                  in_spec3(2 * (V * 3 + 3)),
                   in_spec3(3), in_spec3(3)],
         out_specs=[out_spec(w_ab)] * 3 + [out_spec(128)] * 6,
         out_shape=[shp(w_ab)] * 3 + [shp(128)] * 6,
@@ -342,19 +401,37 @@ def _call_pair_kernel_df(t_pair, g_pair, g0_pair, gl_pair, V, A, interpret,
             pltpu.VMEM((A, TB, TS), jnp.float32),
             pltpu.VMEM((A, TB, TS), jnp.float32),
             pltpu.VMEM((A, TB, TS), jnp.float32),
-            pltpu.VMEM((V + 1, TB, TS), jnp.float32),
-            pltpu.VMEM((V + 1, TB, TS), jnp.float32),
-            pltpu.VMEM((V + 1, TB, TS), jnp.float32),
+            pltpu.VMEM((n_sing, TB, TS), jnp.float32),
+            pltpu.VMEM((n_sing, TB, TS), jnp.float32),
+            pltpu.VMEM((n_sing, TB, TS), jnp.float32),
         ],
         interpret=interpret,
-    )(th, tl, gh, gl, g0h, g0l, slh, sll)
+    )(th, tl, gall, slh, sll)
     outh, outl, oute, out0h, out0l, out0e, outsh, outsl, outse = outs
     n_ab = V * V * A
     ab = _log_mantissa(outh[:, :n_ab], outl[:, :n_ab], oute[:, :n_ab])
     z0 = _log_mantissa(out0h[:, :A], out0l[:, :A], out0e[:, :A])
-    sing = _log_mantissa(
-        outsh[:, : V + 1], outsl[:, : V + 1], outse[:, : V + 1]
+    sall = _log_mantissa(
+        outsh[:, :n_sing], outsl[:, :n_sing], outse[:, :n_sing]
     )
+    sing = (sall[0][:, : V + 1], sall[1][:, : V + 1])
+    if a0_sep:
+        # recombine the separable alpha=0 logs:
+        # llk_ab[j,k,0] = logD[j] + logG[k]; llk00[0] = logD0 + logG0
+        sl_ = lambda p, a, b: (sall[0][:, a:b], sall[1][:, a:b])
+        logD = sl_(sall, V + 1, 2 * V + 1)
+        logG = sl_(sall, 2 * V + 1, 3 * V + 1)
+        d0h, d0l = sall[0][:, 3 * V + 1], sall[1][:, 3 * V + 1]
+        g0h_, g0l_ = sall[0][:, 3 * V + 2], sall[1][:, 3 * V + 2]
+        ph, pl_ = df.add(
+            logD[0][:, :, None], logD[1][:, :, None],
+            logG[0][:, None, :], logG[1][:, None, :],
+        )  # (B, V, V)
+        abh = ab[0].reshape(B, V, V, A).at[..., 0].set(ph)
+        abl = ab[1].reshape(B, V, V, A).at[..., 0].set(pl_)
+        ab = (abh.reshape(B, n_ab), abl.reshape(B, n_ab))
+        zh, zl = df.add(d0h, d0l, g0h_, g0l_)
+        z0 = (z0[0].at[:, 0].set(zh), z0[1].at[:, 0].set(zl))
     return ab, z0, sing
 
 
@@ -367,17 +444,26 @@ def _pair_prod_gather(tabs, codes_i32, n_rows):
     pair products are f64-exact, tighter than a device df mul. Odd
     trailing UMIs pair with the none row (exact *1.0).
 
-    Returns (mh, ml, ef): value = (mh + ml) * 2^ef, mh in [1, 2)."""
+    All three planes ride ONE take per code pair (the (R^2, 3C) fused
+    table): measured on v5e, a single 54-channel take runs ~2x faster
+    than three 18-channel takes (benchmarks/probe_gather_variants.py
+    v8 vs v1/v9 — narrow takes are row-transaction-bound). Output is in
+    kernel/channel-leading layout so every downstream df op runs at full
+    lane width.
+
+    Returns (mh, ml, ef) each (C, B, S): value = (mh + ml) * 2^ef,
+    mh in [1, 2)."""
     pm_h, pm_l, pe = tabs
+    C = pm_h.shape[1]
+    fused = jnp.concatenate([pm_h, pm_l, pe], axis=1)  # (R^2, 3C)
     U = codes_i32.shape[-1]
     none = n_rows - 1
     h = l = e = None
     for u in range(0, U, 2):
         c1 = codes_i32[..., u + 1] if u + 1 < U else none
         pc = codes_i32[..., u] * n_rows + c1
-        h2 = jnp.take(pm_h, pc, axis=0)
-        l2 = jnp.take(pm_l, pc, axis=0)
-        e2 = jnp.take(pe, pc, axis=0)
+        g = jnp.transpose(jnp.take(fused, pc, axis=0), (2, 0, 1))
+        h2, l2, e2 = g[:C], g[C : 2 * C], g[2 * C :]
         if h is None:
             h, l, e = h2, l2, e2
         else:
@@ -480,22 +566,23 @@ def _df_sum_axis(h, l, axis):
 def _gl_table_df(mh, ml, ef):
     """Pass-1 GL table (cmd_cram_demuxlet.cpp:428-452) in df32,
     probability domain: per-UMI products, sum-normalize, +1e-6,
-    renormalize. Takes the (B,S,3) product planes (the GL channels of the
+    renormalize. Takes the (3,B,S) product planes (the GL channels of the
     shared pair-code gather — the singlet factors f0/f1/f2 coincide
     exactly with the p in {0, .5, 1} mixture columns, so dedup shares
-    them). Masked slots carry the none-code products (exactly uniform),
-    masked downstream. Returns (B,S,3) df planes."""
-    uh, ul = _normalize_prod(mh, ml, ef)
+    them); channel-leading layout keeps every df op at full lane width.
+    Masked slots carry the none-code products (exactly uniform), masked
+    downstream. Returns (3,B,S) df planes."""
+    uh, ul = _normalize_prod(mh, ml, ef, axis=0)
     # sequential l-order sum (reference :440-443)
-    sh, sl = df.add(uh[..., 0], ul[..., 0], uh[..., 1], ul[..., 1])
-    sh, sl = df.add(sh, sl, uh[..., 2], ul[..., 2])
+    sh, sl = df.add(uh[0], ul[0], uh[1], ul[1])
+    sh, sl = df.add(sh, sl, uh[2], ul[2])
     rh, rl = df.div(np.float32(1.0), np.float32(0.0), sh, sl)
-    glh, gll = df.mul(uh, ul, rh[..., None], rl[..., None])
+    glh, gll = df.mul(uh, ul, rh[None], rl[None])
     glh, gll = df.add(glh, gll, _SMOOTH_DF[0], _SMOOTH_DF[1])
-    s2h, s2l = df.add(glh[..., 0], gll[..., 0], glh[..., 1], gll[..., 1])
-    s2h, s2l = df.add(s2h, s2l, glh[..., 2], gll[..., 2])
+    s2h, s2l = df.add(glh[0], gll[0], glh[1], gll[1])
+    s2h, s2l = df.add(s2h, s2l, glh[2], gll[2])
     r2h, r2l = df.div(np.float32(1.0), np.float32(0.0), s2h, s2l)
-    glh, gll = df.mul(glh, gll, r2h[..., None], r2l[..., None])
+    glh, gll = df.mul(glh, gll, r2h[None], r2l[None])
     return glh, gll
 
 
@@ -548,7 +635,7 @@ def split_tables(gps, gp0, w, logf):
 
 def demux_block_exact_impl(
     codes, idx, msk, gps_pair, gp0_pair, tabs, meta,
-    n_alpha, n_samples, interpret=False, a0_zero=False,
+    n_alpha, n_samples, interpret=False, a0_zero=False, sym_a=None,
 ):
     """Fused exact-mode (df32) block step.
 
@@ -564,47 +651,46 @@ def demux_block_exact_impl(
     none_row = n_rows - 1
     c = jnp.where(codes == 255, jnp.uint8(none_row), codes).astype(jnp.int32)
 
-    mh, ml, ef = _pair_prod_gather(tabs, c, n_rows)  # (B,S,C)
+    mh, ml, ef = _pair_prod_gather(tabs, c, n_rows)  # (C,B,S)
     w_used = sorted(set(expand_w))
     cmask = None
     if w_used != list(range(C)):
-        cmask = np.zeros((C,), dtype=bool)
+        cmask = np.zeros((C, 1, 1), dtype=bool)
         cmask[w_used] = True
-    th, tl = _mixture_table_df(mh, ml, ef, chan_mask=cmask)
-    t_h = jnp.transpose(th, (2, 0, 1))
-    t_l = jnp.transpose(tl, (2, 0, 1))
+    t_h, t_l = _mixture_table_df(mh, ml, ef, axis=0, chan_mask=cmask)
 
-    neutral = jnp.zeros((3,), jnp.float32).at[0].set(1.0)
-    zero3 = jnp.zeros((3,), jnp.float32)
-    # 2D-table gathers: XLA TPU lowers take() on a (NS, V, 3) table ~5.6x
-    # slower than the same data as (NS, V*3) (benchmarks/
-    # probe_gather_variants.py: 29ms vs 5.2ms per 1024x1024 block) — the
-    # row-major reshape is free and preserves the kernel's j*3+l order
-    neutral_v = jnp.tile(neutral, V)
+    # ONE fused gather for gps-hi|gp0-hi|gps-lo|gp0-lo: a single wide
+    # take measures ~4x faster than the split 24/24/3/3-channel takes
+    # (probe_gather_variants v8 = 2.7ms vs 10.4ms — narrow takes are
+    # row-transaction-bound, and the (NS, V, 3) 3D form is 5.6x worse
+    # still); the row-major V*3 reshape preserves the kernel's j*3+l
+    # channel order and the concat of the small host tables fuses away.
     NS = gps_pair[0].shape[0]
-    gh = jnp.take(gps_pair[0].reshape(NS, V * 3), idx, axis=0)  # (B,S,V3)
-    gl = jnp.take(gps_pair[1].reshape(NS, V * 3), idx, axis=0)
-    gh = jnp.where(msk[..., None], gh, neutral_v)
-    gl = jnp.where(msk[..., None], gl, jnp.float32(0.0))
-    g0h = jnp.take(gp0_pair[0], idx, axis=0)  # (B,S,3)
-    g0l = jnp.take(gp0_pair[1], idx, axis=0)
-    g0h = jnp.where(msk[..., None], g0h, neutral)
-    g0l = jnp.where(msk[..., None], g0l, zero3)
+    W3 = V * 3 + 3
+    fused_g = jnp.concatenate(
+        [gps_pair[0].reshape(NS, V * 3), gp0_pair[0],
+         gps_pair[1].reshape(NS, V * 3), gp0_pair[1]], axis=1)
+    gall = jnp.transpose(jnp.take(fused_g, idx, axis=0), (2, 0, 1))
+    # masked slots -> neutral (1,0,0) rows so the kernel's accumulators
+    # see an exact identity
+    neutral_c = np.zeros((2 * W3, 1, 1), dtype=np.float32)
+    neutral_c[0 : V * 3 : 3] = 1.0
+    neutral_c[V * 3] = 1.0
+    gall = jnp.where(msk[None], gall, neutral_c)
 
     # pass-1 GL table from the shared gather's GL channels; masked slots
     # -> (1,0,0) so with neutral gps the kernel's singlet product
     # accumulates an exact 1
-    gsel = list(expand_gl)
-    glh, gll = _gl_table_df(mh[..., gsel], ml[..., gsel], ef[..., gsel])
-    glh = jnp.where(msk[..., None], glh, neutral)
-    gll = jnp.where(msk[..., None], gll, zero3)
+    gsel = np.asarray(expand_gl)
+    glh, gll = _gl_table_df(mh[gsel], ml[gsel], ef[gsel])
+    neutral3 = np.zeros((3, 1, 1), dtype=np.float32)
+    neutral3[0] = 1.0
+    glh = jnp.where(msk[None], glh, neutral3)
+    gll = jnp.where(msk[None], gll, np.float32(0.0))
 
-    g0_t = lambda x: jnp.transpose(x, (2, 0, 1))
-    g_t = g0_t
     ab, z0, sing = _call_pair_kernel_df(
-        (t_h, t_l), (g_t(gh), g_t(gl)), (g0_t(g0h), g0_t(g0l)),
-        (g0_t(glh), g0_t(gll)),
-        V, A, interpret, a0_zero=a0_zero, expand=expand_w,
+        (t_h, t_l), gall, (glh, gll),
+        V, A, interpret, a0_zero=a0_zero, expand=expand_w, sym_a=sym_a,
     )
     llk_ab = (ab[0].reshape(B, V, V, A), ab[1].reshape(B, V, V, A))
     llk = (sing[0][:, :V], sing[1][:, :V])
@@ -614,7 +700,8 @@ def demux_block_exact_impl(
 
 demux_block_exact = jax.jit(
     demux_block_exact_impl,
-    static_argnames=("meta", "n_alpha", "n_samples", "interpret", "a0_zero"),
+    static_argnames=("meta", "n_alpha", "n_samples", "interpret", "a0_zero",
+                     "sym_a"),
 )
 
 

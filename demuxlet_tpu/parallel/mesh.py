@@ -136,6 +136,8 @@ def build_sharded_fast_step(
     n_alpha: int,
     n_samples: int,
     interpret: bool = False,
+    a0_sep: bool = False,
+    sym_a: int | None = None,
 ):
     """Fast-mode (f32 Pallas) demux step sharded over the "b" barcode axis:
     each device runs the kernel on its barcode shard; genotype tables are
@@ -152,6 +154,7 @@ def build_sharded_fast_step(
         return demux_block_fast_impl(
             codes, idx, msk, gps_table, gp0_table, w_ext, logf_ext,
             n_alpha, n_samples, interpret=interpret,
+            a0_sep=a0_sep, sym_a=sym_a,
         )
 
     rep2 = P(None, None)
@@ -185,6 +188,8 @@ def build_sharded_compact_step(
     n_samples: int,
     doublet_prior: float,
     interpret: bool = False,
+    a0_sep: bool = False,
+    sym_a: int | None = None,
 ):
     """Fast-mode fused kernel + decision pass sharded over the "b" barcode
     axis (models/decision.compact_step_body: every op is per-cell, so the
@@ -203,7 +208,7 @@ def build_sharded_compact_step(
         return compact_step_body(
             codes, idx, msk, gps_table, gp0_table, w_ext, logf_ext,
             dbl_w, dbl_msk, n_alpha, n_samples, doublet_prior,
-            interpret=interpret,
+            interpret=interpret, a0_sep=a0_sep, sym_a=sym_a,
         )
 
     rep2 = P(None, None)
@@ -235,6 +240,7 @@ def build_sharded_exact_pallas_step(
     n_samples: int,
     interpret: bool = False,
     a0_zero: bool = False,
+    sym_a: int | None = None,
 ):
     """Exact-mode df32 Pallas step (ops/pallas_pair_exact.py) sharded over
     the "b" barcode axis; df table planes replicate. meta is the static
@@ -248,7 +254,7 @@ def build_sharded_exact_pallas_step(
         return demux_block_exact_impl(
             codes, idx, msk, (gps_h, gps_l), (gp0_h, gp0_l),
             (pm_h, pm_l, pe), meta, n_alpha, n_samples,
-            interpret=interpret, a0_zero=a0_zero,
+            interpret=interpret, a0_zero=a0_zero, sym_a=sym_a,
         )
 
     rep2 = P(None, None)

@@ -25,3 +25,10 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")  # .axon_site overrides the env var
 jax.config.update("jax_enable_x64", True)
+
+# Interpret-mode Pallas kernels compile in O(10min) on CPU (the df32 pair
+# kernel unrolls to a huge HLO graph); the persistent cache makes every
+# suite run after a given tree state load them in seconds.
+from demuxlet_tpu.utils.jaxcfg import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache(os.path.expanduser("~/.cache/jax_demux_tests"))

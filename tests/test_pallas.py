@@ -23,8 +23,18 @@ def _case(B, S, V, A, seed=0):
     return cnt, msk, gps, gp0, w
 
 
-@pytest.mark.parametrize("B,S,V,A", [(4, 64, 3, 2), (6, 100, 4, 3)])
-def test_pallas_matches_exact(B, S, V, A):
+@pytest.mark.parametrize(
+    "B,S,V,A,opt",
+    [
+        (4, 64, 3, 2, False),
+        (6, 100, 4, 3, False),
+        # S=200 pads to 256 -> even slot-tile count -> the paired-lane
+        # log path (halves == 2); opt also turns on a0_sep + sym_a
+        (4, 200, 3, 2, True),
+        (6, 100, 4, 3, True),
+    ],
+)
+def test_pallas_matches_exact(B, S, V, A, opt):
     cnt, msk, gps, gp0, w = _case(B, S, V, A)
     ref_ab, ref_00 = pair_llks(
         jnp.asarray(cnt), jnp.asarray(msk), jnp.asarray(gps),
@@ -33,7 +43,7 @@ def test_pallas_matches_exact(B, S, V, A):
     cnt_t, gps_t, wt = pack_block(cnt, msk, gps, w)
     ab, z0 = pair_llks_pallas(
         jnp.asarray(cnt_t), jnp.asarray(gps_t), jnp.asarray(wt), A, V,
-        interpret=True,
+        interpret=True, a0_sep=opt, sym_a=A - 1 if opt else None,
     )
     scale = np.maximum(1.0, np.abs(np.asarray(ref_ab)))
     err = np.abs(np.asarray(ab)[:B] - np.asarray(ref_ab)) / scale

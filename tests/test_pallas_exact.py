@@ -170,3 +170,17 @@ def test_exact_pallas_a0_zero_factorization(seed):
     ):
         err = np.abs(PE.combine(a) - PE.combine(b)).max()
         assert err < 1e-10, (name, err)
+
+    # sym_a (alpha == 0.5 plane mirrored over j <= k, the engine path for
+    # grids containing 0.5): agrees with the general kernel at df
+    # precision, and the mirrored entries come out bit-identical
+    sym = PE.demux_block_exact(*args, interpret=True, a0_zero=True,
+                               sym_a=grid.index(0.5))
+    for name, a, b in zip(
+        ("llk", "llk0", "llk_ab", "llk00"), gen, sym
+    ):
+        err = np.abs(PE.combine(a) - PE.combine(b)).max()
+        assert err < 1e-10, (name, err)
+    ab = PE.combine(sym[2])
+    sa = grid.index(0.5)
+    assert (ab[:, :, :, sa] == np.swapaxes(ab[:, :, :, sa], 1, 2)).all()
