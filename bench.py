@@ -116,10 +116,15 @@ def measure_tpu() -> dict:
 
     from demuxlet_tpu.models.likelihood import pair_llks
     from demuxlet_tpu.ops import luts
-    from demuxlet_tpu.ops.pallas_pair import pack_block, pair_llks_pallas
+    from demuxlet_tpu.ops.pallas_pair import (
+        dedup_channels,
+        pack_block,
+        pair_llks_pallas,
+    )
 
     grid = np.linspace(0.0, 0.5, NALPHA).tolist()
     w = luts.pair_lut(grid, CAP_BQ)
+    cols, expand = dedup_channels(grid)
     rng = np.random.default_rng(0)
     cnt, msk, gps, gp0, codes = _synth_block(TPU_BLOCK, rng)
 
@@ -147,8 +152,10 @@ def measure_tpu() -> dict:
         # minus the whole fixed cost could justify (dt <= 0 => raw avg)
         return dt if dt > 0 else t2 / (2 * iters)
 
-    # ---- fast mode: f32 Pallas kernel
+    # ---- fast mode: f32 Pallas kernel (production config: channel-deduped
+    # mixture table, pallas_pair.dedup_channels)
     cnt_t, gps_t, wt = pack_block(cnt, msk, gps, w)
+    wt = wt[:, list(cols)]
     cnt_d = jax.device_put(jnp.asarray(cnt_t))
     gps_d = jax.device_put(jnp.asarray(gps_t))
     wt_d = jax.device_put(jnp.asarray(wt))
@@ -158,7 +165,7 @@ def measure_tpu() -> dict:
     def fast_step(cnt_t, gps_t, wt):
         ab, z0 = pair_llks_pallas(
             cnt_t, gps_t, wt, NALPHA, NV, interpret=interpret,
-            a0_sep=True, sym_a=NALPHA - 1,
+            a0_sep=True, sym_a=NALPHA - 1, expand=expand,
         )
         return jnp.sum(ab) + jnp.sum(z0)
 
@@ -226,7 +233,7 @@ def measure_tpu() -> dict:
     bg_stage = NALPHA * (15 + 6) + 3 * NV  # llk00 + g0 mean
     vpu_flops_slot = u_stage + inner_stage + bg_stage
     n_logs_slot = NV * NV * NALPHA + NALPHA
-    mxu_front_slot = 2 * (2 * (CAP_BQ + 1)) * (NALPHA * 9)  # cnt @ W
+    mxu_front_slot = 2 * (2 * (CAP_BQ + 1)) * len(cols)  # cnt @ W (deduped)
     cells_slots = TPU_BLOCK * S_PER_CELL
     fast_vpu_gflops = vpu_flops_slot * cells_slots / dt_fast / 1e9
     fast_logs_gops = n_logs_slot * cells_slots / dt_fast / 1e9

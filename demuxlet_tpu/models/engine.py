@@ -223,16 +223,27 @@ class DemuxEngine:
             scl, cells, cap_bq=self.cap_bq, pad_cells_to=self.cell_block
         )))
 
-    def _dispatch_fast(self, codes_blk):
-        from demuxlet_tpu.ops.pallas_pair import demux_block_fast, extend_luts
+    def _fast_tables(self):
+        """Deduped fast-path LUTs: the A*9 mixture columns collapse to the
+        unique p-value columns (pallas_pair.dedup_channels) — the kernel
+        expands via the static map, cutting front gathers and HBM t-traffic
+        ~2.5x. Returns (w_ext, logf_ext, expand)."""
+        from demuxlet_tpu.ops.pallas_pair import dedup_channels, extend_luts
 
         if self._fast_luts is None:
-            self._fast_luts = tuple(
-                jnp.asarray(x) for x in extend_luts(self.w, self.logf)
+            cols, expand = dedup_channels(self.grid_alpha)
+            w_ext, logf_ext = extend_luts(self.w[:, list(cols)], self.logf)
+            self._fast_luts = (
+                jnp.asarray(w_ext), jnp.asarray(logf_ext), expand
             )
+        return self._fast_luts
+
+    def _dispatch_fast(self, codes_blk):
+        from demuxlet_tpu.ops.pallas_pair import demux_block_fast
+
         codes, idx, msk = codes_blk
         interpret = jax.default_backend() != "tpu"
-        w_ext, logf_ext = self._fast_luts
+        w_ext, logf_ext, expand = self._fast_tables()
         if self.mesh is not None:
             if self._sharded_fast is None:
                 from demuxlet_tpu.parallel import mesh as pmesh
@@ -240,6 +251,7 @@ class DemuxEngine:
                 self._sharded_fast = pmesh.build_sharded_fast_step(
                     self.mesh, self.n_alpha, self.nv, interpret=interpret,
                     a0_sep=self.grid_alpha[0] == 0.0, sym_a=self._sym_a(),
+                    expand=expand,
                 )
             return self._sharded_fast(
                 jnp.asarray(codes), jnp.asarray(idx), jnp.asarray(msk),
@@ -258,6 +270,7 @@ class DemuxEngine:
             interpret=interpret,
             a0_sep=self.grid_alpha[0] == 0.0,
             sym_a=self._sym_a(),
+            expand=expand,
         )
 
     def _run_block_exact_pallas(self, scl, cells):
@@ -317,16 +330,11 @@ class DemuxEngine:
 
         from demuxlet_tpu.host.csr import CsrPileup, build_codes_block
         from demuxlet_tpu.models import decision as D
-        from demuxlet_tpu.ops.pallas_pair import extend_luts
 
         assert self.mode == "fast", "run_compact is the fast-mode path"
         if not hasattr(scl, "cell_ptr"):
             scl = CsrPileup.from_pileup(scl)
-        if self._fast_luts is None:
-            self._fast_luts = tuple(
-                jnp.asarray(x) for x in extend_luts(self.w, self.logf)
-            )
-        w_ext, logf_ext = self._fast_luts
+        w_ext, logf_ext, expand = self._fast_tables()
         dbl_w = jnp.asarray(
             D.doublet_weights(self.nv, self.grid_alpha, doublet_prior)
         )
@@ -378,7 +386,7 @@ class DemuxEngine:
                                 self.mesh, self.n_alpha, self.nv,
                                 doublet_prior, interpret=interpret,
                                 a0_sep=self.grid_alpha[0] == 0.0,
-                                sym_a=self._sym_a(),
+                                sym_a=self._sym_a(), expand=expand,
                             ),
                         )
                     packed = self._sharded_compact[1](
@@ -394,7 +402,7 @@ class DemuxEngine:
                         w_ext, logf_ext, dbl_w, dbl_msk, self.n_alpha,
                         self.nv, doublet_prior, interpret=interpret,
                         a0_sep=self.grid_alpha[0] == 0.0,
-                        sym_a=self._sym_a(),
+                        sym_a=self._sym_a(), expand=expand,
                     )
                 pending.append(pool.submit(fetch, cells, packed))
                 while len(pending) > pipeline_depth:

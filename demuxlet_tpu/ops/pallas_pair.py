@@ -39,6 +39,38 @@ from jax.experimental.pallas import tpu as pltpu
 TB = 32  # cells per tile (sublanes)
 TS = 128  # slots per tile (lanes)
 
+# scoped-VMEM budget for picking the slot-group width (halves): double-
+# buffered input blocks + accumulator scratch must stay under the default
+# 16 MB window on v5e (leave headroom for Mosaic temporaries)
+_VMEM_BUDGET = 13 * 2**20
+
+
+def dedup_channels(grid_alpha):
+    """Static channel-dedup map for the A*9 mixture columns.
+
+    The per-UMI mixture factor pr*(1-p) + pa*p depends on (a,l,m) only
+    through p = 0.5*l + (m-l)*0.5*alpha (cmd_cram_demuxlet.cpp:606-625),
+    so LUT columns with equal p are bit-identical (same expression, same
+    inputs — luts.pair_lut) and the A*9 logical channels collapse to the
+    unique p values (18 for the 5-alpha bench grid, 5 for the default
+    [0, 0.5] grid). Cuts the XLA front's gather/normalize width and the
+    kernel's HBM t-traffic by ~2.5x.
+
+    Returns (cols, expand): cols = A*9-order indices of first-occurrence
+    unique columns (select them from the full LUT with w[:, cols]);
+    expand = per-logical-channel index into the deduped table.
+    """
+    seen, cols, expand = {}, [], []
+    for a, alpha in enumerate(grid_alpha):
+        for l in range(3):
+            for m in range(3):
+                p = 0.5 * l + (m - l) * 0.5 * alpha
+                if p not in seen:
+                    seen[p] = len(cols)
+                    cols.append(a * 9 + l * 3 + m)
+                expand.append(seen[p])
+    return tuple(cols), tuple(expand)
+
 
 # exact-neutrality constant: with q = fl(1 + 1e-6), fl(q * fl(1/q)) == 1.0,
 # so a padded slot (lograw == 0 everywhere) yields t == 1 exactly and
@@ -62,15 +94,19 @@ def _norm_t(lograw, axis):
 
 
 def _pair_kernel(t_ref, g_ref, out_ref, out0_ref, acc_ref, acc0_ref,
-                 accs_ref, *, V, A, n_g, halves, a0_sep, sym_a):
+                 accs_ref, *, V, A, n_g, halves, a0_sep, sym_a, expand):
     """Accumulates per-slot log(inner mixture) into VMEM scratch planes.
 
+    expand: static per-logical-channel map into the DEDUPED t table
+    (dedup_channels) — t_ref carries only the unique p-value columns.
+
     Three structural cuts on the V*V*A log+dot count per slot:
-    * halves == 2: each grid step owns TWO 128-lane slot groups and
-      accumulates log(inner_a * inner_b) — halving the transcendental
-      count (safe: inner >= ~1e-6 since t >= 1e-6/(1+1e-6) and gps rows
-      sum to 1, so the pair product stays far above f32 underflow; the
-      one extra rounding is ~1e-7 relative, inside fast-mode tolerance).
+    * halves >= 2: each grid step owns `halves` 128-lane slot groups and
+      accumulates log(inner_1 * ... * inner_halves) — dividing the
+      transcendental count (safe: inner >= ~1e-6 since t >= 1e-6/(1+1e-6)
+      and gps rows sum to 1, so even a 4-product stays >= 1e-24, far
+      above f32 underflow; the extra roundings are ~1e-7 relative,
+      inside fast-mode tolerance).
     * a0_sep: the alpha == 0 plane factorizes — llk_ab[j,k,0] =
       sum_s log d_s[j] + sum_s log gsum_s[k] (t[0,l,m] identical across
       m) — so V + V separable accumulators (accs_ref) replace V*V.
@@ -94,10 +130,12 @@ def _pair_kernel(t_ref, g_ref, out_ref, out0_ref, acc_ref, acc0_ref,
             accs_ref[:] = jnp.zeros_like(accs_ref)
 
     def lane_half(x, h):
-        return x[:, h * TS : (h + 1) * TS] if halves == 2 else x
+        return x[:, h * TS : (h + 1) * TS] if halves > 1 else x
 
-    t = [[lane_half(t_ref[x], h) for x in range(A * 9)]
-         for h in range(halves)]
+    n_t = 1 + max(expand)
+    tu = [[lane_half(t_ref[c], h) for c in range(n_t)]
+          for h in range(halves)]
+    t = [[tu[h][expand[x]] for x in range(A * 9)] for h in range(halves)]
     g = [[lane_half(g_ref[i], h) for i in range(V * 3)]
          for h in range(halves)]
 
@@ -216,17 +254,19 @@ def _pair_kernel(t_ref, g_ref, out_ref, out0_ref, acc_ref, acc0_ref,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n_alpha", "n_samples", "interpret", "a0_sep", "sym_a"),
+    static_argnames=("n_alpha", "n_samples", "interpret", "a0_sep", "sym_a",
+                     "expand"),
 )
 def pair_llks_pallas(cnt_t, gps_t, wt, n_alpha, n_samples, interpret=False,
-                     a0_sep=False, sym_a=None):
+                     a0_sep=False, sym_a=None, expand=None):
     """Fast-mode pair-search LLKs.
 
     cnt_t: (NB, B, S) f32 — slot counts; B %% 32 == 0, S %% 128 == 0,
            padded slots all-zero.
     gps_t: (V*3, B, S) f32 — per-slot genotype posteriors ((j,l) major);
            padded slots carry the neutral row (1,0,0) per sample.
-    wt:    (NB, A*9) f32 — pair LUT (log domain).
+    wt:    (NB, A*9) f32 — pair LUT (log domain); with expand set, the
+           column-DEDUPED LUT (NB, C) instead (dedup_channels).
     a0_sep: grid's alpha[0] == 0 (separable plane); sym_a: index of
            alpha == 0.5 in the grid, if present (symmetric plane) — see
            _pair_kernel.
@@ -240,45 +280,69 @@ def pair_llks_pallas(cnt_t, gps_t, wt, n_alpha, n_samples, interpret=False,
     # elementwise). The per-UMI max-divisions telescope to one max-shift,
     # so the smoothing order matches the reference exactly in real
     # arithmetic — fast mode's only approximation is f32 rounding.
+    # The max over deduped channels equals the max over all A*9 (dropping
+    # duplicates never changes a max), so dedup is numerically free.
     lograw = jnp.einsum(
         "nbs,nx->xbs", cnt_t, wt, preferred_element_type=jnp.float32
     )
     return _call_pair_kernel(_norm_t(lograw, 0), gps_t, V, A, interpret,
-                             a0_sep=a0_sep, sym_a=sym_a)
+                             a0_sep=a0_sep, sym_a=sym_a, expand=expand)
 
 
-def _call_pair_kernel(t, gps_t, V, A, interpret, a0_sep=False, sym_a=None):
+def _call_pair_kernel(t, gps_t, V, A, interpret, a0_sep=False, sym_a=None,
+                      expand=None):
     """Invoke the pair kernel; each output lane width padded to 128-mult.
 
-    When the slot-tile count is even, grid steps own 2x128 lanes so the
-    kernel can pair slots per log (halves == 2)."""
-    _, B, S = t.shape
+    Grid steps own `halves` 128-lane slot groups (batched logs) — the
+    widest of 1/2/4 that divides the slot-tile count and keeps the
+    double-buffered input blocks + scratch under the VMEM budget."""
+    n_t, B, S = t.shape
+    if expand is None:
+        expand = tuple(range(A * 9))
     n_s = S // TS
-    halves = 2 if n_s % 2 == 0 else 1
+    # widest log batching first (fewest transcendentals), shrinking the
+    # cell-tile height to fit VMEM before giving up a batching level
+    tb, halves = TB, 1
+    for cand_h in (4, 2, 1):
+        if n_s % cand_h:
+            continue
+        done = False
+        for cand_tb in (TB, TB // 2):
+            if B % cand_tb:
+                continue
+            scratch = (V * V * A + A + 2 * V + 2) * cand_tb * TS * 4
+            blocks = 2 * (n_t + V * 3) * cand_tb * TS * cand_h * 4
+            if blocks + scratch <= _VMEM_BUDGET or cand_h == 1:
+                tb, halves = cand_tb, cand_h
+                done = True
+                break
+        if done:
+            break
     n_g = n_s // halves
     w_ab = -(-(V * V * A) // 128) * 128
     kernel = functools.partial(_pair_kernel, V=V, A=A, n_g=n_g,
-                               halves=halves, a0_sep=a0_sep, sym_a=sym_a)
+                               halves=halves, a0_sep=a0_sep, sym_a=sym_a,
+                               expand=expand)
     TSW = TS * halves
     out, out0 = pl.pallas_call(
         kernel,
-        grid=(B // TB, n_g),
+        grid=(B // tb, n_g),
         in_specs=[
-            pl.BlockSpec((A * 9, TB, TSW), lambda ib, is_: (ib * 0, ib, is_)),
-            pl.BlockSpec((V * 3, TB, TSW), lambda ib, is_: (ib * 0, ib, is_)),
+            pl.BlockSpec((n_t, tb, TSW), lambda ib, is_: (ib * 0, ib, is_)),
+            pl.BlockSpec((V * 3, tb, TSW), lambda ib, is_: (ib * 0, ib, is_)),
         ],
         out_specs=[
-            pl.BlockSpec((TB, w_ab), lambda ib, is_: (ib, ib * 0)),
-            pl.BlockSpec((TB, 128), lambda ib, is_: (ib, ib * 0)),
+            pl.BlockSpec((tb, w_ab), lambda ib, is_: (ib, ib * 0)),
+            pl.BlockSpec((tb, 128), lambda ib, is_: (ib, ib * 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((B, w_ab), jnp.float32),
             jax.ShapeDtypeStruct((B, 128), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((V * V * A, TB, TS), jnp.float32),
-            pltpu.VMEM((A, TB, TS), jnp.float32),
-            pltpu.VMEM((2 * V + 2, TB, TS), jnp.float32),
+            pltpu.VMEM((V * V * A, tb, TS), jnp.float32),
+            pltpu.VMEM((A, tb, TS), jnp.float32),
+            pltpu.VMEM((2 * V + 2, tb, TS), jnp.float32),
         ],
         interpret=interpret,
     )(t, gps_t)
@@ -290,6 +354,7 @@ def _call_pair_kernel(t, gps_t, V, A, interpret, a0_sep=False, sym_a=None):
 def demux_block_fast_impl(
     codes, idx, msk, gps_table, gp0_table, w_ext, logf_ext,
     n_alpha, n_samples, interpret=False, a0_sep=False, sym_a=None,
+    expand=None,
 ):
     """Fused fast-mode block step: codes -> (llk, llk0, llk_ab, llk_00).
 
@@ -304,7 +369,9 @@ def demux_block_fast_impl(
     the reserved marker 254, which maps to the neutral LUT row like 255.
     Saves the B*S bool transfer;
     gps_table (NS,V,3) f32; gp0_table (NS,3) f32;
-    w_ext (NB+1, A*9) f32 pair LUT with a zero "none" row appended;
+    w_ext (NB+1, A*9) f32 pair LUT with a zero "none" row appended — or,
+    with the static `expand` map set (dedup_channels), the column-deduped
+    (NB+1, C) LUT;
     logf_ext (NB+1, 3) f32 singlet LUT with a zero row appended.
 
     Everything (gather, LUT sums, normalization, Pallas pair kernel, singlet
@@ -328,7 +395,7 @@ def demux_block_fast_impl(
     lograw = jnp.take(w_ext, c[..., 0], axis=0)
     for u in range(1, U):
         lograw = lograw + jnp.take(w_ext, c[..., u], axis=0)
-    t_x = jnp.transpose(_norm_t(lograw, -1), (2, 0, 1))  # (A*9, B, S)
+    t_x = jnp.transpose(_norm_t(lograw, -1), (2, 0, 1))  # (C, B, S)
 
     # per-slot genotype posteriors; padded/masked slots -> neutral (1,0,0).
     # The table gathers as 2D (NS, V*3): XLA TPU lowers take() on a 3D
@@ -341,7 +408,8 @@ def demux_block_fast_impl(
     gps_t = jnp.transpose(gps_2d, (2, 0, 1))
 
     llk_ab, llk_00 = _call_pair_kernel(t_x, gps_t, V, A, interpret,
-                                       a0_sep=a0_sep, sym_a=sym_a)
+                                       a0_sep=a0_sep, sym_a=sym_a,
+                                       expand=expand)
 
     # singlet pass (pass 1, :415-461): tiny relative to the pair search
     lograw_s = jnp.take(logf_ext, c[..., 0], axis=0)
@@ -365,7 +433,8 @@ def demux_block_fast_impl(
 
 demux_block_fast = jax.jit(
     demux_block_fast_impl,
-    static_argnames=("n_alpha", "n_samples", "interpret", "a0_sep", "sym_a"),
+    static_argnames=("n_alpha", "n_samples", "interpret", "a0_sep", "sym_a",
+                     "expand"),
 )
 
 

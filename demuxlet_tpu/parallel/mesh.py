@@ -138,6 +138,7 @@ def build_sharded_fast_step(
     interpret: bool = False,
     a0_sep: bool = False,
     sym_a: int | None = None,
+    expand: tuple | None = None,
 ):
     """Fast-mode (f32 Pallas) demux step sharded over the "b" barcode axis:
     each device runs the kernel on its barcode shard; genotype tables are
@@ -154,7 +155,7 @@ def build_sharded_fast_step(
         return demux_block_fast_impl(
             codes, idx, msk, gps_table, gp0_table, w_ext, logf_ext,
             n_alpha, n_samples, interpret=interpret,
-            a0_sep=a0_sep, sym_a=sym_a,
+            a0_sep=a0_sep, sym_a=sym_a, expand=expand,
         )
 
     rep2 = P(None, None)
@@ -190,6 +191,7 @@ def build_sharded_compact_step(
     interpret: bool = False,
     a0_sep: bool = False,
     sym_a: int | None = None,
+    expand: tuple | None = None,
 ):
     """Fast-mode fused kernel + decision pass sharded over the "b" barcode
     axis (models/decision.compact_step_body: every op is per-cell, so the
@@ -208,7 +210,7 @@ def build_sharded_compact_step(
         return compact_step_body(
             codes, idx, msk, gps_table, gp0_table, w_ext, logf_ext,
             dbl_w, dbl_msk, n_alpha, n_samples, doublet_prior,
-            interpret=interpret, a0_sep=a0_sep, sym_a=sym_a,
+            interpret=interpret, a0_sep=a0_sep, sym_a=sym_a, expand=expand,
         )
 
     rep2 = P(None, None)
