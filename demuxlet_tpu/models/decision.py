@@ -145,7 +145,7 @@ _PACK_KEYS = (
 def compact_step_body(
     codes, idx, msk, gps_table, gp0_table, w_ext, logf_ext, dbl_w, dbl_msk,
     n_alpha, n_samples, doublet_prior, interpret=False, a0_sep=False,
-    sym_a=None, expand=None,
+    sym_a=None, expand=None, wire=None,
 ):
     """Traceable fused fast block step + device decision pass, packed into
     ONE (B, 2V+A+11) f64 array. Shared by the single-device jit
@@ -160,7 +160,7 @@ def compact_step_body(
     llk, llk0, llk_ab, llk_00 = demux_block_fast_impl(
         codes, idx, msk, gps_table, gp0_table, w_ext, logf_ext,
         n_alpha, n_samples, interpret=interpret, a0_sep=a0_sep, sym_a=sym_a,
-        expand=expand,
+        expand=expand, wire=wire,
     )
     out = decide(
         llk_ab.astype(jnp.float64),
@@ -178,12 +178,12 @@ def compact_step_body(
 @functools.partial(
     jax.jit,
     static_argnames=("n_alpha", "n_samples", "doublet_prior", "interpret",
-                     "a0_sep", "sym_a", "expand"),
+                     "a0_sep", "sym_a", "expand", "wire"),
 )
 def demux_block_fast_compact(
     codes, idx, msk, gps_table, gp0_table, w_ext, logf_ext, dbl_w, dbl_msk,
     n_alpha, n_samples, doublet_prior, interpret=False, a0_sep=False,
-    sym_a=None, expand=None,
+    sym_a=None, expand=None, wire=None,
 ):
     """Single-device jit wrapper over compact_step_body: one device->host
     buffer per block (the tunneled backend pays per-transfer latency, and
@@ -191,7 +191,7 @@ def demux_block_fast_compact(
     return compact_step_body(
         codes, idx, msk, gps_table, gp0_table, w_ext, logf_ext, dbl_w,
         dbl_msk, n_alpha, n_samples, doublet_prior, interpret=interpret,
-        a0_sep=a0_sep, sym_a=sym_a, expand=expand,
+        a0_sep=a0_sep, sym_a=sym_a, expand=expand, wire=wire,
     )
 
 

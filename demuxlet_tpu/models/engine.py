@@ -57,6 +57,34 @@ def _prefetched(pool, fn, items, depth: int = 4):
         yield out
 
 
+def _dev(x):
+    """jnp.asarray over a leaf or a tuple of leaves (delta-encoded idx)."""
+    if isinstance(x, (tuple, list)):
+        return tuple(jnp.asarray(e) for e in x)
+    return jnp.asarray(x)
+
+
+def _to_wire(codes, idx_tuple):
+    """Fuse (codes, delta-idx) into ONE (B, W) int32 wire buffer: the
+    tunneled transport charges a fixed ~30 ms per H2D buffer, so one
+    buffer per block beats five (pallas_pair.demux_block_fast_impl
+    unpacks via bitcast). Returns (wire, (S, U, K) static meta)."""
+    d8, base, fix_pos, fix_val = idx_tuple
+    B, S, U = codes.shape
+    K = fix_pos.shape[1]
+    wire = np.concatenate(
+        [
+            codes.reshape(B, S * U).view(np.int32),
+            d8.view(np.int32),
+            base[:, None],
+            fix_pos,
+            fix_val,
+        ],
+        axis=1,
+    )
+    return wire, (S, U, K)
+
+
 def _bucket(n: int, minimum: int = 8) -> int:
     b = minimum
     while b < n:
@@ -201,7 +229,12 @@ class DemuxEngine:
         must stay masked-in (uniform-GL term, cmd_cram_demuxlet.cpp:435
         semantics), so they get the reserved marker 254 in lane 0; real
         codes top out at 2*(cap_bq+1)-1 <= 253 (shrink skipped otherwise).
-        ~14.7MB -> ~8.4MB per 2048x1024 e2e block. Mesh shard_map steps
+
+        Slot ids ship as u8 DELTAS when they can (ids are per-cell sorted;
+        idx = base + cumsum(d), with the rare deltas > 255 restored from a
+        sparse fix list whose width buckets to a power of two) — 1B/slot;
+        else as 16-bit pairs packed into i32 lanes — 2B/slot.
+        ~14.7MB -> ~6.3MB per 2048x1024 e2e block. Mesh shard_map steps
         keep the explicit (codes, idx, msk) signature."""
         if self.mesh is not None or self.cap_bq > 126:
             return codes_blk
@@ -211,6 +244,29 @@ class DemuxEngine:
             b, s = np.nonzero(empty)
             codes[b, s, 0] = 254
         S = idx.shape[1]
+        d = np.zeros_like(idx, dtype=np.int64)
+        d[:, 1:] = np.diff(idx.astype(np.int64), axis=1)
+        d[~msk] = 0
+        d[:, 1:][~msk[:, 1:]] = 0
+        over = d > 255
+        n_over = over.sum(axis=1)
+        K = int(n_over.max())
+        if (d >= 0).all() and K <= S // 8:
+            Kp = 8
+            while Kp < K:
+                Kp *= 2
+            fix_pos = np.zeros((idx.shape[0], Kp), dtype=np.int32)
+            fix_val = np.zeros((idx.shape[0], Kp), dtype=np.int32)
+            if K:
+                rows, cols = np.nonzero(over)
+                slot = np.concatenate(
+                    [np.arange(n) for n in n_over]
+                ).astype(np.int64) if K else np.zeros(0, np.int64)
+                fix_pos[rows, slot] = cols.astype(np.int32)
+                fix_val[rows, slot] = (d[rows, cols] - 255).astype(np.int32)
+            d8 = np.minimum(d, 255).astype(np.uint8)
+            base = idx[:, 0].astype(np.int32)
+            return codes, (d8, base, fix_pos, fix_val), None
         if self.gps.shape[0] <= 0xFFFF and S % 2 == 0:
             u = idx.astype(np.uint32)
             idx = (u[:, 0::2] | (u[:, 1::2] << 16)).view(np.int32)
@@ -244,6 +300,10 @@ class DemuxEngine:
         codes, idx, msk = codes_blk
         interpret = jax.default_backend() != "tpu"
         w_ext, logf_ext, expand = self._fast_tables()
+        wire = None
+        if msk is None and isinstance(idx, tuple):
+            codes, wire = _to_wire(codes, idx)
+            idx = None
         if self.mesh is not None:
             if self._sharded_fast is None:
                 from demuxlet_tpu.parallel import mesh as pmesh
@@ -259,7 +319,7 @@ class DemuxEngine:
             )
         return demux_block_fast(
             jnp.asarray(codes),
-            jnp.asarray(idx),
+            None if idx is None else _dev(idx),
             None if msk is None else jnp.asarray(msk),
             self._gps_dev,
             self._gp0_dev,
@@ -271,6 +331,7 @@ class DemuxEngine:
             a0_sep=self.grid_alpha[0] == 0.0,
             sym_a=self._sym_a(),
             expand=expand,
+            wire=wire,
         )
 
     def _run_block_exact_pallas(self, scl, cells):
@@ -395,14 +456,19 @@ class DemuxEngine:
                         w_ext, logf_ext, dbl_w, dbl_msk,
                     )
                 else:
+                    wire = None
+                    if msk is None and isinstance(idx, tuple):
+                        codes, wire = _to_wire(codes, idx)
+                        idx = None
                     packed = D.demux_block_fast_compact(
-                        jnp.asarray(codes), jnp.asarray(idx),
+                        jnp.asarray(codes),
+                        None if idx is None else _dev(idx),
                         None if msk is None else jnp.asarray(msk),
                         self._gps_dev, self._gp0_dev,
                         w_ext, logf_ext, dbl_w, dbl_msk, self.n_alpha,
                         self.nv, doublet_prior, interpret=interpret,
                         a0_sep=self.grid_alpha[0] == 0.0,
-                        sym_a=self._sym_a(), expand=expand,
+                        sym_a=self._sym_a(), expand=expand, wire=wire,
                     )
                 pending.append(pool.submit(fetch, cells, packed))
                 while len(pending) > pipeline_depth:

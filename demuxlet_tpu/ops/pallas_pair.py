@@ -354,14 +354,18 @@ def _call_pair_kernel(t, gps_t, V, A, interpret, a0_sep=False, sym_a=None,
 def demux_block_fast_impl(
     codes, idx, msk, gps_table, gp0_table, w_ext, logf_ext,
     n_alpha, n_samples, interpret=False, a0_sep=False, sym_a=None,
-    expand=None,
+    expand=None, wire=None,
 ):
     """Fused fast-mode block step: codes -> (llk, llk0, llk_ab, llk_00).
 
     codes (B,S,U) uint8 per-UMI observation codes (255 = none);
-    idx: slot SNP ids — (B,S) int-typed, or (B,S//2) int32 with two
-    16-bit ids packed per lane (low half = even slot), shipped over thin
-    links and unpacked here; msk (B,S) bool, or None to derive it on
+    idx: slot SNP ids — (B,S) int-typed; or (B,S//2) int32 with two
+    16-bit ids packed per lane (low half = even slot); or the u8-delta
+    tuple (d (B,S) u8, base (B,) i32, fix_pos (B,K) i32, fix_val (B,K)
+    i32) — ids are per-cell sorted, so idx = base + cumsum(d) with the
+    rare deltas > 255 restored by the sparse fixes (engine
+    _shrink_codes_blk; ~1B/slot instead of 2 over thin links). All
+    shipped forms are unpacked here; msk (B,S) bool, or None to derive it on
     device as any(codes != 255, -1) — exact under the shrunk-block
     contract (_shrink_codes_blk): masked-out slots carry all-255, and a
     valid slot with zero real codes (all its observations were allele==2;
@@ -374,15 +378,43 @@ def demux_block_fast_impl(
     (NB+1, C) LUT;
     logf_ext (NB+1, 3) f32 singlet LUT with a zero row appended.
 
+    wire: static (S, U, K) when `codes` is instead the single fused
+    (B, S*U/4 + S/4 + 1 + 2K) int32 WIRE buffer carrying
+    [codes-bytes | delta-bytes | base | fix_pos | fix_val] per row
+    (engine _to_wire) — the tunneled transport charges a fixed ~30 ms
+    per H2D buffer, so one buffer per block beats five; idx/msk must be
+    None. Little-endian byte packing both sides (bitcast round-trip
+    pinned by tests).
+
     Everything (gather, LUT sums, normalization, Pallas pair kernel, singlet
     contraction) runs on device in one jit — the host ships only the compact
     codes. Transfer: B*S*U bytes vs B*S*NB*4 for dense counts.
     """
+    if wire is not None:
+        S, U, K = wire
+        B = codes.shape[0]
+        nc, nd = S * U // 4, S // 4
+        bytes_c = jax.lax.bitcast_convert_type(codes[:, :nc], jnp.uint8)
+        d8 = jax.lax.bitcast_convert_type(
+            codes[:, nc : nc + nd], jnp.uint8
+        ).reshape(B, S)
+        base = codes[:, nc + nd]
+        fix_pos = codes[:, nc + nd + 1 : nc + nd + 1 + K]
+        fix_val = codes[:, nc + nd + 1 + K : nc + nd + 1 + 2 * K]
+        codes = bytes_c.reshape(B, S, U)
+        idx = (d8, base, fix_pos, fix_val)
     B, S, U = codes.shape
     V, A = n_samples, n_alpha
     if msk is None:
         msk = jnp.any(codes != jnp.uint8(255), axis=-1)
-    if idx.shape[1] == S // 2 and S > 1:
+    if isinstance(idx, (tuple, list)):
+        d, base, fix_pos, fix_val = idx
+        d32 = d.astype(jnp.int32)
+        # dummy fixes carry (pos=0, val=0): slot 0's delta is always 0
+        # (idx[:,0] == base), so the scatter-add no-ops there
+        d32 = d32.at[jnp.arange(B)[:, None], fix_pos].add(fix_val)
+        idx = base[:, None].astype(jnp.int32) + jnp.cumsum(d32, axis=1)
+    elif idx.shape[1] == S // 2 and S > 1:
         u = jax.lax.bitcast_convert_type(idx.astype(jnp.int32), jnp.uint32)
         pair = jnp.stack([u & 0xFFFF, u >> 16], axis=-1)
         idx = pair.reshape(B, S).astype(jnp.int32)
@@ -434,7 +466,7 @@ def demux_block_fast_impl(
 demux_block_fast = jax.jit(
     demux_block_fast_impl,
     static_argnames=("n_alpha", "n_samples", "interpret", "a0_sep", "sym_a",
-                     "expand"),
+                     "expand", "wire"),
 )
 
 

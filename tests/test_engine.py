@@ -170,3 +170,59 @@ def test_engine_spool_resume(tmp_path):
     r2 = eng.run(csr, spool_dir=spool)  # resume: loads every block
     np.testing.assert_array_equal(r1.llk_ab, r2.llk_ab)
     np.testing.assert_array_equal(r1.llks, r2.llks)
+
+
+def test_idx_delta_encoding_roundtrip():
+    """_shrink_codes_blk's u8-delta idx form (and its u16-pair fallback)
+    must decode on device to the exact slot ids: fast-path outputs are
+    bit-identical to the unshrunk (codes, idx, msk) dispatch."""
+    import numpy as np
+
+    from demuxlet_tpu.host.csr import CsrPileup
+
+    rng = np.random.default_rng(11)
+    NS, V, n, S_PER = 70000, 3, 64, 200
+    gps = rng.dirichlet(np.ones(3), size=(NS, V))
+    grid = [0.0, 0.5]
+
+    def build_csr(snps):
+        obs_snp = np.repeat(snps.reshape(-1), 2).astype(np.int64)
+        obs_cell = np.repeat(np.arange(n, dtype=np.int64), S_PER * 2)
+        obs_allele = rng.integers(0, 2, size=n * S_PER * 2).astype(np.uint8)
+        obs_bq = rng.integers(13, 41, size=n * S_PER * 2).astype(np.uint8)
+        totl = np.full(n, S_PER * 2, dtype=np.int64)
+        return CsrPileup.from_arrays(
+            [f"S{i}" for i in range(V)], NS,
+            ["BC%04d" % i for i in range(n)], totl, totl, totl,
+            obs_cell, obs_snp, obs_allele, obs_bq,
+        )
+
+    # small deltas + a sprinkle of >255 jumps (sparse fix list), and a
+    # wild layout that must fall back to the 16-bit pair packing
+    base = np.cumsum(rng.integers(1, 80, size=(n, S_PER)), axis=1)
+    base[:, ::37] += 1000  # escapes
+    csr_delta = build_csr(np.minimum(base, NS - 1))
+    csr_wild = build_csr(
+        np.sort(rng.choice(NS, size=(n, S_PER), replace=False), axis=1)
+    )
+
+    for csr in (csr_delta, csr_wild):
+        eng = DemuxEngine(gps, grid, cell_block=32, mode="fast")
+        blk = __import__(
+            "demuxlet_tpu.host.csr", fromlist=["build_codes_block"]
+        ).build_codes_block(csr, list(range(n)), pad_cells_to=32)
+        shrunk = eng._shrink_codes_blk(
+            (blk[0].copy(), blk[1], blk[2])
+        )
+        out_s = [np.asarray(x) for x in eng._dispatch_fast(shrunk)]
+        out_r = [np.asarray(x) for x in eng._dispatch_fast(blk)]
+        for a, b in zip(out_s, out_r):
+            assert np.array_equal(a, b)
+
+    # the engineered workload must actually take the delta form
+    eng = DemuxEngine(gps, grid, cell_block=32, mode="fast")
+    from demuxlet_tpu.host.csr import build_codes_block
+
+    blk = build_codes_block(csr_delta, list(range(n)), pad_cells_to=32)
+    _, idx_s, _ = eng._shrink_codes_blk(blk)
+    assert isinstance(idx_s, tuple) and idx_s[0].dtype == np.uint8
