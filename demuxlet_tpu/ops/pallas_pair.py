@@ -282,8 +282,13 @@ def pair_llks_pallas(cnt_t, gps_t, wt, n_alpha, n_samples, interpret=False,
     # arithmetic — fast mode's only approximation is f32 rounding.
     # The max over deduped channels equals the max over all A*9 (dropping
     # duplicates never changes a max), so dedup is numerically free.
+    # precision=HIGHEST: the TPU default rounds f32 matmul inputs to bf16
+    # (~1.6e-3 relative on lograw — beyond fast-mode tolerance); HIGHEST
+    # (bf16x6 passes) reproduces the take()-based sums bit-exactly for
+    # one-hot/count inputs (measured on v5e).
     lograw = jnp.einsum(
-        "nbs,nx->xbs", cnt_t, wt, preferred_element_type=jnp.float32
+        "nbs,nx->xbs", cnt_t, wt, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
     return _call_pair_kernel(_norm_t(lograw, 0), gps_t, V, A, interpret,
                              a0_sep=a0_sep, sym_a=sym_a, expand=expand)
@@ -422,44 +427,79 @@ def demux_block_fast_impl(
         idx = idx.astype(jnp.int32)
     none_row = w_ext.shape[0] - 1
     c = jnp.where(codes >= 254, jnp.uint8(none_row), codes).astype(jnp.int32)
+    C = w_ext.shape[1]
 
-    # pair LUT sum over UMIs -> lograw (B,S,A*9) -> mixture table t
-    lograw = jnp.take(w_ext, c[..., 0], axis=0)
-    for u in range(1, U):
-        lograw = lograw + jnp.take(w_ext, c[..., u], axis=0)
-    t_x = jnp.transpose(_norm_t(lograw, -1), (2, 0, 1))  # (C, B, S)
+    # Front: one-hot observation counts (R, B, S) -> ONE MXU einsum against
+    # the fused [pair|singlet] LUT, emitting lograw CHANNEL-LEADING with no
+    # gather or relayout anywhere. The previous per-UMI jnp.take pair
+    # (+add) defeated XLA's gather/transpose fusion and cost ~9.6 ms/block
+    # vs 0.6 ms for this route (one-hot build + matmul fuse cleanly; the
+    # none row is all-zero so padding is exactly neutral: lograw == 0 ->
+    # t == 1, gl uniform).
+    R = w_ext.shape[0]
+    ar = jnp.arange(R, dtype=jnp.int32)
+    cnt_t = jnp.sum(
+        (c[None] == ar[:, None, None, None]).astype(jnp.float32), axis=-1
+    )  # (R, B, S)
+    wl = jnp.concatenate([w_ext, logf_ext], axis=1)  # (R, C+3)
+    # HIGHEST: the TPU f32-matmul default rounds inputs to bf16 (~1.6e-3
+    # relative error on lograw); with one-hot counts HIGHEST reproduces
+    # the take()-based per-UMI sums bit-exactly (measured on v5e)
+    lograw = jnp.einsum(
+        "nbs,nx->xbs", cnt_t, wl, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    t_x = _norm_t(lograw[:C], 0)  # (C, B, S)
 
-    # per-slot genotype posteriors; padded/masked slots -> neutral (1,0,0).
-    # The table gathers as 2D (NS, V*3): XLA TPU lowers take() on a 3D
-    # (NS, V, 3) table ~5.6x slower (benchmarks/probe_gather_variants.py)
-    neutral = jnp.zeros((3,), jnp.float32).at[0].set(1.0)
+    # pass-1 GL table (cmd_cram_demuxlet.cpp:428-452), channel-leading
+    ls = lograw[C:]
+    gl = jnp.exp(ls - jnp.max(ls, axis=0, keepdims=True))
+    gl = gl / jnp.sum(gl, axis=0, keepdims=True)
+    gl = gl + jnp.float32(1e-6)
+    gl = gl / jnp.sum(gl, axis=0, keepdims=True)
+    neutral3 = np.zeros((3, 1, 1), dtype=np.float32)
+    neutral3[0] = 1.0
+    gl = jnp.where(msk[None], gl, neutral3)  # masked slots -> exact log 0
+
+    # per-slot genotype posteriors + gp0, ONE fused 2D take (the transpose
+    # fuses into the gather; a 3D (NS, V, 3) table lowers ~5.6x slower —
+    # benchmarks/probe_gather_variants.py); masked slots -> neutral rows
     NS = gps_table.shape[0]
-    gps_2d = jnp.take(gps_table.reshape(NS, V * 3), idx, axis=0)  # (B,S,V3)
-    gps_2d = jnp.where(msk[..., None], gps_2d, jnp.tile(neutral, V))
-    gps_g = gps_2d.reshape(B, S, V, 3)
-    gps_t = jnp.transpose(gps_2d, (2, 0, 1))
+    gps_all = jnp.concatenate(
+        [gps_table.reshape(NS, V * 3), gp0_table], axis=1
+    )
+    g_all = jnp.transpose(jnp.take(gps_all, idx, axis=0), (2, 0, 1))
+    neutral_g = np.zeros((V * 3 + 3, 1, 1), dtype=np.float32)
+    neutral_g[0 : V * 3 : 3] = 1.0
+    neutral_g[V * 3] = 1.0
+    g_all = jnp.where(msk[None], g_all, neutral_g)
+    gps_t = g_all[: V * 3]
+    gp0_t = g_all[V * 3 :]
 
     llk_ab, llk_00 = _call_pair_kernel(t_x, gps_t, V, A, interpret,
                                        a0_sep=a0_sep, sym_a=sym_a,
                                        expand=expand)
 
-    # singlet pass (pass 1, :415-461): tiny relative to the pair search
-    lograw_s = jnp.take(logf_ext, c[..., 0], axis=0)
-    for u in range(1, U):
-        lograw_s = lograw_s + jnp.take(logf_ext, c[..., u], axis=0)
-    mxs = jnp.max(lograw_s, axis=-1, keepdims=True)
-    gl = jnp.exp(lograw_s - mxs)
-    gl = gl / jnp.sum(gl, axis=-1, keepdims=True)
-    gl = gl + jnp.float32(1e-6)
-    gl = gl / jnp.sum(gl, axis=-1, keepdims=True)
-    mf = msk.astype(jnp.float32)
-    contrib = jnp.log(jnp.einsum("bsg,bsvg->bsv", gl, gps_g))
-    llk = jnp.sum(contrib * mf[..., None], axis=1)
-    gp0_g = jnp.take(gp0_table, idx, axis=0)
+    # singlet pass (pass 1, :415-461), channel-leading: masked slots hit
+    # exact-neutral rows (gl = gps = gp0 = (1,0,0) -> log 1 == 0), so no
+    # mask multiply is needed
+    contrib = jnp.stack(
+        [
+            jnp.log(
+                gps_t[j * 3] * gl[0]
+                + gps_t[j * 3 + 1] * gl[1]
+                + gps_t[j * 3 + 2] * gl[2]
+            )
+            for j in range(V)
+        ]
+    )  # (V, B, S)
+    llk = jnp.sum(contrib, axis=-1).T
     contrib0 = jnp.log(
-        jnp.maximum(jnp.einsum("bsg,bsg->bs", gl, gp0_g), 1e-30)
+        jnp.maximum(
+            gp0_t[0] * gl[0] + gp0_t[1] * gl[1] + gp0_t[2] * gl[2], 1e-30
+        )
     )
-    llk0 = jnp.sum(contrib0 * mf, axis=1)
+    llk0 = jnp.sum(contrib0, axis=-1)
     return llk, llk0, llk_ab, llk_00
 
 
