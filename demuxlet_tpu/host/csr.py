@@ -48,6 +48,24 @@ class CsrPileup:
     def n_cell_snps(self, cellid: int) -> int:
         return len(self.cell_snps(cellid))
 
+    def n_snps_all(self) -> np.ndarray:
+        """(ncells,) distinct-SNP counts, vectorized over all cells (obs
+        are (cell, snp)-sorted, so distinct slots = run starts; the
+        per-cell np.unique loop this replaces dominated the output phase
+        at 100K cells)."""
+        n = self.nbcs
+        tot = len(self.obs_snp)
+        if tot == 0:
+            return np.zeros(n, dtype=np.int64)
+        lengths = np.diff(self.cell_ptr)
+        row_of = np.repeat(np.arange(n, dtype=np.int64), lengths)
+        new_slot = np.empty(tot, dtype=bool)
+        new_slot[0] = True
+        np.not_equal(self.obs_snp[1:], self.obs_snp[:-1], out=new_slot[1:])
+        starts = self.cell_ptr[:-1][lengths > 0]
+        new_slot[starts] = True
+        return np.bincount(row_of[new_slot], minlength=n).astype(np.int64)
+
     @staticmethod
     def from_arrays(
         sample_ids: List[str],

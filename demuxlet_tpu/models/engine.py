@@ -610,10 +610,16 @@ def _pad_block(blk: SlotBlock, n_cells: int, n_slots: int) -> SlotBlock:
 
 
 def cell_stats(scl: PileupData) -> CellStats:
+    if hasattr(scl, "n_snps_all"):  # CSR form: vectorized distinct counts
+        nsnp = scl.n_snps_all()
+    else:
+        nsnp = np.asarray(
+            [scl.n_cell_snps(c) for c in range(scl.nbcs)], np.int64
+        )
     return CellStats(
         barcodes=list(scl.barcodes),
         totl=np.asarray(scl.cell_totl, dtype=np.int64),
         pass_=np.asarray(scl.cell_pass, dtype=np.int64),
         uniq=np.asarray(scl.cell_uniq, dtype=np.int64),
-        nsnp=np.asarray([scl.n_cell_snps(c) for c in range(scl.nbcs)], np.int64),
+        nsnp=nsnp,
     )

@@ -226,3 +226,26 @@ def test_idx_delta_encoding_roundtrip():
     blk = build_codes_block(csr_delta, list(range(n)), pad_cells_to=32)
     _, idx_s, _ = eng._shrink_codes_blk(blk)
     assert isinstance(idx_s, tuple) and idx_s[0].dtype == np.uint8
+
+
+def test_n_snps_all_matches_per_cell_unique():
+    import numpy as np
+
+    from demuxlet_tpu.host.csr import CsrPileup
+
+    rng = np.random.default_rng(5)
+    n, NS = 50, 500
+    lengths = rng.integers(0, 40, size=n)
+    lengths[7] = 0  # empty cell
+    obs_cell = np.repeat(np.arange(n, dtype=np.int64), lengths)
+    obs_snp = np.concatenate(
+        [np.sort(rng.integers(0, NS, size=k)) for k in lengths]
+    ).astype(np.int64) if lengths.sum() else np.zeros(0, np.int64)
+    tot = np.ones(n, dtype=np.int64)
+    csr = CsrPileup.from_arrays(
+        ["A"], NS, ["BC%02d" % i for i in range(n)], tot, tot, tot,
+        obs_cell, obs_snp,
+        np.zeros(lengths.sum(), np.uint8), np.full(lengths.sum(), 30, np.uint8),
+    )
+    expect = np.asarray([csr.n_cell_snps(c) for c in range(n)])
+    assert np.array_equal(csr.n_snps_all(), expect)
