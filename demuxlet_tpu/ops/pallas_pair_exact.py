@@ -36,9 +36,14 @@ the slot's product table is all-ones, normalizing to t == 1 exactly, and
 neutral (1,0,0) gps rows make inner == 1 -> the mantissa product and
 exponent stay untouched (pinned by the empty-block test).
 
-Kernel tile: TB=8 cells x TS=128 slots — the df accumulator scratch is
-3 planes x V*V*A x TB x TS f32 (~3.9 MB at V=8, A=5); TB=16 blew the
-16 MB scoped-VMEM limit on v5e with the double-buffered input blocks.
+Kernel tile: TB=8 cells x TS=128 slots. All df product accumulators
+(llk_ab channels + llks00 + pass-1 + a0_sep separable factors) live in
+ONE stacked (n_acc, TB, TS) scratch triple updated by plane-wide df muls
+in 64-channel chunks: per-channel `ref[i] = f(ref[i], x)` updates
+serialize in Mosaic (no alias analysis across indices; measured ~4x
+slower, benchmarks/probe_scratch_acc.py — the rewrite took the kernel
+from 22.7 to 9.8 ms/1024-cell block at V=8, A=5), while one full-width
+op blows the 16 MB scoped-VMEM limit on its transients.
 """
 
 from __future__ import annotations
@@ -55,6 +60,7 @@ from demuxlet_tpu.ops import df32 as df
 
 TB = 8  # cells per tile (the native f32 sublane tile)
 TS = 128  # slots per tile (lanes)
+_ACC_CHUNK = 64  # stacked-accumulator channels per plane op (VMEM bound)
 
 _SMOOTH = 1e-6
 _K_HI = np.float32(1.0 / (1.0 + _SMOOTH))
@@ -79,7 +85,7 @@ def _renorm(h, l, e_acc):
     return h * sc, l * sc, e_acc + ee.astype(jnp.float32)
 
 
-def _lane_prod_df(h, l, e, fence, width=TS):
+def _lane_prod_df(h, l, e, fence, width=TS, axis=1):
     """df32 PRODUCT over the lane axis via a roll butterfly, with f32
     exponent-sum tracking. After log2(width) stages every lane holds the
     full product; the caller reads column 0 and takes the log in XLA —
@@ -99,9 +105,9 @@ def _lane_prod_df(h, l, e, fence, width=TS):
             n_acc = 1
         # np.int32: a bare Python int traces as i64 under x64 and Mosaic's
         # dynamic_rotate requires an i32 shift
-        h2 = pltpu.roll(h, shift=np.int32(sh), axis=1)
-        l2 = pltpu.roll(l, shift=np.int32(sh), axis=1)
-        e = e + pltpu.roll(e, shift=np.int32(sh), axis=1)
+        h2 = pltpu.roll(h, shift=np.int32(sh), axis=axis)
+        l2 = pltpu.roll(l, shift=np.int32(sh), axis=axis)
+        e = e + pltpu.roll(e, shift=np.int32(sh), axis=axis)
         h, l = _mul2(h, l, h2, l2, fence)
         n_acc *= 2
         sh //= 2
@@ -171,37 +177,73 @@ def _quad(h, l):
     return (h, l, s0, s1)
 
 
+def _acc_slots(V, A, a0_zero, a0_sep, sym_a):
+    """Ordered registry of the kernel's df product accumulators.
+
+    Returns (keys, index) where keys[i] identifies accumulator slot i in
+    the stacked (n_acc, TB, TS) scratch and index maps key -> slot. Keys:
+      ('ab', j, k, a)  llk_ab channels not covered by a0_sep/sym_a
+      ('m0', a)        llks00 channels (a >= 1 when a0_sep)
+      ('s', j)         pass-1 singlet products, j == V is gp0
+      ('d', j) ('gs', k) ('u00',) ('g0s',)  a0_sep separable factors
+    The accumulators live in ONE stacked scratch updated by a single
+    plane-wide df mul per slot step: per-channel `ref[i] = f(ref[i])`
+    updates serialize in Mosaic (no alias analysis across indices) and
+    measured ~4x slower (benchmarks/probe_scratch_acc.py)."""
+    keys = []
+    for j in range(V):
+        for k in range(V):
+            for a in range(A):
+                if a0_sep and a == 0:
+                    continue
+                if sym_a == a and j > k:
+                    continue
+                keys.append(("ab", j, k, a))
+    for a in range(A):
+        if a0_sep and a == 0:
+            continue
+        keys.append(("m0", a))
+    for j in range(V + 1):
+        keys.append(("s", j))
+    if a0_sep:
+        keys += [("d", j) for j in range(V)]
+        keys += [("gs", k) for k in range(V)]
+        keys += [("u00",), ("g0s",)]
+    return keys, {k: i for i, k in enumerate(keys)}
+
+
 def _pair_kernel_df(
     th_ref, tl_ref, gall_ref, slh_ref, sll_ref,
     outh_ref, outl_ref, oute_ref, out0h_ref, out0l_ref, out0e_ref,
     outsh_ref, outsl_ref, outse_ref,
-    mh_ref, ml_ref, me_ref, m0h_ref, m0l_ref, m0e_ref,
-    sh_ref, sl_ref, se_ref,
+    mh_ref, ml_ref, me_ref,
     *, V, A, n_s, fence, a0_zero, n_tch, expand, a0_sep, sym_a,
 ):
     """a0_sep: the alpha == 0 plane factorizes COMPLETELY — llk_ab[j,k,0]
     = (prod_s d_s[j]) * (prod_s gsum_s[k]) with d[j] = sum_l g[j,l] t0[l]
     and gsum[k] = sum_m g[k,m] — so instead of V*V accumulators the
-    kernel keeps V+V separable ones (in the sing scratch at lanes
-    [V+1, 3V+3)) and the XLA caller combines logs. sym_a: the alpha ==
-    0.5 plane is (j,k)-symmetric (p(l,m,.5) = p(m,l,.5), bit-identical
-    via channel dedup), so j > k entries are skipped and mirrored at
-    finish. Both cut the per-slot accumulate count and the finish
-    butterflies (~35%% for the A=5 bench grid, ~60%% for the default
-    [0, .5] grid)."""
+    kernel keeps V+V separable ones and the XLA caller combines logs.
+    sym_a: the alpha == 0.5 plane is (j,k)-symmetric (p(l,m,.5) =
+    p(m,l,.5), bit-identical via channel dedup), so j > k entries are
+    skipped and mirrored at finish. Both cut the per-slot accumulate
+    count and the finish butterflies (~35%% for the A=5 bench grid, ~60%%
+    for the default [0, .5] grid).
+
+    All accumulators share ONE stacked (n_acc, TB, TS) scratch triple
+    (mantissa hi, lo, exponent) updated by a single plane-wide df mul +
+    renorm per slot step — see _acc_slots."""
     s_step = pl.program_id(1)
+    keys, slot = _acc_slots(V, A, a0_zero, a0_sep, sym_a)
+    n_acc = len(keys)
+    # interpret mode (XLA CPU) has no scoped-VMEM limit and runs the
+    # full-width op ~2x faster than the chunked form
+    chunk = n_acc if fence else _ACC_CHUNK
 
     @pl.when(s_step == 0)
     def _():
         mh_ref[:] = jnp.ones_like(mh_ref)
         ml_ref[:] = jnp.zeros_like(ml_ref)
         me_ref[:] = jnp.zeros_like(me_ref)
-        m0h_ref[:] = jnp.ones_like(m0h_ref)
-        m0l_ref[:] = jnp.zeros_like(m0l_ref)
-        m0e_ref[:] = jnp.zeros_like(m0e_ref)
-        sh_ref[:] = jnp.ones_like(sh_ref)
-        sl_ref[:] = jnp.zeros_like(sl_ref)
-        se_ref[:] = jnp.zeros_like(se_ref)
 
     # deduped mixture channels: quad/presplit once per UNIQUE column, then
     # expand to the logical a*9 + l*3 + m order via the static map
@@ -216,12 +258,10 @@ def _pair_kernel_df(
           for i in range(3)]
     glt = [_quad(slh_ref[i], sll_ref[i]) for i in range(3)]
 
-    def acc(hs, ls, es, i, inner):
-        nh, nl = _mul2(hs[i], ls[i], *inner, fence)
-        nh, nl, ne = _renorm(nh, nl, es[i])
-        hs[i] = nh
-        ls[i] = nl
-        es[i] = ne
+    inners = [None] * n_acc
+
+    def put(key, inner):
+        inners[slot[key]] = inner
 
     # alpha[0] == 0 degeneracy (static): t[0,l,m] is bit-identical across
     # m (p = 0.5l + (m-l)*0.5*alpha depends only on l at alpha=0, and the
@@ -240,9 +280,8 @@ def _pair_kernel_df(
         g0sum = _quad(*df.add_pos(*g0sum, g0[2][0], g0[2][1]))
     if a0_sep:
         for k in range(V):
-            acc(sh_ref, sl_ref, se_ref, 2 * V + 1 + k,
-                (gsum[k][0], gsum[k][1]))
-        acc(sh_ref, sl_ref, se_ref, 3 * V + 2, (g0sum[0], g0sum[1]))
+            put(("gs", k), (gsum[k][0], gsum[k][1]))
+        put(("g0s",), (g0sum[0], g0sum[1]))
 
     for j in range(V):
         u = []
@@ -261,7 +300,7 @@ def _pair_kernel_df(
                     fence,
                 )))
         if a0_sep:
-            acc(sh_ref, sl_ref, se_ref, V + 1 + j, (u[0][0], u[0][1]))
+            put(("d", j), (u[0][0], u[0][1]))
         for k in range(V):
             for a in range(A):
                 if sym_a == a and j > k:
@@ -275,7 +314,7 @@ def _pair_kernel_df(
                         g[k * 3], g[k * 3 + 1], g[k * 3 + 2],
                         u[a * 3], u[a * 3 + 1], u[a * 3 + 2], fence,
                     )
-                acc(mh_ref, ml_ref, me_ref, (j * V + k) * A + a, inner)
+                put(("ab", j, k, a), inner)
 
     # background pair term llks00 (:700-709), host-exact gp0 planes
     for a in range(A):
@@ -283,7 +322,7 @@ def _pair_kernel_df(
             u00 = _quad(*_dot3(g0[0], g0[1], g0[2],
                                t[0], t[3], t[6], fence))
             if a0_sep:
-                acc(sh_ref, sl_ref, se_ref, 3 * V + 1, (u00[0], u00[1]))
+                put(("u00",), (u00[0], u00[1]))
                 continue
             inner0 = _mul_pair(g0sum, u00, fence)
         else:
@@ -293,71 +332,82 @@ def _pair_kernel_df(
                       fence))
                   for m in range(3)]
             inner0 = _dot3(g0[0], g0[1], g0[2], u0[0], u0[1], u0[2], fence)
-        acc(m0h_ref, m0l_ref, m0e_ref, a, inner0)
+        put(("m0", a), inner0)
 
     # pass 1 (:415-461): contrib = sum_l gl[l] * gps[j,l]; the XLA front
     # ships the normalized+smoothed GL table, this kernel accumulates the
     # per-cell slot product (one log per cell at the end)
     for j in range(V + 1):
         src = g0 if j == V else g[j * 3 : j * 3 + 3]
-        inner = _dot3(glt[0], glt[1], glt[2], src[0], src[1], src[2], fence)
-        nh, nl = _mul2(sh_ref[j], sl_ref[j], *inner, fence)
-        nh, nl, ne = _renorm(nh, nl, se_ref[j])
-        sh_ref[j] = nh
-        sl_ref[j] = nl
-        se_ref[j] = ne
+        put(("s", j),
+            _dot3(glt[0], glt[1], glt[2], src[0], src[1], src[2], fence))
+
+    # Plane-wide accumulate: stack the per-slot inner pairs and fold them
+    # into the scratch with ONE df mul + renorm per 64-channel chunk (the
+    # per-channel RMW form serializes; a single full-width op blows the
+    # 16 MB scoped-VMEM limit on its transients at V=8, A=5)
+    for c0 in range(0, n_acc, chunk):
+        c1 = min(c0 + chunk, n_acc)
+        ih = jnp.stack([inners[i][0] for i in range(c0, c1)], axis=0)
+        il = jnp.stack([inners[i][1] for i in range(c0, c1)], axis=0)
+        nh, nl = _mul2(mh_ref[c0:c1], ml_ref[c0:c1], ih, il, fence)
+        nh, nl, ne = _renorm(nh, nl, me_ref[c0:c1])
+        mh_ref[c0:c1] = nh
+        ml_ref[c0:c1] = nl
+        me_ref[c0:c1] = ne
 
     @pl.when(s_step == n_s - 1)
     def _():
-        # butterfly-PRODUCT each accumulator plane over lanes; outputs are
-        # (mantissa hi, mantissa lo, exponent) — the caller takes the log
-        # in XLA (elementwise over (B, V*V*A), negligible there).
-        # Channels skipped by a0_sep emit the neutral (1, 0, 0) triple
-        # (log == 0; the caller overwrites them from the separable
-        # accumulators); sym_a mirror channels reuse the (k, j) butterfly.
-        def finish(mh, ml, me):
-            rh, rl, re = _lane_prod_df(mh, ml, me, fence)
-            return rh[:, 0], rl[:, 0], re[:, 0]
+        # Butterfly-PRODUCT over lanes, one chunk of the stacked scratch
+        # at a time (same VMEM-transient bound as the accumulate);
+        # outputs are (mantissa hi, mantissa lo, exponent) — the caller
+        # takes the log in XLA (elementwise over (B, V*V*A), negligible
+        # there). Channels skipped by a0_sep emit the neutral (1, 0, 0)
+        # triple (log == 0; the caller overwrites them from the separable
+        # accumulators); sym_a mirror channels reuse the (k, j) slot.
+        rows = []
+        for c0 in range(0, n_acc, chunk):
+            c1 = min(c0 + chunk, n_acc)
+            rh, rl, re = _lane_prod_df(
+                mh_ref[c0:c1], ml_ref[c0:c1], me_ref[c0:c1], fence, axis=2
+            )
+            rows += [(rh[i, :, 0], rl[i, :, 0], re[i, :, 0])
+                     for i in range(c1 - c0)]
 
-        def write(refs, planes, n, skip=None, mirror=None):
-            done = {}
+        def write(refs, picks):
+            one = jnp.ones_like(rows[0][0])
+            zero = jnp.zeros_like(one)
             cols = [[], [], []]
-            for i in range(n):
-                if skip is not None and skip(i):
-                    one = jnp.ones_like(planes[0][0, :, 0])
-                    zero = jnp.zeros_like(one)
-                    res = (one, zero, zero)
-                elif mirror is not None and mirror(i) is not None:
-                    res = done[mirror(i)]
-                else:
-                    res = finish(*[p[i] for p in planes])
-                done[i] = res
+            for key in picks:
+                res = (one, zero, zero) if key is None else rows[slot[key]]
                 for c, v in zip(cols, res):
                     c.append(v)
             for ref, c in zip(refs, cols):
                 while len(c) < ref.shape[1]:
-                    c.append(jnp.zeros_like(c[0]))
+                    c.append(zero)
                 ref[:] = jnp.stack(c, axis=1)
 
-        def ab_skip(i):
-            return a0_sep and i % A == 0
-
-        def ab_mirror(i):
+        def ab_pick(i):
             a = i % A
             jk = i // A
             j, k = jk // V, jk % V
+            if a0_sep and a == 0:
+                return None
             if sym_a == a and j > k:
-                return (k * V + j) * A + a
-            return None
+                return ("ab", k, j, a)
+            return ("ab", j, k, a)
 
         write((outh_ref, outl_ref, oute_ref),
-              (mh_ref, ml_ref, me_ref), V * V * A,
-              skip=ab_skip, mirror=ab_mirror)
+              [ab_pick(i) for i in range(V * V * A)])
         write((out0h_ref, out0l_ref, out0e_ref),
-              (m0h_ref, m0l_ref, m0e_ref), A,
-              skip=lambda a: a0_sep and a == 0)
-        write((outsh_ref, outsl_ref, outse_ref),
-              (sh_ref, sl_ref, se_ref), (3 * V + 3) if a0_sep else (V + 1))
+              [None if (a0_sep and a == 0) else ("m0", a)
+               for a in range(A)])
+        sing_picks = [("s", j) for j in range(V + 1)]
+        if a0_sep:
+            sing_picks += [("d", j) for j in range(V)]
+            sing_picks += [("gs", k) for k in range(V)]
+            sing_picks += [("u00",), ("g0s",)]
+        write((outsh_ref, outsl_ref, outse_ref), sing_picks)
 
 
 def _log_mantissa(mh, ml, ee):
@@ -378,6 +428,7 @@ def _call_pair_kernel_df(t_pair, gall, gl_pair, V, A, interpret,
     a0_sep = a0_zero and 3 * V + 3 <= 128
     n_sing = (3 * V + 3) if a0_sep else (V + 1)
     n_s = S // TS
+    n_acc = len(_acc_slots(V, A, a0_zero, a0_sep, sym_a)[0])
     w_ab = -(-(V * V * A) // 128) * 128
     kernel = functools.partial(_pair_kernel_df, V=V, A=A, n_s=n_s,
                                fence=bool(interpret), a0_zero=a0_zero,
@@ -395,15 +446,9 @@ def _call_pair_kernel_df(t_pair, gall, gl_pair, V, A, interpret,
         out_specs=[out_spec(w_ab)] * 3 + [out_spec(128)] * 6,
         out_shape=[shp(w_ab)] * 3 + [shp(128)] * 6,
         scratch_shapes=[
-            pltpu.VMEM((V * V * A, TB, TS), jnp.float32),
-            pltpu.VMEM((V * V * A, TB, TS), jnp.float32),
-            pltpu.VMEM((V * V * A, TB, TS), jnp.float32),
-            pltpu.VMEM((A, TB, TS), jnp.float32),
-            pltpu.VMEM((A, TB, TS), jnp.float32),
-            pltpu.VMEM((A, TB, TS), jnp.float32),
-            pltpu.VMEM((n_sing, TB, TS), jnp.float32),
-            pltpu.VMEM((n_sing, TB, TS), jnp.float32),
-            pltpu.VMEM((n_sing, TB, TS), jnp.float32),
+            pltpu.VMEM((n_acc, TB, TS), jnp.float32),
+            pltpu.VMEM((n_acc, TB, TS), jnp.float32),
+            pltpu.VMEM((n_acc, TB, TS), jnp.float32),
         ],
         interpret=interpret,
     )(th, tl, gall, slh, sll)
