@@ -51,9 +51,17 @@ def synth_csr(rng):
 
 
 def main():
+    import jax
+
     from demuxlet_tpu.utils.jaxcfg import enable_compilation_cache
 
     enable_compilation_cache()
+    jax.config.update("jax_enable_x64", True)  # match the CLI (f64 decide)
+    # backend init (~10s tunnel connect) overlaps workload generation,
+    # mirroring the CLI's early-init thread
+    import threading
+
+    threading.Thread(target=jax.devices, daemon=True).start()
     t0 = time.time()
     rng = np.random.default_rng(0)
     csr = synth_csr(rng)
@@ -75,12 +83,15 @@ def main():
 
     t0 = time.time()
     stats = cell_stats(csr)
+    t_stats = time.time() - t0
     s2 = io.StringIO()
     sb = io.StringIO()
     out_mod.write_pass2_compact(
         stats, csr.sample_ids, compact, grid, 0.5, s2, sb
     )
     t_out = time.time() - t0
+    print(f"#   (cell_stats {t_stats:.1f}s, render {t_out - t_stats:.1f}s)",
+          flush=True)
     total = t_gen * 0 + t_engine + t_out
     print(f"# outputs (.sing2/.best): {t_out:.1f}s", flush=True)
     print(

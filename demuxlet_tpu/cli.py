@@ -268,6 +268,14 @@ def main(argv=None) -> int:
             "jax.distributed initialized: process %d of %d (%s)",
             pid, n_procs, args.dist_coordinator,
         )
+    else:
+        # backend init (tunnel connect + device discovery) takes ~10s on
+        # remote backends; kick it off now so it overlaps VCF load and
+        # pileup ingest instead of stalling the first engine dispatch.
+        # (Must come after jax.distributed.initialize, hence the else.)
+        import threading
+
+        threading.Thread(target=jax.devices, daemon=True).start()
 
     grid_alpha = args.alpha if args.alpha else [0.0, 0.5]
     if not args.out:
@@ -351,31 +359,54 @@ def main(argv=None) -> int:
         )
 
     t_vcf_done = time.time()
+
+    # Build the engine on a worker thread while the BAM scan runs: its
+    # device-table uploads + (for mesh modes) sharded-step tracing ride
+    # the still-initializing backend instead of stalling after ingest.
+    eng_box: dict = {}
+
+    def _build_engine():
+        try:
+            from demuxlet_tpu.models.engine import DemuxEngine
+
+            dtype = jnp.float64 if args.precision == "f64" else jnp.float32
+            eng_box["eng"] = DemuxEngine(
+                table.gps,
+                grid_alpha,
+                cap_bq=args.cap_BQ,
+                cell_block=args.cell_block,
+                slot_chunk=args.slot_chunk,
+                dtype=dtype,
+                mesh=_build_mesh(args),
+                mode=args.mode,
+                exact_kernel=args.exact_kernel,
+            )
+        except BaseException as e:  # re-raised on join
+            eng_box["err"] = e
+
+    eng_thread = None
+    if args.mode != "parity":
+        import threading
+
+        eng_thread = threading.Thread(target=_build_engine, daemon=True)
+        eng_thread.start()
+
     scl, ctr = _ingest(args, table, group_set)
     ctr.report(scl.nbcs, scl.nsnps)
     t_ingest_done = time.time()
     notice("Phase timing: VCF load %.2fs, pileup ingest %.2fs",
            t_vcf_done - t_start, t_ingest_done - t_vcf_done)
 
-    from demuxlet_tpu.models.engine import DemuxEngine, EngineResult, cell_stats
+    from demuxlet_tpu.models.engine import EngineResult, cell_stats
     from demuxlet_tpu.models import outputs as out_mod
 
     notice("Starting to identify best matching individual IDs")
     if args.mode == "parity":
         return _run_parity(args, scl, table, grid_alpha, t_start)
-    dtype = jnp.float64 if args.precision == "f64" else jnp.float32
-    mesh = _build_mesh(args)
-    eng = DemuxEngine(
-        table.gps,
-        grid_alpha,
-        cap_bq=args.cap_BQ,
-        cell_block=args.cell_block,
-        slot_chunk=args.slot_chunk,
-        dtype=dtype,
-        mesh=mesh,
-        mode=args.mode,
-        exact_kernel=args.exact_kernel,
-    )
+    eng_thread.join()
+    if "err" in eng_box:
+        raise eng_box["err"]
+    eng = eng_box["eng"]
     if args.profile:
         jax.profiler.start_trace(args.profile)
     t_eng = time.time()

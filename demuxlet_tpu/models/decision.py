@@ -73,7 +73,12 @@ def decide(llk_ab, llk_00, dbl_w, dbl_msk, doublet_prior):
     dbl_w/dbl_msk (V,V,A) host-built. Returns a dict of per-cell arrays."""
     B, V, _, A = llk_ab.shape
     flat = llk_ab.reshape(B, -1)
-    max_llk = jnp.maximum(jnp.max(flat, axis=1), -1e300)
+    # -1e300 seed (:476-501); f32 can't hold it — finfo.min is the same
+    # floor for any finite f32 and avoids an overflow-on-cast warning
+    seed = -1e300 if flat.dtype == jnp.float64 else float(
+        np.finfo(np.dtype(flat.dtype)).min
+    )
+    max_llk = jnp.maximum(jnp.max(flat, axis=1), seed)
     sing_col = llk_ab[:, :, 0, 0]
     sum_single = (
         jnp.sum(jnp.exp(sing_col - max_llk[:, None]), axis=1)
@@ -86,7 +91,7 @@ def decide(llk_ab, llk_00, dbl_w, dbl_msk, doublet_prior):
     i1 = jnp.argmax(sing_col, axis=1)
     masked = sing_col.at[jnp.arange(B), i1].set(-jnp.inf)
     i2 = jnp.argmax(masked, axis=1)
-    max2 = jnp.maximum(masked[jnp.arange(B), i2], -1e300)
+    max2 = jnp.maximum(masked[jnp.arange(B), i2], seed)
     flat_masked = jnp.where(dbl_msk.reshape(-1)[None, :], flat, -jnp.inf)
     best = jnp.argmax(flat_masked, axis=1)
     jb = best // (V * A)

@@ -383,10 +383,15 @@ class DemuxEngine:
             a0_zero=self.grid_alpha[0] == 0.0, sym_a=sym_a,
         )
 
-    def run_compact(self, scl, doublet_prior: float, pipeline_depth: int = 3):
+    def run_compact(self, scl, doublet_prior: float, pipeline_depth: int = 1):
         """Fast-mode pipeline with the device-side decision pass (kernel 3):
         returns (llks, llk0s, decision.CompactResult). ~16x less
-        device->host traffic than run(); requires mode == 'fast'."""
+        device->host traffic than run(); requires mode == 'fast'.
+
+        pipeline_depth = outstanding D2H readbacks. 1 measures ~1.6x
+        faster than 3 on the tunneled backend (deeper D2H queues contend
+        with the next blocks' H2D on the serialized relay; compute still
+        overlaps at depth 1 — benchmarks/probe_h2d.py)."""
         from concurrent.futures import ThreadPoolExecutor
 
         from demuxlet_tpu.host.csr import CsrPileup, build_codes_block
@@ -480,7 +485,7 @@ class DemuxEngine:
     def run(
         self,
         scl: PileupData,
-        pipeline_depth: int = 3,
+        pipeline_depth: int = 1,
         spool_dir: Optional[str] = None,
     ) -> EngineResult:
         """Run all barcode blocks; device dispatch is pipelined — the next
