@@ -35,7 +35,7 @@ NSNPS = 8192
 CAP_BQ = 40
 
 BASE_CELLS = int(os.environ.get("BENCH_BASE_CELLS", "256"))
-TPU_BLOCK = int(os.environ.get("BENCH_TPU_BLOCK", "1024"))
+TPU_BLOCK = int(os.environ.get("BENCH_TPU_BLOCK", "2048"))
 TPU_ITERS = int(os.environ.get("BENCH_TPU_ITERS", "8"))
 SLOT_CHUNK = int(os.environ.get("BENCH_SLOT_CHUNK", "128"))
 DTYPE_NAME = os.environ.get("BENCH_DTYPE", "f64")
@@ -145,12 +145,19 @@ def measure_tpu() -> dict:
         out = fn(*args)
         float(out)  # compile + settle
         run(iters)  # warm the dispatch path
-        t1 = run(iters)
-        t2 = run(2 * iters)
-        dt = (t2 - t1) / iters
-        # noise guard: never report faster than the raw 2N-run average
-        # minus the whole fixed cost could justify (dt <= 0 => raw avg)
-        return dt if dt > 0 else t2 / (2 * iters)
+        # the relay's throughput drifts minute to minute; a single
+        # two-point pair is a noisy difference estimator, so take the
+        # median of three pairs (min would bias a difference low)
+        ests = []
+        for _ in range(3):
+            t1 = run(iters)
+            t2 = run(2 * iters)
+            dt = (t2 - t1) / iters
+            # noise guard: never report faster than the raw 2N-run
+            # average could justify (dt <= 0 => raw avg)
+            ests.append(dt if dt > 0 else t2 / (2 * iters))
+        ests.sort()
+        return ests[1]
 
     # ---- fast mode: f32 Pallas kernel (production config: channel-deduped
     # mixture table, pallas_pair.dedup_channels)

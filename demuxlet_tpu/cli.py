@@ -213,7 +213,9 @@ def build_parser() -> argparse.ArgumentParser:
             "auto picks pallas on TPU"
         ),
     )
-    g.add_argument("--cell-block", type=int, default=1024, help="Cells per device batch")
+    g.add_argument("--cell-block", type=int, default=2048,
+                   help="Cells per device batch (2048 peaks both Pallas "
+                        "kernels' throughput on v5e; 4096 regresses)")
     g.add_argument(
         "--slot-chunk", type=int, default=512, help="SNP-slot chunk per scan step"
     )
