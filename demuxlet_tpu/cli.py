@@ -414,8 +414,13 @@ def main(argv=None) -> int:
     t_eng = time.time()
     genome_sharded = args.shard_by == "genome" and args.num_shards > 1
     compact = None
-    if (args.mode == "fast" and not args.write_pair and not args.spool
-            and not genome_sharded):
+    use_compact = (
+        not args.write_pair and not args.spool and not genome_sharded
+        and (args.mode == "fast"
+             or (args.mode == "exact" and eng.use_exact_pallas
+                 and eng.mesh is None))
+    )
+    if use_compact:
         # device-side decision pass: ~16x less device->host traffic
         llks_c, llk0s_c, compact = eng.run_compact(scl, args.doublet_prior)
     else:

@@ -180,6 +180,47 @@ def compact_step_body(
     return jnp.concatenate(cols, axis=1)
 
 
+def compact_step_body_exact(
+    codes, idx, msk, gps_pair, gp0_pair, tabs, dbl_w, dbl_msk,
+    meta, n_alpha, n_samples, doublet_prior, interpret=False,
+    a0_zero=False, sym_a=None, wire=None,
+):
+    """Exact-mode (df32 Pallas) fused block step + device decision pass,
+    packed like compact_step_body. The df (hi, lo) LLK pairs combine to
+    f64 ON DEVICE (hi + lo in f64 is exact — identical values to the host
+    combine), so exact mode ships ~30 f64 scalars per cell instead of the
+    nine padded df output planes (~14 MB/2048-block on the wire).
+
+    The decision comparisons/argmaxes are exact; the exp-sum posteriors
+    use the device's f64 exp, whose ulp-level deviation from the host
+    libm is ~6 orders below the df32 kernel's own ~1e-10 contract."""
+    from demuxlet_tpu.ops import pallas_pair_exact as PE
+
+    llk, llk0, llk_ab, llk_00 = PE.demux_block_exact_impl(
+        codes, idx, msk, gps_pair, gp0_pair, tabs, meta,
+        n_alpha, n_samples, interpret=interpret, a0_zero=a0_zero,
+        sym_a=sym_a, wire=wire,
+    )
+
+    def comb(pair):
+        return pair[0].astype(jnp.float64) + pair[1].astype(jnp.float64)
+
+    out = decide(comb(llk_ab), comb(llk_00), dbl_w, dbl_msk, doublet_prior)
+    cols = [out["sing_col"], out["llk_00"]]
+    for k in _PACK_KEYS:
+        cols.append(out[k].astype(jnp.float64)[:, None])
+    cols.append(comb(llk))
+    cols.append(comb(llk0)[:, None])
+    return jnp.concatenate(cols, axis=1)
+
+
+demux_block_exact_compact = jax.jit(
+    compact_step_body_exact,
+    static_argnames=("meta", "n_alpha", "n_samples", "doublet_prior",
+                     "interpret", "a0_zero", "sym_a", "wire"),
+)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("n_alpha", "n_samples", "doublet_prior", "interpret",

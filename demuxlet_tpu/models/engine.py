@@ -272,13 +272,6 @@ class DemuxEngine:
             idx = (u[:, 0::2] | (u[:, 1::2] << 16)).view(np.int32)
         return codes, idx, None
 
-    def _run_block_fast(self, scl, cells):
-        from demuxlet_tpu.host.csr import build_codes_block
-
-        return self._dispatch_fast(self._shrink_codes_blk(build_codes_block(
-            scl, cells, cap_bq=self.cap_bq, pad_cells_to=self.cell_block
-        )))
-
     def _fast_tables(self):
         """Deduped fast-path LUTs: the A*9 mixture columns collapse to the
         unique p-value columns (pallas_pair.dedup_channels) — the kernel
@@ -334,15 +327,8 @@ class DemuxEngine:
             wire=wire,
         )
 
-    def _run_block_exact_pallas(self, scl, cells):
-        from demuxlet_tpu.host.csr import build_codes_block
-
-        return self._dispatch_exact_pallas(build_codes_block(
-            scl, cells, cap_bq=self.cap_bq, pad_cells_to=self.cell_block
-        ))
-
-    def _dispatch_exact_pallas(self, codes_blk):
-        """Exact-mode df32 Pallas block step (codes path, like fast)."""
+    def _exact_tables(self):
+        """Device-resident df tables for the exact Pallas path (cached)."""
         from demuxlet_tpu.ops import pallas_pair_exact as PE
 
         if self._df_tables is None:
@@ -355,10 +341,20 @@ class DemuxEngine:
                 tuple(jnp.asarray(p) for p in tabs),
                 meta,
             )
-        gps_pair, gp0_pair, tabs, meta = self._df_tables
+        return self._df_tables
+
+    def _dispatch_exact_pallas(self, codes_blk):
+        """Exact-mode df32 Pallas block step (codes path, like fast)."""
+        from demuxlet_tpu.ops import pallas_pair_exact as PE
+
+        gps_pair, gp0_pair, tabs, meta = self._exact_tables()
         codes, idx, msk = codes_blk
         interpret = jax.default_backend() != "tpu"
         sym_a = self._sym_a()
+        wire = None
+        if msk is None and isinstance(idx, tuple):
+            codes, wire = _to_wire(codes, idx)
+            idx = None
         if self.mesh is not None:
             if self._sharded_exact_pallas is None:
                 from demuxlet_tpu.parallel import mesh as pmesh
@@ -377,10 +373,12 @@ class DemuxEngine:
                 tabs[0], tabs[1], tabs[2],
             )
         return PE.demux_block_exact(
-            jnp.asarray(codes), jnp.asarray(idx), jnp.asarray(msk),
+            jnp.asarray(codes),
+            None if idx is None else _dev(idx),
+            None if msk is None else jnp.asarray(msk),
             gps_pair, gp0_pair, tabs, meta,
             self.n_alpha, self.nv, interpret=interpret,
-            a0_zero=self.grid_alpha[0] == 0.0, sym_a=sym_a,
+            a0_zero=self.grid_alpha[0] == 0.0, sym_a=sym_a, wire=wire,
         )
 
     def run_compact(self, scl, doublet_prior: float, pipeline_depth: int = 1):
@@ -391,16 +389,29 @@ class DemuxEngine:
         pipeline_depth = outstanding D2H readbacks. 1 measures ~1.6x
         faster than 3 on the tunneled backend (deeper D2H queues contend
         with the next blocks' H2D on the serialized relay; compute still
-        overlaps at depth 1 — benchmarks/probe_h2d.py)."""
+        overlaps at depth 1 — benchmarks/probe_h2d.py).
+
+        Exact mode (use_exact_pallas, single device) also routes here:
+        the df LLK pairs combine to f64 and feed the same device decision
+        pass (decision.compact_step_body_exact), cutting the exact-mode
+        D2H from the nine padded df planes (~14 MB/2048-block) to the
+        packed rows."""
         from concurrent.futures import ThreadPoolExecutor
 
         from demuxlet_tpu.host.csr import CsrPileup, build_codes_block
         from demuxlet_tpu.models import decision as D
 
-        assert self.mode == "fast", "run_compact is the fast-mode path"
+        exact = self.mode == "exact" and self.use_exact_pallas
+        assert self.mode == "fast" or exact, (
+            "run_compact needs mode='fast' or the exact Pallas kernel"
+        )
+        assert not (exact and self.mesh is not None), (
+            "exact compact is single-device; use run() with a mesh"
+        )
         if not hasattr(scl, "cell_ptr"):
             scl = CsrPileup.from_pileup(scl)
-        w_ext, logf_ext, expand = self._fast_tables()
+        if not exact:
+            w_ext, logf_ext, expand = self._fast_tables()
         dbl_w = jnp.asarray(
             D.doublet_weights(self.nv, self.grid_alpha, doublet_prior)
         )
@@ -439,6 +450,26 @@ class DemuxEngine:
             for cells, (codes, idx, msk) in _prefetched(
                 prep_pool, prep, blocks
             ):
+                if exact:
+                    gps_pair, gp0_pair, tabs, meta = self._exact_tables()
+                    wire = None
+                    if msk is None and isinstance(idx, tuple):
+                        codes, wire = _to_wire(codes, idx)
+                        idx = None
+                    packed = D.demux_block_exact_compact(
+                        jnp.asarray(codes),
+                        None if idx is None else _dev(idx),
+                        None if msk is None else jnp.asarray(msk),
+                        gps_pair, gp0_pair, tabs,
+                        dbl_w, dbl_msk, meta, self.n_alpha, self.nv,
+                        doublet_prior, interpret=interpret,
+                        a0_zero=self.grid_alpha[0] == 0.0,
+                        sym_a=self._sym_a(), wire=wire,
+                    )
+                    pending.append(pool.submit(fetch, cells, packed))
+                    while len(pending) > pipeline_depth:
+                        parts.append(pending.pop(0).result())
+                    continue
                 if self.mesh is not None:
                     if (
                         self._sharded_compact is None
@@ -565,12 +596,10 @@ class DemuxEngine:
             if self.mode == "fast" or self.use_exact_pallas:
                 from demuxlet_tpu.host.csr import build_codes_block
 
-                blk = build_codes_block(
+                blk = self._shrink_codes_blk(build_codes_block(
                     scl, cells, cap_bq=self.cap_bq,
                     pad_cells_to=self.cell_block,
-                )
-                if self.mode == "fast":
-                    blk = self._shrink_codes_blk(blk)
+                ))
                 return cells, ("codes", blk)
             blk = build_slots(scl, cells, cap_bq=self.cap_bq)
             blk = _pad_block(blk, self.cell_block, _bucket(blk.idx.shape[1]))

@@ -53,31 +53,39 @@ def write_single(
 ) -> None:
     nv = len(sample_ids)
     fh.write("BARCODE\tSM_ID\tRD.TOTL\tRD.PASS\tRD.UNIQ\tN.SNP\tLLK1\tLLK0\tPOSTPRB\n")
+    # hoisted plain-Python views (see write_pass2_compact) — bytes unchanged
+    l_totl = np.asarray(stats.totl).tolist()
+    l_pass = np.asarray(stats.pass_).tolist()
+    l_uniq = np.asarray(stats.uniq).tolist()
+    l_nsnp = np.asarray(stats.nsnp).tolist()
+    l_llks = np.asarray(llks, np.float64).tolist()
+    l_llk0 = np.asarray(llk0s, np.float64).tolist()
+    log, exp = math.log, math.exp
+    lines: List[str] = []
     for bc, c in stats.bc_order():
-        if not _passes(stats, c, min_total, min_uniq, min_snp):
+        totl, uniq, nsnp = l_totl[c], l_uniq[c], l_nsnp[c]
+        if totl < min_total or uniq < min_uniq or nsnp < min_snp:
             continue
+        pass_ = l_pass[c]
+        row = l_llks[c]
+        llk0 = l_llk0[c]
         sum_llk = -1e300
         for j in range(nv):
-            cur = llks[c, j]
+            cur = row[j]
             if sum_llk > cur:
-                sum_llk = sum_llk + math.log(1.0 + math.exp(cur - sum_llk))
+                sum_llk = sum_llk + log(1.0 + exp(cur - sum_llk))
             else:
-                sum_llk = cur + math.log(1.0 + math.exp(sum_llk - cur))
+                sum_llk = cur + log(1.0 + exp(sum_llk - cur))
         for j in range(nv):
-            fh.write(
+            lines.append(
                 "%s\t%s\t%d\t%d\t%d\t%d\t%.5f\t%.5f\t%.3g\n"
-                % (
-                    bc,
-                    sample_ids[j],
-                    stats.totl[c],
-                    stats.pass_[c],
-                    stats.uniq[c],
-                    stats.nsnp[c],
-                    llks[c, j],
-                    llk0s[c],
-                    math.exp(llks[c, j] - sum_llk),
-                )
+                % (bc, sample_ids[j], totl, pass_, uniq, nsnp,
+                   row[j], llk0, exp(row[j] - sum_llk))
             )
+        if len(lines) >= 65536:
+            fh.write("".join(lines))
+            lines.clear()
+    fh.write("".join(lines))
 
 
 def write_pass2(
@@ -312,94 +320,104 @@ def write_pass2_compact(
         "SNG.2ND\tSNG.LLK2\tSNG.LLK0\tDBL.1ST\tDBL.2ND\tALPHA\tLLK12\tLLK1\t"
         "LLK2\tLLK10\tLLK20\tLLK00\tPRB.DBL\tPRB.SNG1\n"
     )
+    # hoist every per-cell numpy access to plain Python lists once — numpy
+    # scalar indexing + %-formatting per row dominated the render at 100K
+    # cells; bytes are unchanged (same floats, same format ops)
     C = compact
+    l_totl = np.asarray(stats.totl).tolist()
+    l_pass = np.asarray(stats.pass_).tolist()
+    l_uniq = np.asarray(stats.uniq).tolist()
+    l_nsnp = np.asarray(stats.nsnp).tolist()
+    l_max_llk = np.asarray(C.max_llk, np.float64).tolist()
+    l_sum_single = np.asarray(C.sum_single, np.float64).tolist()
+    l_sum_double = np.asarray(C.sum_double, np.float64).tolist()
+    l_sing_col = np.asarray(C.sing_col, np.float64).tolist()
+    l_llk00 = np.asarray(C.llk_00, np.float64).tolist()
+    l_i1 = np.asarray(C.i_sing1).tolist()
+    l_i2 = np.asarray(C.i_sing2).tolist()
+    l_max2 = np.asarray(C.max_sing2, np.float64).tolist()
+    l_best = np.asarray(C.best_flat).tolist()
+    l_p12 = np.asarray(C.pair_llk12, np.float64).tolist()
+    l_p10 = np.asarray(C.pair_llk10, np.float64).tolist()
+    l_p20 = np.asarray(C.pair_llk20, np.float64).tolist()
+    w_sng = (1.0 - doublet_prior) / nv
+    exp = math.exp
+    lines2: List[str] = []
+    linesb: List[str] = []
     for bc, i in stats.bc_order():
-        if not _passes(stats, i, min_total, min_uniq, min_snp):
+        totl, uniq, nsnp = l_totl[i], l_uniq[i], l_nsnp[i]
+        if totl < min_total or uniq < min_uniq or nsnp < min_snp:
             continue
-        if stats.nsnp[i] == 0:
+        if nsnp == 0:
             continue
-        max_llk = C.max_llk[i]
-        sum_single = C.sum_single[i]
-        sum_double = C.sum_double[i]
-        z0_0 = C.llk_00[i, 0]
+        pass_ = l_pass[i]
+        max_llk = l_max_llk[i]
+        sum_single = l_sum_single[i]
+        sum_double = l_sum_double[i]
+        sing = l_sing_col[i]
+        z0_0 = l_llk00[i][0]
         for j in range(nv):
-            v = C.sing_col[i, j]
-            wsing2.write(
+            v = sing[j]
+            lines2.append(
                 "%s\t%s\t%d\t%d\t%d\t%d\t%.4f\t%.4f\t%.3g\n"
-                % (
-                    bc,
-                    sample_ids[j],
-                    stats.totl[i],
-                    stats.pass_[i],
-                    stats.uniq[i],
-                    stats.nsnp[i],
-                    v,
-                    z0_0,
-                    math.exp(v - max_llk) * (1.0 - doublet_prior) / nv / sum_single,
-                )
+                % (bc, sample_ids[j], totl, pass_, uniq, nsnp, v, z0_0,
+                   exp(v - max_llk) * w_sng / sum_single)
             )
-        i_sing1 = int(C.i_sing1[i])
-        i_sing2 = int(C.i_sing2[i])
-        best = int(C.best_flat[i])
+        i_sing1 = l_i1[i]
+        i_sing2 = l_i2[i]
+        best = l_best[i]
         j_best, k_best, alpha_best = (
             best // (nv * na),
             (best // na) % nv,
             best % na,
         )
-        sing_llk1 = C.sing_col[i, i_sing1]
-        sing_llk2 = float(C.max_sing2[i])
-        pair_llk12 = C.pair_llk12[i]
-        pair_llk1 = C.sing_col[i, j_best]
-        pair_llk2 = C.sing_col[i, k_best]
-        pair_llk10 = C.pair_llk10[i]
-        pair_llk20 = C.pair_llk20[i]
-        pair_llk00 = C.llk_00[i, alpha_best]
+        sing_llk1 = sing[i_sing1]
+        sing_llk2 = l_max2[i]
+        pair_llk12 = l_p12[i]
+        pair_llk1 = sing[j_best]
+        pair_llk2 = sing[k_best]
         post_dbl = sum_double / (sum_single + sum_double)
-        post_sng = (
-            math.exp(sing_llk1 - max_llk) * (1.0 - doublet_prior) / nv / sum_single
-        )
-        wbest.write(
-            "%s\t%d\t%d\t%d\t%d\t"
-            % (bc, stats.totl[i], stats.pass_[i], stats.uniq[i], stats.nsnp[i])
-        )
+        post_sng = exp(sing_llk1 - max_llk) * w_sng / sum_single
         if (
             pair_llk12 > pair_llk1
             and pair_llk12 > pair_llk2
             and pair_llk12 > sing_llk1 + 2
         ):
-            wbest.write(
-                "DBL-%s-%s-%.3f"
-                % (sample_ids[j_best], sample_ids[k_best], grid_alpha[alpha_best])
+            call = "DBL-%s-%s-%.3f" % (
+                sample_ids[j_best], sample_ids[k_best],
+                grid_alpha[alpha_best],
             )
         elif sing_llk1 > sing_llk2 + 2:
-            wbest.write("SNG-%s" % sample_ids[i_sing1])
+            call = "SNG-%s" % sample_ids[i_sing1]
         else:
-            wbest.write(
-                "AMB-%s-%s-%s/%s"
-                % (
-                    sample_ids[i_sing1],
-                    sample_ids[i_sing2],
-                    sample_ids[j_best],
-                    sample_ids[k_best],
-                )
+            call = "AMB-%s-%s-%s/%s" % (
+                sample_ids[i_sing1], sample_ids[i_sing2],
+                sample_ids[j_best], sample_ids[k_best],
             )
-        wbest.write("\t%s\t%.4f" % (sample_ids[i_sing1], sing_llk1))
-        wbest.write(
-            "\t%s\t%.4f\t%.4f" % (sample_ids[i_sing2], sing_llk2, z0_0)
-        )
-        wbest.write(
+        linesb.append(
+            "%s\t%d\t%d\t%d\t%d\t%s\t%s\t%.4f\t%s\t%.4f\t%.4f"
             "\t%s\t%s\t%.3f\t%.4f\t%.4f\t%.4f\t%.4f\t%.4f\t%.4f\t%.3g\t%.3g\n"
             % (
+                bc, totl, pass_, uniq, nsnp, call,
+                sample_ids[i_sing1], sing_llk1,
+                sample_ids[i_sing2], sing_llk2, z0_0,
                 sample_ids[j_best],
                 sample_ids[k_best],
                 grid_alpha[alpha_best],
                 pair_llk12,
                 pair_llk1,
                 pair_llk2,
-                pair_llk10,
-                pair_llk20,
-                pair_llk00,
+                l_p10[i],
+                l_p20[i],
+                l_llk00[i][alpha_best],
                 post_dbl,
                 post_sng,
             )
         )
+        if len(lines2) >= 65536:
+            wsing2.write("".join(lines2))
+            wbest.write("".join(linesb))
+            lines2.clear()
+            linesb.clear()
+    wsing2.write("".join(lines2))
+    wbest.write("".join(linesb))

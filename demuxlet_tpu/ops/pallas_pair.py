@@ -356,6 +356,44 @@ def _call_pair_kernel(t, gps_t, V, A, interpret, a0_sep=False, sym_a=None,
     return out_ab, out_00
 
 
+def unpack_block_inputs(codes, idx, msk, wire):
+    """Device-side unpack of the shipped block forms, shared by the fast
+    and exact block steps (see demux_block_fast_impl's docstring for the
+    wire / delta-idx / packed-idx encodings and the 254-marker msk
+    contract). Returns (codes (B,S,U) u8, idx (B,S) i32, msk (B,S) bool).
+    """
+    if wire is not None:
+        S, U, K = wire
+        B = codes.shape[0]
+        nc, nd = S * U // 4, S // 4
+        bytes_c = jax.lax.bitcast_convert_type(codes[:, :nc], jnp.uint8)
+        d8 = jax.lax.bitcast_convert_type(
+            codes[:, nc : nc + nd], jnp.uint8
+        ).reshape(B, S)
+        base = codes[:, nc + nd]
+        fix_pos = codes[:, nc + nd + 1 : nc + nd + 1 + K]
+        fix_val = codes[:, nc + nd + 1 + K : nc + nd + 1 + 2 * K]
+        codes = bytes_c.reshape(B, S, U)
+        idx = (d8, base, fix_pos, fix_val)
+    B, S, U = codes.shape
+    if msk is None:
+        msk = jnp.any(codes != jnp.uint8(255), axis=-1)
+    if isinstance(idx, (tuple, list)):
+        d, base, fix_pos, fix_val = idx
+        d32 = d.astype(jnp.int32)
+        # dummy fixes carry (pos=0, val=0): slot 0's delta is always 0
+        # (idx[:,0] == base), so the scatter-add no-ops there
+        d32 = d32.at[jnp.arange(B)[:, None], fix_pos].add(fix_val)
+        idx = base[:, None].astype(jnp.int32) + jnp.cumsum(d32, axis=1)
+    elif idx.shape[1] == S // 2 and S > 1:
+        u = jax.lax.bitcast_convert_type(idx.astype(jnp.int32), jnp.uint32)
+        pair = jnp.stack([u & 0xFFFF, u >> 16], axis=-1)
+        idx = pair.reshape(B, S).astype(jnp.int32)
+    else:
+        idx = idx.astype(jnp.int32)
+    return codes, idx, msk
+
+
 def demux_block_fast_impl(
     codes, idx, msk, gps_table, gp0_table, w_ext, logf_ext,
     n_alpha, n_samples, interpret=False, a0_sep=False, sym_a=None,
@@ -395,36 +433,9 @@ def demux_block_fast_impl(
     contraction) runs on device in one jit — the host ships only the compact
     codes. Transfer: B*S*U bytes vs B*S*NB*4 for dense counts.
     """
-    if wire is not None:
-        S, U, K = wire
-        B = codes.shape[0]
-        nc, nd = S * U // 4, S // 4
-        bytes_c = jax.lax.bitcast_convert_type(codes[:, :nc], jnp.uint8)
-        d8 = jax.lax.bitcast_convert_type(
-            codes[:, nc : nc + nd], jnp.uint8
-        ).reshape(B, S)
-        base = codes[:, nc + nd]
-        fix_pos = codes[:, nc + nd + 1 : nc + nd + 1 + K]
-        fix_val = codes[:, nc + nd + 1 + K : nc + nd + 1 + 2 * K]
-        codes = bytes_c.reshape(B, S, U)
-        idx = (d8, base, fix_pos, fix_val)
+    codes, idx, msk = unpack_block_inputs(codes, idx, msk, wire)
     B, S, U = codes.shape
     V, A = n_samples, n_alpha
-    if msk is None:
-        msk = jnp.any(codes != jnp.uint8(255), axis=-1)
-    if isinstance(idx, (tuple, list)):
-        d, base, fix_pos, fix_val = idx
-        d32 = d.astype(jnp.int32)
-        # dummy fixes carry (pos=0, val=0): slot 0's delta is always 0
-        # (idx[:,0] == base), so the scatter-add no-ops there
-        d32 = d32.at[jnp.arange(B)[:, None], fix_pos].add(fix_val)
-        idx = base[:, None].astype(jnp.int32) + jnp.cumsum(d32, axis=1)
-    elif idx.shape[1] == S // 2 and S > 1:
-        u = jax.lax.bitcast_convert_type(idx.astype(jnp.int32), jnp.uint32)
-        pair = jnp.stack([u & 0xFFFF, u >> 16], axis=-1)
-        idx = pair.reshape(B, S).astype(jnp.int32)
-    else:
-        idx = idx.astype(jnp.int32)
     none_row = w_ext.shape[0] - 1
     c = jnp.where(codes >= 254, jnp.uint8(none_row), codes).astype(jnp.int32)
     C = w_ext.shape[1]

@@ -681,20 +681,29 @@ def split_tables(gps, gp0, w, logf):
 def demux_block_exact_impl(
     codes, idx, msk, gps_pair, gp0_pair, tabs, meta,
     n_alpha, n_samples, interpret=False, a0_zero=False, sym_a=None,
+    wire=None,
 ):
     """Fused exact-mode (df32) block step.
 
-    codes (B,S,U) uint8 (255 = none); idx (B,S) int32; msk (B,S) bool;
-    gps_pair ((NS,V,3) hi, lo); gp0_pair ((NS,3) hi, lo); tabs/meta from
-    split_tables (pair-code product LUT + static channel-dedup maps).
+    codes (B,S,U) uint8 (255 = none; 254 = the shrunk-block empty-valid
+    marker, same contract as the fast path); idx (B,S) int32 or any
+    shipped form pallas_pair.unpack_block_inputs accepts (u8-delta tuple,
+    16-bit pairs); msk (B,S) bool or None (derived from codes); wire:
+    static (S, U, K) when codes is the fused int32 wire buffer (engine
+    _to_wire). gps_pair ((NS,V,3) hi, lo); gp0_pair ((NS,3) hi, lo);
+    tabs/meta from split_tables (pair-code product LUT + static
+    channel-dedup maps).
     Returns df pairs: (llk (B,V), llk0 (B,), llk_ab (B,V,V,A), llk00 (B,A)),
     each as (hi, lo) f32 — combine to f64 on the host."""
+    from demuxlet_tpu.ops.pallas_pair import unpack_block_inputs
+
+    codes, idx, msk = unpack_block_inputs(codes, idx, msk, wire)
     B, S, U = codes.shape
     V, A = n_samples, n_alpha
     C, expand_w, expand_gl = meta
     n_rows = int(round(np.sqrt(tabs[0].shape[0])))
     none_row = n_rows - 1
-    c = jnp.where(codes == 255, jnp.uint8(none_row), codes).astype(jnp.int32)
+    c = jnp.where(codes >= 254, jnp.uint8(none_row), codes).astype(jnp.int32)
 
     mh, ml, ef = _pair_prod_gather(tabs, c, n_rows)  # (C,B,S)
     w_used = sorted(set(expand_w))
@@ -746,7 +755,7 @@ def demux_block_exact_impl(
 demux_block_exact = jax.jit(
     demux_block_exact_impl,
     static_argnames=("meta", "n_alpha", "n_samples", "interpret", "a0_zero",
-                     "sym_a"),
+                     "sym_a", "wire"),
 )
 
 

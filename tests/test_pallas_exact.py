@@ -148,6 +148,46 @@ def test_exact_pallas_cli_byte_parity(tmp_path):
         assert got == want, f"{ext} differs between pallas-df32 and XLA f64"
 
 
+def test_exact_compact_matches_full_run():
+    """Exact-mode run_compact (device decision pass over f64-combined df
+    pairs) matches run() + host compact_from_result: argmax/llk fields
+    exactly, exp-sum posteriors to ~1e-12 relative (device vs host exp
+    ulp — far below the %.3g printed precision and the df32 1e-10
+    contract)."""
+    import random
+
+    from demuxlet_tpu.models import decision as D
+    from demuxlet_tpu.models.engine import DemuxEngine
+    from oracle.numpy_oracle import PileupData
+
+    nv, nsnps, ncells, grid = 3, 40, 10, [0.0, 0.5]
+    rng = random.Random(5)
+    g = np.random.RandomState(5).dirichlet([2, 2, 2], size=(nsnps, nv))
+    scl = PileupData([f"S{i}" for i in range(nv)],
+                     [g[i] for i in range(nsnps)])
+    for c in range(ncells):
+        scl.add_cell(f"BC{c:03d}")
+        for _ in range(60):
+            s = rng.randrange(nsnps)
+            scl.cell_totl[c] += 1
+            scl.add_read(s, c, f"U{rng.randrange(10000)}",
+                         rng.choice([0, 0, 1, 1, 2]), rng.randrange(13, 41))
+    gps = np.stack(scl.snp_gps)
+    eng = DemuxEngine(gps, grid, cell_block=16, exact_kernel="pallas")
+    assert eng.use_exact_pallas
+    res = eng.run(scl)
+    want = D.compact_from_result(res.llk_ab, res.llk_00, grid, 0.5)
+    llks_c, llk0s_c, got = eng.run_compact(scl, doublet_prior=0.5)
+    np.testing.assert_array_equal(llks_c, res.llks)
+    np.testing.assert_array_equal(llk0s_c, res.llk0s)
+    for f in ("sing_col", "llk_00", "max_llk", "max_sing2", "pair_llk12",
+              "pair_llk10", "pair_llk20", "i_sing1", "i_sing2", "best_flat"):
+        np.testing.assert_array_equal(getattr(got, f), getattr(want, f), f)
+    for f in ("sum_single", "sum_double"):
+        np.testing.assert_allclose(
+            getattr(got, f), getattr(want, f), rtol=1e-12, err_msg=f)
+
+
 @pytest.mark.parametrize("seed", [1])
 def test_exact_pallas_a0_zero_factorization(seed):
     """a0_zero=True (engine path for grids starting at alpha=0) agrees
