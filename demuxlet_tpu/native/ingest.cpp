@@ -357,6 +357,121 @@ static bool parse_bai_starts(const std::string& bam_path, int n_ref,
   return true;
 }
 
+// ---------------------------------------------------------------- CSI
+// CSI fallback when no .bai exists (large chromosomes >2^29 bp can only
+// be indexed as CSI; htslib reads either, so must we). Same consumer
+// contract as parse_bai_starts: per-ref smallest virtual offset plus a
+// synthetic 16kb-granular linear index. CSI carries no linear index —
+// each bin instead records loff, the virtual offset of its first
+// overlapping record — so the 16kb windows are filled from leaf-bin
+// loffs (a leaf covers 2^min_shift bp; seeking to the loff of the leaf
+// containing a window start can only land earlier, never skip reads).
+// CSI files are BGZF-compressed, unlike raw BAI.
+static bool parse_csi_starts(const std::string& bam_path, int n_ref,
+                             std::vector<uint64_t>* starts,
+                             std::vector<std::vector<uint64_t>>* linear =
+                                 nullptr) {
+  std::string p1 = bam_path + ".csi";
+  FILE* probe = fopen(p1.c_str(), "rb");
+  if (!probe) {
+    size_t dot = bam_path.rfind(".bam");
+    if (dot == std::string::npos) return false;
+    p1 = bam_path.substr(0, dot) + ".csi";
+    probe = fopen(p1.c_str(), "rb");
+    if (!probe) return false;
+  }
+  fclose(probe);
+  std::string bytes;
+  try {
+    FileBuf f(p1.c_str());
+    std::vector<BgzfBlock> blocks;
+    parse_bgzf_blocks(f.data, f.size, p1.c_str(), &blocks);
+    for (const auto& b : blocks) {
+      if (b.isize == 0) continue;
+      size_t at = bytes.size();
+      bytes.resize(at + b.isize);
+      z_stream zs;
+      memset(&zs, 0, sizeof(zs));
+      if (inflateInit2(&zs, -15) != Z_OK) return false;
+      zs.next_in = const_cast<Bytef*>(f.data + b.comp_off);
+      zs.avail_in = (uInt)b.comp_len;
+      zs.next_out = (Bytef*)&bytes[at];
+      zs.avail_out = b.isize;
+      int rc = inflate(&zs, Z_FINISH);
+      inflateEnd(&zs);
+      if (rc != Z_STREAM_END) return false;
+    }
+  } catch (const IngestError&) {
+    return false;
+  }
+  size_t pos = 0;
+  auto rd_u32 = [&](uint32_t* v) {
+    if (pos + 4 > bytes.size()) return false;
+    memcpy(v, &bytes[pos], 4);
+    pos += 4;
+    return true;
+  };
+  auto rd_u64 = [&](uint64_t* v) {
+    if (pos + 8 > bytes.size()) return false;
+    memcpy(v, &bytes[pos], 8);
+    pos += 8;
+    return true;
+  };
+  if (bytes.size() < 4 || memcmp(bytes.data(), "CSI\1", 4) != 0) return false;
+  pos = 4;
+  uint32_t min_shift, depth, l_aux, nref;
+  if (!rd_u32(&min_shift) || !rd_u32(&depth) || !rd_u32(&l_aux)) return false;
+  if (min_shift < 4 || min_shift > 31 || depth > 10) return false;
+  pos += l_aux;
+  if (!rd_u32(&nref)) return false;
+  const uint64_t leaf0 = ((1ull << (3 * depth)) - 1) / 7;
+  const uint64_t max_bin = ((1ull << (3 * (depth + 1))) - 1) / 7;
+  starts->assign(n_ref, UINT64_MAX);
+  if (linear) linear->assign(n_ref, {});
+  for (uint32_t r = 0; r < nref && r < (uint32_t)n_ref; ++r) {
+    uint32_t n_bin;
+    if (!rd_u32(&n_bin)) return false;
+    uint64_t mn = UINT64_MAX;
+    for (uint32_t b = 0; b < n_bin; ++b) {
+      uint32_t bin, n_chunk;
+      uint64_t loff;
+      if (!rd_u32(&bin) || !rd_u64(&loff) || !rd_u32(&n_chunk)) return false;
+      const bool pseudo = bin > max_bin;  // htslib metadata pseudo-bin
+      for (uint32_t c = 0; c < n_chunk; ++c) {
+        uint64_t beg, end;
+        if (!rd_u64(&beg) || !rd_u64(&end)) return false;
+        if (!pseudo && beg < mn) mn = beg;
+      }
+      if (pseudo || !linear || loff == 0 || bin < leaf0) continue;
+      const uint64_t leaf = bin - leaf0;
+      uint64_t w0, w1;
+      if (min_shift >= 14) {
+        w0 = (leaf << min_shift) >> 14;
+        w1 = ((leaf + 1) << min_shift) >> 14;
+      } else {
+        w0 = leaf >> (14 - min_shift);
+        w1 = w0 + 1;
+      }
+      auto& lin = (*linear)[r];
+      if (lin.size() < w1) lin.resize(w1, 0);
+      for (uint64_t w = w0; w < w1; ++w)
+        if (lin[w] == 0 || loff < lin[w]) lin[w] = loff;
+    }
+    (*starts)[r] = mn;
+  }
+  return true;
+}
+
+// Either index flavor: BAI preferred (has the real linear index), CSI
+// otherwise.
+static bool parse_index_starts(const std::string& bam_path, int n_ref,
+                               std::vector<uint64_t>* starts,
+                               std::vector<std::vector<uint64_t>>* linear =
+                                   nullptr) {
+  return parse_bai_starts(bam_path, n_ref, starts, linear) ||
+         parse_csi_starts(bam_path, n_ref, starts, linear);
+}
+
 // ---------------------------------------------------------------- pileup
 constexpr const char* kSeqNt16 = "=ACMGRSVTWYHKDBN";
 
@@ -996,7 +1111,7 @@ static Result run_ingest(const char* path, const SnpPanel& panel,
     // scan applies the same ownership via the region list.
     std::vector<uint64_t> starts;
     std::vector<std::vector<uint64_t>> linear;
-    if (!parse_bai_starts(path, info.n_ref, &starts, &linear)) {
+    if (!parse_index_starts(path, info.n_ref, &starts, &linear)) {
       Ingest ing(panel, prm, info.tid_to_chrom, INT32_MAX, &progress,
                  &info.ref_names);
       ing.set_region_list(&prm.regions);
@@ -1060,7 +1175,7 @@ static Result run_ingest(const char* path, const SnpPanel& panel,
 
   std::vector<uint64_t> starts;
   bool have_bai =
-      n_threads > 1 && parse_bai_starts(path, info.n_ref, &starts);
+      n_threads > 1 && parse_index_starts(path, info.n_ref, &starts);
 
   if (!have_bai) {
     Ingest ing(panel, prm, info.tid_to_chrom, INT32_MAX, &progress,

@@ -140,13 +140,16 @@ def write_bam(
     path: str,
     contigs: List[Tuple[str, int]],
     reads: List[SimRead],
-    index: bool = True,
+    index=True,
 ) -> str:
     """Minimal spec-compliant BAM writer (BGZF-compressed).
 
-    Sorts records by (tid, pos) and, with index=True, writes a minimal .bai
-    (no bins, one linear-index entry per covered reference) sufficient for
-    the native ingest's per-chromosome segment partitioning."""
+    Sorts records by (tid, pos) and, with index=True (or "bai"), writes a
+    minimal .bai (no bins, one linear-index entry per covered reference)
+    sufficient for the native ingest's per-chromosome segment
+    partitioning; index="csi" instead writes a minimal CSI (min_shift=14,
+    depth=5, one leaf bin per covered reference, BGZF-compressed) to
+    exercise the CSI fallback."""
     ref_index = {name: i for i, (name, _) in enumerate(contigs)}
     reads = sorted(reads, key=lambda r: (ref_index[r.chrom], r.pos0))
     header_text = "@HD\tVN:1.6\tSO:coordinate\n" + "".join(
@@ -210,7 +213,27 @@ def write_bam(
     comp += BGZF_EOF
     with open(path, "wb") as fh:
         fh.write(bytes(comp))
-    if index:
+    if index == "csi":
+        # leaf bins start at ((1<<3*5)-1)/7 = 4681 for depth=5; record the
+        # first covered leaf of each reference with loff = first-read voff
+        idx = b"CSI\x01" + struct.pack("<iii", 14, 5, 0)
+        idx += struct.pack("<i", len(contigs))
+        for rid in range(len(contigs)):
+            if rid in first_uoff:
+                u = first_uoff[rid]
+                voff = (comp_off[u // blk] << 16) | (u % blk)
+                first_pos = min(
+                    r.pos0 for r in reads if ref_index[r.chrom] == rid
+                )
+                bin_ = 4681 + (first_pos >> 14)
+                idx += struct.pack("<i", 1)  # n_bin
+                idx += struct.pack("<IQi", bin_, voff, 1)  # bin, loff, n_chunk
+                idx += struct.pack("<QQ", voff, (len(comp_off) * blk) << 16)
+            else:
+                idx += struct.pack("<i", 0)
+        with open(path + ".csi", "wb") as fh:
+            fh.write(compress_block(idx) + BGZF_EOF)
+    elif index:
         with open(path + ".bai", "wb") as fh:
             fh.write(b"BAI\x01" + struct.pack("<i", len(contigs)))
             for rid in range(len(contigs)):

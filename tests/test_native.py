@@ -235,7 +235,7 @@ def test_native_adversarial_umis_match_python(tmp_path):
     np.testing.assert_array_equal(bn.cnt, bp.cnt)
 
 
-def _multi_chrom_workload(tmp_path, seed=19, n_chroms=3):
+def _multi_chrom_workload(tmp_path, seed=19, n_chroms=3, index=True):
     rng = random.Random(seed)
     parts = []
     contigs = []
@@ -249,7 +249,7 @@ def _multi_chrom_workload(tmp_path, seed=19, n_chroms=3):
     variants = [v for vs, _ in parts for v in vs]
     reads = [r for _, rs in parts for r in rs]
     vcf = write_vcf(str(tmp_path / "g.vcf"), names, variants, contigs=contigs)
-    bam = write_bam(str(tmp_path / "g.bam"), contigs, reads)
+    bam = write_bam(str(tmp_path / "g.bam"), contigs, reads, index=index)
     return vcf, bam, contigs
 
 
@@ -302,6 +302,44 @@ def test_native_genome_region_shards_union(tmp_path):
     for i, b in enumerate(full.barcodes):
         assert totl.get(b, 0) == int(full.cell_totl[i]), b
         assert uniq.get(b, 0) == int(full.cell_uniq[i]), b
+
+
+def test_native_csi_index_fallback(tmp_path):
+    """A BAM indexed only with .csi (no .bai — the only option for
+    chromosomes >2^29 bp) drives both the parallel per-chromosome scan
+    and the region-seeked genome-shard ingest identically to the BAI path
+    (sam_filtered_reader.cpp via hts_idx_load reads either flavor)."""
+    import os
+
+    from demuxlet_tpu.io.vcf import filter_snp_table, load_snp_table
+    from demuxlet_tpu.utils.intervals import split_genome_shards
+
+    (tmp_path / "a").mkdir()
+    (tmp_path / "b").mkdir()
+    vcf, bam, contigs = _multi_chrom_workload(tmp_path / "a")
+    _, bam_csi, _ = _multi_chrom_workload(tmp_path / "b", index="csi")
+    assert os.path.exists(bam_csi + ".csi")
+    assert not os.path.exists(bam_csi + ".bai")
+    table = load_snp_table(vcf, field_name="GT")
+
+    # parallel per-chromosome scan seeded from either index flavor
+    want, ctr_want = native.build_pileup(bam, table, n_threads=4)
+    got, ctr_got = native.build_pileup(bam_csi, table, n_threads=4)
+    assert got.barcodes == want.barcodes
+    assert ctr_got == ctr_want
+    np.testing.assert_array_equal(got.obs_snp, want.obs_snp)
+    np.testing.assert_array_equal(got.obs_bq, want.obs_bq)
+
+    # region-seeked genome shards over the CSI file: union == full pileup
+    shards = split_genome_shards(contigs, 3)
+    totl = {}
+    for regs in shards:
+        sub = filter_snp_table(table, regs)
+        csr, _ = native.build_pileup(bam_csi, sub, regions=regs)
+        for i, b in enumerate(csr.barcodes):
+            totl[b] = totl.get(b, 0) + int(csr.cell_totl[i])
+    for i, b in enumerate(want.barcodes):
+        assert totl.get(b, 0) == int(want.cell_totl[i]), b
 
 
 def test_native_mid_chromosome_region_split(tmp_path):
