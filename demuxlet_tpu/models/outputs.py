@@ -162,11 +162,18 @@ def write_pass2(
     flat = np.where(dbl_mask.reshape(-1)[None, :], AB.reshape(ncell, -1), -np.inf)
     v_best = np.argmax(flat, axis=1)
 
+    # hoisted plain-Python views (see write_pass2_compact) — bytes unchanged
+    l_totl = np.asarray(stats.totl).tolist()
+    l_pass = np.asarray(stats.pass_).tolist()
+    l_uniq = np.asarray(stats.uniq).tolist()
+    l_nsnp = np.asarray(stats.nsnp).tolist()
     for bc, i in stats.bc_order():
-        if not _passes(stats, i, min_total, min_uniq, min_snp):
+        totl_i, uniq_i, nsnp_i = l_totl[i], l_uniq[i], l_nsnp[i]
+        if totl_i < min_total or uniq_i < min_uniq or nsnp_i < min_snp:
             continue
-        if stats.nsnp[i] == 0:
+        if nsnp_i == 0:
             continue  # reference `snps.empty()` skip (:592)
+        pass_i = l_pass[i]
         ab = AB[i]
         z0 = Z0[i]
         max_llk = v_max_llk[i]
@@ -182,10 +189,10 @@ def write_pass2(
                 % (
                     bc,
                     sample_ids[j],
-                    stats.totl[i],
-                    stats.pass_[i],
-                    stats.uniq[i],
-                    stats.nsnp[i],
+                    totl_i,
+                    pass_i,
+                    uniq_i,
+                    nsnp_i,
                     v,
                     z0[0],
                     math.exp(v - max_llk) * (1.0 - doublet_prior) / nv / sum_single,
@@ -249,7 +256,7 @@ def write_pass2(
 
         wbest.write(
             "%s\t%d\t%d\t%d\t%d\t"
-            % (bc, stats.totl[i], stats.pass_[i], stats.uniq[i], stats.nsnp[i])
+            % (bc, totl_i, pass_i, uniq_i, nsnp_i)
         )
         if (
             pair_llk12 > pair_llk1
