@@ -417,8 +417,7 @@ def main(argv=None) -> int:
     use_compact = (
         not args.write_pair and not args.spool and not genome_sharded
         and (args.mode == "fast"
-             or (args.mode == "exact" and eng.use_exact_pallas
-                 and eng.mesh is None))
+             or (args.mode == "exact" and eng.use_exact_pallas))
     )
     if use_compact:
         # device-side decision pass: ~16x less device->host traffic

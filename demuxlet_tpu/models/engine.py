@@ -405,9 +405,6 @@ class DemuxEngine:
         assert self.mode == "fast" or exact, (
             "run_compact needs mode='fast' or the exact Pallas kernel"
         )
-        assert not (exact and self.mesh is not None), (
-            "exact compact is single-device; use run() with a mesh"
-        )
         if not hasattr(scl, "cell_ptr"):
             scl = CsrPileup.from_pileup(scl)
         if not exact:
@@ -452,20 +449,44 @@ class DemuxEngine:
             ):
                 if exact:
                     gps_pair, gp0_pair, tabs, meta = self._exact_tables()
-                    wire = None
-                    if msk is None and isinstance(idx, tuple):
-                        codes, wire = _to_wire(codes, idx)
-                        idx = None
-                    packed = D.demux_block_exact_compact(
-                        jnp.asarray(codes),
-                        None if idx is None else _dev(idx),
-                        None if msk is None else jnp.asarray(msk),
-                        gps_pair, gp0_pair, tabs,
-                        dbl_w, dbl_msk, meta, self.n_alpha, self.nv,
-                        doublet_prior, interpret=interpret,
-                        a0_zero=self.grid_alpha[0] == 0.0,
-                        sym_a=self._sym_a(), wire=wire,
-                    )
+                    if self.mesh is not None:
+                        if (
+                            self._sharded_compact is None
+                            or self._sharded_compact[0] != doublet_prior
+                        ):
+                            from demuxlet_tpu.parallel import mesh as pmesh
+
+                            self._sharded_compact = (
+                                doublet_prior,
+                                pmesh.build_sharded_exact_compact_step(
+                                    self.mesh, meta, self.n_alpha, self.nv,
+                                    doublet_prior, interpret=interpret,
+                                    a0_zero=self.grid_alpha[0] == 0.0,
+                                    sym_a=self._sym_a(),
+                                ),
+                            )
+                        packed = self._sharded_compact[1](
+                            jnp.asarray(codes), jnp.asarray(idx),
+                            jnp.asarray(msk),
+                            gps_pair[0], gps_pair[1],
+                            gp0_pair[0], gp0_pair[1],
+                            tabs[0], tabs[1], tabs[2], dbl_w, dbl_msk,
+                        )
+                    else:
+                        wire = None
+                        if msk is None and isinstance(idx, tuple):
+                            codes, wire = _to_wire(codes, idx)
+                            idx = None
+                        packed = D.demux_block_exact_compact(
+                            jnp.asarray(codes),
+                            None if idx is None else _dev(idx),
+                            None if msk is None else jnp.asarray(msk),
+                            gps_pair, gp0_pair, tabs,
+                            dbl_w, dbl_msk, meta, self.n_alpha, self.nv,
+                            doublet_prior, interpret=interpret,
+                            a0_zero=self.grid_alpha[0] == 0.0,
+                            sym_a=self._sym_a(), wire=wire,
+                        )
                     pending.append(pool.submit(fetch, cells, packed))
                     while len(pending) > pipeline_depth:
                         parts.append(pending.pop(0).result())

@@ -235,6 +235,52 @@ def build_sharded_compact_step(
     return jax.jit(fn)
 
 
+def build_sharded_exact_compact_step(
+    mesh: Mesh,
+    meta,
+    n_alpha: int,
+    n_samples: int,
+    doublet_prior: float,
+    interpret: bool = False,
+    a0_zero: bool = False,
+    sym_a: int | None = None,
+):
+    """Exact-mode df32 kernel + on-device decision pass sharded over the
+    "b" barcode axis — the multi-chip analog of
+    decision.demux_block_exact_compact (every decision op is per-cell, so
+    the shard is exact). Output is one packed (B, 2V+A+11) f64 row per
+    cell; per-device batch must be a multiple of 16 cells."""
+    from demuxlet_tpu.models.decision import compact_step_body_exact
+
+    def body(codes, idx, msk, gps_h, gps_l, gp0_h, gp0_l,
+             pm_h, pm_l, pe, dbl_w, dbl_msk):
+        return compact_step_body_exact(
+            codes, idx, msk, (gps_h, gps_l), (gp0_h, gp0_l),
+            (pm_h, pm_l, pe), dbl_w, dbl_msk, meta, n_alpha, n_samples,
+            doublet_prior, interpret=interpret, a0_zero=a0_zero,
+            sym_a=sym_a,
+        )
+
+    rep2 = P(None, None)
+    rep3 = P(None, None, None)
+    b2 = P("b", None)
+    fn = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(
+            P("b", None, None),  # codes
+            b2, b2,              # idx, msk
+            rep3, rep3,          # gps planes
+            rep2, rep2,          # gp0 planes
+            rep2, rep2, rep2,    # pair-code LUT planes
+            rep3, rep3,          # dbl_w, dbl_msk
+        ),
+        out_specs=P("b", None),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
 def build_sharded_exact_pallas_step(
     mesh: Mesh,
     meta,

@@ -628,6 +628,7 @@ def write_cram(
     method: int = 0,
     core_codecs: bool = False,
     slices: int = 1,
+    index: bool = False,
 ) -> str:
     """Spec-structured CRAM 3.0 writer for testing io/cram.py.
 
@@ -746,9 +747,20 @@ def write_cram(
             S[_CRAM_IDS["QS"]] += bytes(r.quals)
         return events, streams
 
-    nsl = max(1, min(slices, max(1, len(reads))))
-    per = -(-len(reads) // nsl) if reads else 1
-    groups = [reads[i : i + per] for i in range(0, len(reads), per)] or [[]]
+    if index:
+        # one slice (-> one container) per chromosome, so a .crai region
+        # seek genuinely skips whole containers
+        groups = []
+        for rid in range(len(contigs)):
+            g = [r for r in reads if ref_index[r.chrom] == rid]
+            if g:
+                groups.append(g)
+        groups = groups or [[]]
+    else:
+        nsl = max(1, min(slices, max(1, len(reads))))
+        per = -(-len(reads) // nsl) if reads else 1
+        groups = [reads[i : i + per]
+                  for i in range(0, len(reads), per)] or [[]]
     slice_data = []
     base = 0
     for g in groups:
@@ -826,9 +838,7 @@ def write_cram(
     chdr = pres + ds + te
 
     # ---- slices
-    blocks = _cram_block(1, 0, chdr)
-    total_blocks = 1
-    for g, events, streams in slice_data:
+    def slice_blocks(g, events, streams):
         core_w = _BitW()
         for k, v in events:
             if k in core_enc:
@@ -846,19 +856,20 @@ def write_cram(
             + _itf8(len(used)) + b"".join(_itf8(c) for c in used)
             + _itf8(-1) + b"\x00" * 16
         )
-        blocks += _cram_block(2, 0, slice_hdr)
-        total_blocks += 1
+        out_b = _cram_block(2, 0, slice_hdr)
+        nb = 1
         if core_codecs:
-            blocks += _cram_block(5, 0, core_bytes, method=0)
-            total_blocks += 1
+            out_b += _cram_block(5, 0, core_bytes, method=0)
+            nb += 1
         for cid in used:
-            blocks += _cram_block(4, cid, bytes(streams[cid]), method=method)
-            total_blocks += 1
+            out_b += _cram_block(4, cid, bytes(streams[cid]), method=method)
+            nb += 1
+        return out_b, nb
 
-    def container(ref_id, start, nrec_, blocks_bytes, nblocks):
+    def container(ref_id, start, nrec_, blocks_bytes, nblocks, span=0):
         hdr = (
             struct.pack("<i", len(blocks_bytes))
-            + _itf8(ref_id) + _itf8(start) + _itf8(0) + _itf8(nrec_)
+            + _itf8(ref_id) + _itf8(start) + _itf8(span) + _itf8(nrec_)
             + _ltf8(0) + _ltf8(0) + _itf8(nblocks) + _itf8(0)
             + struct.pack("<I", 0)
         )
@@ -869,16 +880,41 @@ def write_cram(
         f"@SQ\tSN:{n}\tLN:{l}\n" for n, l in contigs)).encode()
     hblock = _cram_block(0, 0, struct.pack("<i", len(text)) + text)
 
-    min_start = reads[0].pos0 + 1 if reads else 1
     out = b"CRAM\x03\x00" + b"\x00" * 20
     out += container(-1, 0, 1, hblock, 1)
-    out += container(
-        ref_index[reads[0].chrom] if reads else -1,
-        min_start, len(reads), blocks, total_blocks,
-    )
+    crai_rows = []
+    if index:
+        # one data container per slice group + one .crai row each
+        for g, events, streams in slice_data:
+            sb, nb = slice_blocks(g, events, streams)
+            body = _cram_block(1, 0, chdr) + sb
+            rid = ref_index[g[0].chrom] if g else -1
+            start = g[0].pos0 + 1 if g else 0
+            end = max((r.pos0 + len(r.seq) for r in g), default=start)
+            span = max(1, end - start + 1)
+            crai_rows.append((rid, start, span, len(out), 0, len(body)))
+            out += container(rid, start, len(g), body, nb + 1, span=span)
+    else:
+        blocks = _cram_block(1, 0, chdr)
+        total_blocks = 1
+        for g, events, streams in slice_data:
+            sb, nb = slice_blocks(g, events, streams)
+            blocks += sb
+            total_blocks += nb
+        min_start = reads[0].pos0 + 1 if reads else 1
+        out += container(
+            ref_index[reads[0].chrom] if reads else -1,
+            min_start, len(reads), blocks, total_blocks,
+        )
     out += container(-1, 0, 0, b"", 0)  # EOF
     with open(path, "wb") as fh:
         fh.write(out)
+    if index:
+        import gzip
+
+        txt = "".join("%d\t%d\t%d\t%d\t%d\t%d\n" % row for row in crai_rows)
+        with gzip.open(path + ".crai", "wb") as fh:
+            fh.write(txt.encode())
     return path
 
 

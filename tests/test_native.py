@@ -395,6 +395,77 @@ def test_native_mid_chromosome_region_split(tmp_path):
         assert uniq.get(b, 0) == int(full.cell_uniq[i]), b
 
 
+def test_native_cram_crai_region_seek(tmp_path):
+    """Genome-sharded ingest over a .crai-indexed multi-container CRAM:
+    the seeked scan (visiting only containers overlapping each shard's
+    regions) unions to the full-scan pileup exactly — the CRAM analog of
+    the BAI/CSI region fetch (htslib cram_itr semantics)."""
+    import pathlib
+    import sys
+
+    sys.path.insert(0, str(pathlib.Path(__file__).parent))
+    from test_cram import _genome
+
+    from demuxlet_tpu.io.vcf import filter_snp_table, load_snp_table
+    from demuxlet_tpu.utils.intervals import split_genome_shards
+    from fixtures import SimRead, SimVariant, write_cram, write_vcf
+
+    rng = random.Random(31)
+    glen = 6000
+    contigs, ref_seqs, variants, reads = [], {}, [], []
+    names = ["S0", "S1", "S2"]
+    for ci in range(3):
+        ch = f"chr{ci + 1}"
+        contigs.append((ch, glen))
+        g = list(_genome(rng, glen))
+        genome = "".join(g)
+        ref_seqs[ch] = genome
+        genos = []
+        for p in sorted(rng.sample(range(100, glen - 100), 20)):
+            ref = g[p]
+            alt = rng.choice([b for b in "ACGT" if b != ref])
+            row = [rng.choice([0, 1, 2]) for _ in names]
+            genos.append((p, ref, alt, row))
+            variants.append(SimVariant(ch, p, ref, alt,
+                            [{"GT": ["0/0", "0/1", "1/1"][x]} for x in row]))
+        for c in range(9):
+            bc = "CB%04d" % c
+            src = c % 3
+            for j in range(30):
+                p, ref, alt, row = genos[rng.randrange(len(genos))]
+                start = max(0, p - rng.randrange(1, 40))
+                ln = 50
+                seq = list(genome[start : start + ln])
+                if row[src] == 2 or (row[src] == 1 and rng.random() < 0.5):
+                    seq[p - start] = alt
+                reads.append(SimRead(
+                    chrom=ch, pos0=start, seq="".join(seq),
+                    quals=[rng.randrange(20, 41) for _ in range(ln)],
+                    cb=bc, ub=f"{ch}U{j}c{c}",
+                ))
+    vcf = write_vcf(str(tmp_path / "c.vcf"), names, variants,
+                    contigs=contigs)
+    cram = write_cram(str(tmp_path / "c.cram"), contigs, reads, ref_seqs,
+                      index=True)
+    import os
+    assert os.path.exists(cram + ".crai")
+    table = load_snp_table(vcf, field_name="GT")
+    full, ctr_full = native.build_pileup(cram, table)
+    assert len(full.obs_snp)  # non-trivial workload
+
+    shards = split_genome_shards(contigs, 3)
+    totl, uniq = {}, {}
+    for regs in shards:
+        sub = filter_snp_table(table, regs)
+        csr, _ = native.build_pileup(cram, sub, regions=regs)
+        for i, b in enumerate(csr.barcodes):
+            totl[b] = totl.get(b, 0) + int(csr.cell_totl[i])
+            uniq[b] = uniq.get(b, 0) + int(csr.cell_uniq[i])
+    for i, b in enumerate(full.barcodes):
+        assert totl.get(b, 0) == int(full.cell_totl[i]), b
+        assert uniq.get(b, 0) == int(full.cell_uniq[i]), b
+
+
 @pytest.mark.parametrize("kw", [
     dict(method=0),
     dict(method=2),

@@ -81,6 +81,58 @@ def test_dryrun_multichip_entry():
     g.dryrun_multichip(8)
 
 
+def test_sharded_exact_compact_matches_single_device():
+    """Exact-mode df32 kernel + device decision pass under shard_map over
+    'b' == the single-device demux_block_exact_compact exactly (every
+    decision op is per-cell)."""
+    if len(jax.devices()) < 4:
+        pytest.skip("needs virtual devices")
+    from demuxlet_tpu.models import decision as D
+    from demuxlet_tpu.ops import luts
+    from demuxlet_tpu.ops import pallas_pair_exact as PE
+
+    rng = np.random.default_rng(7)
+    B, S, U, V, A, NS = 32, 128, 2, 3, 2, 50
+    codes = rng.integers(0, 82, size=(B, S, U)).astype(np.uint8)
+    codes[rng.random((B, S, U)) < 0.3] = 255
+    idx = rng.integers(0, NS, size=(B, S)).astype(np.int32)
+    msk = rng.random((B, S)) < 0.9
+    codes[~msk] = 255
+    gps = rng.dirichlet(np.ones(3), size=(NS, V))
+    gp0 = gps.mean(axis=1)
+    grid = [0.0, 0.5]
+    w = luts.pair_lut(grid, 40)
+    logf = luts.singlet_lut(40)
+    gps_pair, gp0_pair, tabs, meta = PE.split_tables(gps, gp0, w, logf)
+    gps_pair = tuple(map(jnp.asarray, gps_pair))
+    gp0_pair = tuple(map(jnp.asarray, gp0_pair))
+    tabs = tuple(map(jnp.asarray, tabs))
+    dbl_w = jnp.asarray(D.doublet_weights(V, grid, 0.5))
+    dbl_msk = jnp.asarray(D.doublet_mask(V, A))
+
+    ref = D.demux_block_exact_compact(
+        jnp.asarray(codes), jnp.asarray(idx), jnp.asarray(msk),
+        gps_pair, gp0_pair, tabs, dbl_w, dbl_msk, meta, A, V, 0.5,
+        interpret=True, a0_zero=True, sym_a=1,
+    )
+    mesh = pmesh.make_mesh(n_b=4, n_s=1)
+    step = pmesh.build_sharded_exact_compact_step(
+        mesh, meta, A, V, 0.5, interpret=True, a0_zero=True, sym_a=1
+    )
+    out = step(
+        jnp.asarray(codes), jnp.asarray(idx), jnp.asarray(msk),
+        gps_pair[0], gps_pair[1], gp0_pair[0], gp0_pair[1],
+        tabs[0], tabs[1], tabs[2], dbl_w, dbl_msk,
+    )
+    a, b = np.asarray(out), np.asarray(ref)
+    # integer decision fields (argmaxes) must agree exactly; float fields
+    # to the exact-mode 1e-9 contract (the two compiles fuse the df front
+    # differently at the ~1e-13 double-rounding level)
+    for col in (V + A + 3, V + A + 4, V + A + 6):  # i_sing1, i_sing2, best
+        np.testing.assert_array_equal(a[:, col], b[:, col])
+    np.testing.assert_allclose(a, b, rtol=1e-9, atol=0)
+
+
 def test_sharded_fast_step_matches_single_device():
     """Fast-mode Pallas step under shard_map over 'b' == single device."""
     if len(jax.devices()) < 4:
