@@ -28,6 +28,7 @@
 //     redundant; per-read accounting counters identical to
 //     cmd_cram_demuxlet.cpp:295-361.
 
+#include <dlfcn.h>
 #include <fcntl.h>
 #include <sys/mman.h>
 #include <sys/stat.h>
@@ -139,6 +140,43 @@ static void parse_bgzf_blocks(const uint8_t* buf, size_t n,
   }
 }
 
+// libdeflate whole-buffer raw-DEFLATE decompressor, bound from
+// libdeflate.so.0 at runtime via its stable public ABI (the image ships
+// the shared library but no headers, same situation as libbz2 for CRAM).
+// BGZF blocks are independent members with a known uncompressed size —
+// exactly the one-shot shape libdeflate is built for; measured ~2-3x
+// faster than zlib streaming inflate. Falls back to zlib when absent.
+struct LibDeflate {
+  void* (*alloc)(void) = nullptr;
+  int (*decomp)(void*, const void*, size_t, void*, size_t, size_t*) =
+      nullptr;
+  void (*free_d)(void*) = nullptr;
+
+  static const LibDeflate& get() {
+    static LibDeflate ld = [] {
+      LibDeflate r;
+      if (getenv("DEMUX_NO_LIBDEFLATE")) return r;  // A/B + escape hatch
+      void* h = dlopen("libdeflate.so.0", RTLD_NOW);
+      if (!h) h = dlopen("libdeflate.so", RTLD_NOW);
+      if (h) {
+        r.alloc = reinterpret_cast<void* (*)(void)>(
+            dlsym(h, "libdeflate_alloc_decompressor"));
+        r.decomp = reinterpret_cast<int (*)(void*, const void*, size_t,
+                                            void*, size_t, size_t*)>(
+            dlsym(h, "libdeflate_deflate_decompress"));
+        r.free_d = reinterpret_cast<void (*)(void*)>(
+            dlsym(h, "libdeflate_free_decompressor"));
+        if (!r.alloc || !r.decomp || !r.free_d)
+          r.alloc = nullptr;  // partial symbols: treat as absent
+      }
+      return r;
+    }();
+    return ld;
+  }
+
+  bool ok() const { return alloc != nullptr; }
+};
+
 // Bounded-window prefetching BGZF stream: worker threads inflate blocks
 // ahead of the consumer; memory = WINDOW blocks (~4 MB), not the whole file.
 class BgzfStream {
@@ -200,9 +238,11 @@ class BgzfStream {
   };
 
   void work() {
+    const LibDeflate& ld = LibDeflate::get();
+    void* dd = ld.ok() ? ld.alloc() : nullptr;
     z_stream zs;
     memset(&zs, 0, sizeof(zs));
-    if (inflateInit2(&zs, -15) != Z_OK) return;
+    if (!dd && inflateInit2(&zs, -15) != Z_OK) return;
     for (;;) {
       size_t i = next_claim_.fetch_add(1);
       if (i >= end_) break;
@@ -218,13 +258,20 @@ class BgzfStream {
       std::vector<uint8_t> out(b.isize);
       bool err = false;
       if (b.isize > 0) {
-        inflateReset(&zs);
-        zs.next_in = const_cast<Bytef*>(file_ + b.comp_off);
-        zs.avail_in = (uInt)b.comp_len;
-        zs.next_out = out.data();
-        zs.avail_out = b.isize;
-        int rc = inflate(&zs, Z_FINISH);
-        err = (rc != Z_STREAM_END || zs.avail_out != 0);
+        if (dd) {
+          size_t got = 0;
+          int rc = ld.decomp(dd, file_ + b.comp_off, b.comp_len,
+                             out.data(), b.isize, &got);
+          err = (rc != 0 || got != b.isize);
+        } else {
+          inflateReset(&zs);
+          zs.next_in = const_cast<Bytef*>(file_ + b.comp_off);
+          zs.avail_in = (uInt)b.comp_len;
+          zs.next_out = out.data();
+          zs.avail_out = b.isize;
+          int rc = inflate(&zs, Z_FINISH);
+          err = (rc != Z_STREAM_END || zs.avail_out != 0);
+        }
       }
       {
         std::lock_guard<std::mutex> lk(mu_);
@@ -235,7 +282,10 @@ class BgzfStream {
       }
       cv_ready_.notify_all();
     }
-    inflateEnd(&zs);
+    if (dd)
+      ld.free_d(dd);
+    else
+      inflateEnd(&zs);
   }
 
   const uint8_t* file_;

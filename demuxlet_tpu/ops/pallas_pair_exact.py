@@ -10,18 +10,22 @@ reference-printed precision.
 
 Arithmetic strategy — probability-domain products, like the reference
 itself (cmd_cram_demuxlet.cpp:606-663), NOT exp(sum of logs):
-  * XLA front (fused elementwise f32): ONE pair-code LUT gather per two
-    UMIs (host-precomputed f64-exact products, stored as mantissa df +
-    f32 exponent planes over channel-DEDUPED columns — the A*9 mixture
+  * XLA front (gathers only): ONE pair-code LUT gather per two UMIs
+    (host-precomputed f64-exact products, stored as mantissa df + f32
+    exponent planes over channel-DEDUPED columns — the A*9 mixture
     columns collapse to the unique p values and share the three singlet
     GL columns; all three planes fused into a single wide take);
     leftover pairs multiplied in df with exponent renormalization — no
-    df exp anywhere; then the telescoped max-division, +1e-6 smoothing
-    and final renormalization, emitting the mixture table t as (hi, lo)
-    f32 planes. Everything runs in channel-LEADING (C, B, S) layout so
-    each df op fills all 128 lanes, and the gps|gp0 hi|lo gathers fuse
-    into one wide take (probe_gather_variants: ~4x over split takes).
-    Pass 1 shares the pair-code gather.
+    df exp anywhere. Everything runs in channel-LEADING (C, B, S) layout
+    so each df op fills all 128 lanes, and the gps|gp0 hi|lo gathers
+    fuse into one wide take (probe_gather_variants: ~4x over split
+    takes). Pass 1 shares the pair-code gather.
+  * In-kernel normalization front: the telescoped max-division, +1e-6
+    smoothing and final renormalization (mixture table t) and the pass-1
+    GL table run in the kernel preamble from the raw product planes —
+    as XLA stages they cost ~9 ms/1024-cell block in HBM round trips
+    (every df op in the chain materialized a (C,B,S) array and the
+    reductions broke fusion); per tile they are VMEM-resident VPU ops.
   * Pallas kernel (VPU): per-(cell,slot) U[j,a,m] = sum_l g[j,l] t[a,l,m];
     inner[j,k,a] = sum_m g[k,m] U[j,a,m]; the slot accumulation multiplies
     inner into a per-(j,k,a) df mantissa with exponent tracking — ONE df
@@ -213,11 +217,12 @@ def _acc_slots(V, A, a0_zero, a0_sep, sym_a):
 
 
 def _pair_kernel_df(
-    th_ref, tl_ref, gall_ref, slh_ref, sll_ref,
+    ph_ref, pl_ref, pe_ref, gall_ref, mskf_ref,
     outh_ref, outl_ref, oute_ref, out0h_ref, out0l_ref, out0e_ref,
     outsh_ref, outsl_ref, outse_ref,
     mh_ref, ml_ref, me_ref,
     *, V, A, n_s, fence, a0_zero, n_tch, expand, a0_sep, sym_a,
+    cmask, gsel,
 ):
     """a0_sep: the alpha == 0 plane factorizes COMPLETELY — llk_ab[j,k,0]
     = (prod_s d_s[j]) * (prod_s gsum_s[k]) with d[j] = sum_l g[j,l] t0[l]
@@ -245,10 +250,42 @@ def _pair_kernel_df(
         ml_ref[:] = jnp.zeros_like(ml_ref)
         me_ref[:] = jnp.zeros_like(me_ref)
 
+    # Normalize the raw pair-code product planes into the mixture table t
+    # and the pass-1 GL table IN VMEM: the XLA-front versions of these
+    # stages cost ~9 ms/1024-cell block in HBM round trips (each df op in
+    # the chain materializes a (C,B,S) f32 array; the reductions break
+    # fusion), while per-tile they are a few hundred VPU ops per slot.
+    # Masked slots carry none-row products (exact 1s), so t == 1 there
+    # with no mask; the GL table needs the explicit neutral substitution.
+    ph = ph_ref[:]
+    plm = pl_ref[:]
+    pe = pe_ref[:]
+    cmask_arr = None
+    if cmask is not None:
+        # pallas_call rejects captured constant ARRAYS — build the static
+        # channel mask from an iota comparison instead
+        ch = jax.lax.broadcasted_iota(jnp.int32, (n_tch, 1, 1), 0)
+        sel = [i for i, b in enumerate(cmask) if b]
+        cmask_arr = ch == np.int32(sel[0])
+        for i in sel[1:]:
+            cmask_arr = cmask_arr | (ch == np.int32(i))
+    t_h, t_l = _mixture_table_df(ph, plm, pe, axis=0, chan_mask=cmask_arr)
     # deduped mixture channels: quad/presplit once per UNIQUE column, then
     # expand to the logical a*9 + l*3 + m order via the static map
-    t_u = [_quad(th_ref[x], tl_ref[x]) for x in range(n_tch)]
+    t_u = [_quad(t_h[x], t_l[x]) for x in range(n_tch)]
     t = [t_u[expand[x]] for x in range(A * 9)]
+    glh, gll = _gl_table_df(
+        jnp.stack([ph[i] for i in gsel]),
+        jnp.stack([plm[i] for i in gsel]),
+        jnp.stack([pe[i] for i in gsel]),
+    )
+    mb = mskf_ref[0] != np.float32(0.0)
+    one, zero = np.float32(1.0), np.float32(0.0)
+    glt = [
+        _quad(jnp.where(mb, glh[0], one), jnp.where(mb, gll[0], zero)),
+        _quad(jnp.where(mb, glh[1], zero), jnp.where(mb, gll[1], zero)),
+        _quad(jnp.where(mb, glh[2], zero), jnp.where(mb, gll[2], zero)),
+    ]
     # gall carries gps-hi|gp0-hi|gps-lo|gp0-lo in one plane stack (the
     # XLA-side 4-way slice of the fused gather measured 2.4x slower than
     # handing the whole stack to the kernel — probe_gather_variants v13)
@@ -256,7 +293,6 @@ def _pair_kernel_df(
     g = [_quad(gall_ref[i], gall_ref[W3 + i]) for i in range(V * 3)]
     g0 = [_quad(gall_ref[V * 3 + i], gall_ref[W3 + V * 3 + i])
           for i in range(3)]
-    glt = [_quad(slh_ref[i], sll_ref[i]) for i in range(3)]
 
     inners = [None] * n_acc
 
@@ -418,11 +454,11 @@ def _log_mantissa(mh, ml, ee):
     return df.add(lgh, lgl, th_, tl_)
 
 
-def _call_pair_kernel_df(t_pair, gall, gl_pair, V, A, interpret,
-                         a0_zero=False, expand=None, sym_a=None):
-    th, tl = t_pair
-    slh, sll = gl_pair
-    n_tch, B, S = th.shape
+def _call_pair_kernel_df(prod, gall, mskf, V, A, interpret,
+                         a0_zero=False, expand=None, sym_a=None,
+                         cmask=None, gsel=None):
+    ph, plm, pe = prod
+    n_tch, B, S = ph.shape
     if expand is None:
         expand = tuple(range(A * 9))
     a0_sep = a0_zero and 3 * V + 3 <= 128
@@ -433,16 +469,17 @@ def _call_pair_kernel_df(t_pair, gall, gl_pair, V, A, interpret,
     kernel = functools.partial(_pair_kernel_df, V=V, A=A, n_s=n_s,
                                fence=bool(interpret), a0_zero=a0_zero,
                                n_tch=n_tch, expand=tuple(expand),
-                               a0_sep=a0_sep, sym_a=sym_a)
+                               a0_sep=a0_sep, sym_a=sym_a,
+                               cmask=cmask, gsel=tuple(gsel),
+                               )
     in_spec3 = lambda C: pl.BlockSpec((C, TB, TS), lambda ib, is_: (ib * 0, ib, is_))
     out_spec = lambda W: pl.BlockSpec((TB, W), lambda ib, is_: (ib, ib * 0))
     shp = lambda W: jax.ShapeDtypeStruct((B, W), jnp.float32)
     outs = pl.pallas_call(
         kernel,
         grid=(B // TB, n_s),
-        in_specs=[in_spec3(n_tch), in_spec3(n_tch),
-                  in_spec3(2 * (V * 3 + 3)),
-                  in_spec3(3), in_spec3(3)],
+        in_specs=[in_spec3(n_tch), in_spec3(n_tch), in_spec3(n_tch),
+                  in_spec3(2 * (V * 3 + 3)), in_spec3(1)],
         out_specs=[out_spec(w_ab)] * 3 + [out_spec(128)] * 6,
         out_shape=[shp(w_ab)] * 3 + [shp(128)] * 6,
         scratch_shapes=[
@@ -451,7 +488,7 @@ def _call_pair_kernel_df(t_pair, gall, gl_pair, V, A, interpret,
             pltpu.VMEM((n_acc, TB, TS), jnp.float32),
         ],
         interpret=interpret,
-    )(th, tl, gall, slh, sll)
+    )(ph, plm, pe, gall, mskf)
     outh, outl, oute, out0h, out0l, out0e, outsh, outsl, outse = outs
     n_ab = V * V * A
     ab = _log_mantissa(outh[:, :n_ab], outl[:, :n_ab], oute[:, :n_ab])
@@ -709,9 +746,7 @@ def demux_block_exact_impl(
     w_used = sorted(set(expand_w))
     cmask = None
     if w_used != list(range(C)):
-        cmask = np.zeros((C, 1, 1), dtype=bool)
-        cmask[w_used] = True
-    t_h, t_l = _mixture_table_df(mh, ml, ef, axis=0, chan_mask=cmask)
+        cmask = tuple(i in w_used for i in range(C))
 
     # ONE fused gather for gps-hi|gp0-hi|gps-lo|gp0-lo: a single wide
     # take measures ~4x faster than the split 24/24/3/3-channel takes
@@ -732,19 +767,14 @@ def demux_block_exact_impl(
     neutral_c[V * 3] = 1.0
     gall = jnp.where(msk[None], gall, neutral_c)
 
-    # pass-1 GL table from the shared gather's GL channels; masked slots
-    # -> (1,0,0) so with neutral gps the kernel's singlet product
-    # accumulates an exact 1
-    gsel = np.asarray(expand_gl)
-    glh, gll = _gl_table_df(mh[gsel], ml[gsel], ef[gsel])
-    neutral3 = np.zeros((3, 1, 1), dtype=np.float32)
-    neutral3[0] = 1.0
-    glh = jnp.where(msk[None], glh, neutral3)
-    gll = jnp.where(msk[None], gll, np.float32(0.0))
-
+    # The mixture-table normalization and the pass-1 GL table (with its
+    # masked-slot neutral substitution) are computed INSIDE the kernel
+    # from the raw product planes — their XLA forms were HBM-bound.
+    mskf = msk[None].astype(jnp.float32)
     ab, z0, sing = _call_pair_kernel_df(
-        (t_h, t_l), gall, (glh, gll),
+        (mh, ml, ef), gall, mskf,
         V, A, interpret, a0_zero=a0_zero, expand=expand_w, sym_a=sym_a,
+        cmask=cmask, gsel=expand_gl,
     )
     llk_ab = (ab[0].reshape(B, V, V, A), ab[1].reshape(B, V, V, A))
     llk = (sing[0][:, :V], sing[1][:, :V])
