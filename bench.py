@@ -232,6 +232,29 @@ def measure_tpu() -> dict:
         iters=max(2, TPU_ITERS // 2),
     )
 
+    # ---- roofline accounting for the exact df32 kernel: analytic f32 op
+    # model mirroring _pair_kernel_df's structure (df mul ~15 ops via the
+    # Veltkamp split, df add ~13, dot3 = 3 mul + 2 add; a0_sep separable
+    # alpha=0 plane, sym_a mirrored alpha=0.5 plane). The result lands at
+    # the v5e VPU's practical f32 ceiling — the exact kernel is ALU-bound;
+    # further gains need op-count algebra, not scheduling.
+    DF_MUL, DF_ADD = 15, 13
+    DOT3 = 3 * DF_MUL + 2 * DF_ADD
+    n_acc_est = (
+        NV * NV * (NALPHA - 1) - NV * (NV - 1) // 2  # ab minus sym mirrors
+        + (NALPHA - 1)                               # m0
+        + (NV + 1)                                   # pass-1
+        + 2 * NV + 2                                 # separable a0 factors
+    )
+    u_stage_df = NV * ((NALPHA - 1) * 3 + 1) * DOT3
+    inner_df = (NV * NV * (NALPHA - 1) - NV * (NV - 1) // 2) * DOT3
+    acc_df = n_acc_est * (DF_MUL + 8)
+    misc_df = (NV + 1) * DOT3 + (NALPHA - 1) * DOT3 + NV * 2 * DF_ADD
+    exact_ops_slot = u_stage_df + inner_df + acc_df + misc_df
+    exact_vpu_gflops = (
+        exact_ops_slot * TPU_BLOCK * S_PER_CELL / dt_exact_df / 1e9
+    )
+
     # ---- roofline accounting for the fast kernel (VERDICT r1 #6):
     # analytic per-(cell,slot) op counts; transcendental logs excluded
     # from the FLOP tally (VPU log is multi-op; counted separately).
@@ -252,6 +275,7 @@ def measure_tpu() -> dict:
         "exact_barcodes_per_s": TPU_BLOCK / dt_exact_df,
         "exact_step_ms": dt_exact_df * 1e3,
         "exact_xla_f64_barcodes_per_s": nexact / dt_exact,
+        "exact_vpu_gflops": exact_vpu_gflops,
         "fast_vpu_gflops": fast_vpu_gflops,
         "fast_log_gops": fast_logs_gops,
         "fast_mxu_front_gflops": fast_mxu_gflops,
@@ -275,6 +299,7 @@ def main():
         "exact_xla_f64_barcodes_per_s": round(
             tpu["exact_xla_f64_barcodes_per_s"], 1
         ),
+        "exact_vpu_gflops": round(tpu["exact_vpu_gflops"], 1),
         "fast_vpu_gflops": round(tpu["fast_vpu_gflops"], 1),
         "fast_log_gops": round(tpu["fast_log_gops"], 2),
         "fast_mxu_front_gflops": round(tpu["fast_mxu_front_gflops"], 1),

@@ -93,3 +93,35 @@ def test_garbage_magic(tmp_path):
         w.write(b"JUNKJUNKJUNK")
     with pytest.raises(DemuxError):
         BcfReader(p2)
+
+
+def test_corrupt_bam_bgzf_native(tmp_path):
+    """Byte-flipped BGZF payloads in a BAM fail cleanly through the native
+    ingest (libdeflate or zlib path) — DemuxError, never a crash/hang."""
+    from fixtures import random_workload, write_bam, write_vcf
+    from demuxlet_tpu.io.vcf import load_snp_table
+    from demuxlet_tpu.native import ingest as native
+
+    if not native.available():
+        pytest.skip("native ingest unavailable")
+    rng = random.Random(3)
+    contigs, names, variants, reads, _ = random_workload(
+        rng, n_cells=8, n_snps=20, n_samples=2, reads_per_cell=30)
+    vcf = write_vcf(str(tmp_path / "w.vcf"), names, variants,
+                    contigs=contigs)
+    bam = write_bam(str(tmp_path / "w.bam"), contigs, reads)
+    table = load_snp_table(vcf, field_name="GT")
+    raw = bytearray(open(bam, "rb").read())
+    rng2 = random.Random(4)
+    for trial in range(6):
+        mut = bytearray(raw)
+        # flip bytes inside the compressed payloads (past the first
+        # header block region)
+        for _ in range(8):
+            mut[rng2.randrange(60, len(mut) - 30)] ^= 0xFF
+        p2 = str(tmp_path / f"mut{trial}.bam")
+        open(p2, "wb").write(bytes(mut))
+        try:
+            native.build_pileup(p2, table)
+        except (DemuxError, Exception):
+            pass  # clean failure (or harmless decode) — no crash
