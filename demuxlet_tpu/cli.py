@@ -319,6 +319,16 @@ def main(argv=None) -> int:
         min_callrate=args.min_callrate,
         verbose=args.vcf_verbose,
     )
+    genome_regions = None
+    if args.shard_by == "genome" and args.num_shards > 1:
+        # compute this shard's regions BEFORE the VCF load so an indexed
+        # .vcf.gz parses only ~1/N of the file (VcfReader.iter_regions)
+        from demuxlet_tpu.native.ingest import _bam_refs_len
+        from demuxlet_tpu.utils.intervals import split_genome_shards
+
+        shards = split_genome_shards(_bam_refs_len(args.sam), args.num_shards)
+        genome_regions = shards[args.shard_id]
+        args._genome_regions = genome_regions
     if any(t in args.vcf for t in ("-_CHR_-", "-_BEG_-", "-_END_-")):
         from demuxlet_tpu.native.ingest import _bam_refs_len
 
@@ -335,19 +345,16 @@ def main(argv=None) -> int:
         if not files:
             error("No chunk files found for pattern %s", args.vcf)
         table = merge_snp_tables([load_snp_table(f, **kw) for f in files])
+        if genome_regions is not None:
+            from demuxlet_tpu.io.vcf import filter_snp_table
+
+            table = filter_snp_table(table, genome_regions)
     else:
-        table = load_snp_table(args.vcf, **kw)
-    if table.nsnps == 0:
+        table = load_snp_table(args.vcf, regions=genome_regions, **kw)
+    if table.nsnps == 0 and genome_regions is None:
         error("Cannot read any single variant from %s", args.vcf)
 
-    if args.shard_by == "genome" and args.num_shards > 1:
-        from demuxlet_tpu.io.vcf import filter_snp_table
-        from demuxlet_tpu.native.ingest import _bam_refs_len
-        from demuxlet_tpu.utils.intervals import split_genome_shards
-
-        shards = split_genome_shards(_bam_refs_len(args.sam), args.num_shards)
-        args._genome_regions = shards[args.shard_id]
-        table = filter_snp_table(table, args._genome_regions)
+    if genome_regions is not None:
         if not args.dist_coordinator:
             notice(
                 "WARNING: genome-sharded run without --dist-coordinator "

@@ -45,6 +45,55 @@ def compress_block(data: bytes, level: int = 6) -> bytes:
     return header + comp + struct.pack("<II", zlib.crc32(data) & 0xFFFFFFFF, len(data))
 
 
+def read_block_at(fh: IO[bytes]):
+    """Read + decompress ONE BGZF member at the current file offset.
+
+    Returns the uncompressed bytes, or None at EOF / on a non-BGZF
+    header (callers treat that as end of data)."""
+    hdr = fh.read(12)
+    if len(hdr) < 12 or hdr[0] != 0x1F or hdr[1] != 0x8B:
+        return None
+    xlen = struct.unpack("<H", hdr[10:12])[0]
+    extra = fh.read(xlen)
+    bsize = 0
+    off = 0
+    while off + 4 <= len(extra):
+        si1, si2 = extra[off], extra[off + 1]
+        slen = struct.unpack("<H", extra[off + 2 : off + 4])[0]
+        if si1 == 0x42 and si2 == 0x43 and slen == 2:
+            bsize = struct.unpack("<H", extra[off + 4 : off + 6])[0] + 1
+        off += 4 + slen
+    if bsize == 0:
+        return None
+    payload = fh.read(bsize - 12 - xlen - 8)
+    fh.read(8)  # CRC + ISIZE
+    return zlib.decompress(payload, -15)
+
+
+def iter_lines_from(path: str, voff: int):
+    """Yield text lines from a BGZF file starting at virtual offset
+    voff = (compressed_offset << 16) | uncompressed_offset — the tabix /
+    BAI seek primitive. Stops at EOF."""
+    with open(path, "rb") as fh:
+        fh.seek(voff >> 16)
+        carry = b""
+        first = True
+        while True:
+            block = read_block_at(fh)
+            if block is None:
+                if carry:
+                    yield carry.decode("utf-8", "replace")
+                return
+            if first:
+                block = block[voff & 0xFFFF :]
+                first = False
+            data = carry + block
+            lines = data.split(b"\n")
+            carry = lines.pop()
+            for ln in lines:
+                yield ln.decode("utf-8", "replace")
+
+
 class BgzfWriter:
     def __init__(self, fh: IO[bytes], level: int = 6):
         self._fh = fh

@@ -148,26 +148,134 @@ class VcfReader:
             line = line.rstrip("\n")
             if not line or line.startswith("#"):
                 continue
-            cols = line.split("\t")
-            chrom, pos, _id, ref, alt = cols[0], cols[1], cols[2], cols[3], cols[4]
-            qual = float(cols[5]) if cols[5] != "." else float("nan")
-            filters = [] if cols[6] in (".", "") else cols[6].split(";")
-            fmt_keys = cols[8].split(":") if len(cols) > 8 else []
-            sample_fields = [c.split(":") for c in cols[9:]]
-            alts = alt.split(",") if alt else ["."]
-            yield VariantRecord(
-                chrom=chrom,
-                pos0=int(pos) - 1,
-                ref=ref,
-                alts=alts,
-                qual=qual,
-                filters=filters,
-                fmt_keys=fmt_keys,
-                sample_fields=sample_fields,
-            )
+            yield _record_from_line(line)
+
+    def iter_regions(self, regions) -> Optional[Iterator[VariantRecord]]:
+        """Index-seeked iteration over [(chrom, beg1, end0)] regions via a
+        .tbi (the reference analog: BCFChunkedReader's index jumps,
+        bcf_chunked_reader.cpp:70-118): each region BGZF-seeks to its
+        start window's virtual offset and parses only until past the
+        region end, so a genome shard reads ~1/N of a large VCF. Returns
+        None when the file isn't BGZF or no readable index exists (the
+        caller full-scans + post-filters instead)."""
+        import os
+
+        tbi = self.path + ".tbi"
+        if not (self.path.endswith(".gz") and os.path.exists(tbi)):
+            return None
+        idx = _read_tabix(tbi)
+        if idx is None:
+            return None
+        return self._iter_regions_tbi(idx, regions)
+
+    def _iter_regions_tbi(self, idx, regions) -> Iterator[VariantRecord]:
+        from demuxlet_tpu.io.bgzf import iter_lines_from
+
+        names, starts, linear = idx
+        name_to_ref = {n: i for i, n in enumerate(names)}
+        for chrom, beg1, end0 in regions:
+            r = name_to_ref.get(chrom)
+            if r is None or starts[r] == 0:
+                continue
+            voff = starts[r]
+            win = (beg1 - 1) >> 14
+            lin = linear[r]
+            if win < len(lin) and lin[win]:
+                voff = max(voff, lin[win])
+            for line in iter_lines_from(self.path, voff):
+                if not line or line.startswith("#"):
+                    continue
+                tab1 = line.find("\t")
+                tab2 = line.find("\t", tab1 + 1)
+                c = line[:tab1]
+                if c != chrom:
+                    break  # coordinate-sorted: past this chromosome
+                pos1 = int(line[tab1 + 1 : tab2])
+                if pos1 > end0:
+                    break
+                if pos1 < beg1:
+                    continue
+                yield _record_from_line(line)
 
     def close(self) -> None:
         self._fh.close()
+
+
+def _record_from_line(line: str) -> VariantRecord:
+    cols = line.split("\t")
+    chrom, pos, _id, ref, alt = cols[0], cols[1], cols[2], cols[3], cols[4]
+    qual = float(cols[5]) if cols[5] != "." else float("nan")
+    filters = [] if cols[6] in (".", "") else cols[6].split(";")
+    fmt_keys = cols[8].split(":") if len(cols) > 8 else []
+    sample_fields = [c.split(":") for c in cols[9:]]
+    alts = alt.split(",") if alt else ["."]
+    return VariantRecord(
+        chrom=chrom,
+        pos0=int(pos) - 1,
+        ref=ref,
+        alts=alts,
+        qual=qual,
+        filters=filters,
+        fmt_keys=fmt_keys,
+        sample_fields=sample_fields,
+    )
+
+
+def _read_tabix(path: str):
+    """Parse a .tbi (gzip-compressed, BAI-like with sequence names).
+
+    Returns (names, starts, linear): per-ref smallest data virtual offset
+    (0 = none recorded) and the 16kb linear-index window voffs. None on
+    an unreadable/foreign index."""
+    import struct
+
+    try:
+        with gzip.open(path, "rb") as fh:
+            data = fh.read()
+    except OSError:
+        return None
+    if data[:4] != b"TBI\x01":
+        return None
+    pos = [4]
+
+    def u32():
+        v = struct.unpack_from("<i", data, pos[0])[0]
+        pos[0] += 4
+        return v
+
+    def u64():
+        v = struct.unpack_from("<Q", data, pos[0])[0]
+        pos[0] += 8
+        return v
+
+    n_ref = u32()
+    _fmt, _col_seq, _col_beg, _col_end, _meta, _skip = (
+        u32(), u32(), u32(), u32(), u32(), u32())
+    l_nm = u32()
+    names = data[pos[0] : pos[0] + l_nm].split(b"\x00")[:-1]
+    names = [n.decode() for n in names]
+    pos[0] += l_nm
+    starts = [0] * n_ref
+    linear: list = [[] for _ in range(n_ref)]
+    for r in range(n_ref):
+        n_bin = u32()
+        mn = 0
+        for _ in range(n_bin):
+            bin_ = u32()
+            n_chunk = u32()
+            for _ in range(n_chunk):
+                beg = u64()
+                u64()
+                if bin_ != 37450 and (mn == 0 or beg < mn):
+                    mn = beg
+        n_intv = u32()
+        for _ in range(n_intv):
+            io_ = u64()
+            linear[r].append(io_)
+            if io_ and (mn == 0 or io_ < mn):
+                mn = io_
+        starts[r] = mn
+    return names, starts, linear
 
 
 @dataclass
@@ -229,6 +337,7 @@ def load_snp_table(
     min_callrate: float = 0.5,
     verbose: int = 10000,
     warn_non_biallelic: bool = True,
+    regions=None,
 ) -> SnpTable:
     """Load + filter + convert a VCF into a SnpTable.
 
@@ -236,6 +345,11 @@ def load_snp_table(
     with demuxlet's defaults: maxAlleles=2, require_GT (since minMAC/
     minCallRate > 0), callrate >= min_callrate, MAC >= min_mac.
     Posterior conversion per --field (GT/GP/PL), host/genotypes.py.
+
+    regions: optional [(chrom, beg1, end0)] restriction (genome-sharded
+    runs). With a .tbi-indexed .vcf.gz only the regions' file ranges are
+    parsed (VcfReader.iter_regions); otherwise a full scan is
+    post-filtered to the same SNP set (filter_snp_table semantics).
     """
     if path.endswith(".bcf"):
         from demuxlet_tpu.io.bcf import BcfReader
@@ -243,6 +357,17 @@ def load_snp_table(
         rdr: VcfReader | "BcfReader" = BcfReader(path)
     else:
         rdr = VcfReader(path)
+    rec_iter = rdr
+    post_filter = False
+    if regions is not None:
+        seeked = (rdr.iter_regions(regions)
+                  if hasattr(rdr, "iter_regions") else None)
+        if seeked is not None:
+            rec_iter = seeked
+            notice("VCF index seek: restricting parse to %d regions",
+                   len(regions))
+        else:
+            post_filter = True
     icols, sel_ids = resolve_samples(rdr.samples, sm_ids, sm_list_path)
     notice("Finished identifying %d samples to load from VCF/BCF", len(icols))
     nsm = len(icols)
@@ -259,7 +384,7 @@ def load_snp_table(
     n_pass = 0
     n_non_biallelic = 0
 
-    for rec in rdr:
+    for rec in rec_iter:
         n_read += 1
         if verbose > 0 and n_read % verbose == 0:
             notice("Reading %d variants...", n_read)
@@ -327,7 +452,13 @@ def load_snp_table(
 
     rdr.close()
     notice("Finished reading %d markers from the VCF file", n_pass)
-    return SnpTable(
+    if regions is not None and not post_filter and getattr(rdr, "contigs", None):
+        # region-seeked parse: keep the FULL header contig list so region
+        # chroms whose SNPs all fell outside the shard still resolve ids
+        # for read-ownership accounting (mirrors filter_snp_table, which
+        # keeps chrom_names intact for the same reason)
+        chrom_names = list(rdr.contigs)
+    table = SnpTable(
         sample_ids=sel_ids,
         chroms=chroms,
         chrom_names=chrom_names,
@@ -343,6 +474,9 @@ def load_snp_table(
         n_read=n_read,
         n_pass=n_pass,
     )
+    if post_filter:
+        table = filter_snp_table(table, regions)
+    return table
 
 
 def expand_chr_pattern(pattern: str, chrom_names: Sequence[str]) -> List[str]:

@@ -92,6 +92,63 @@ def write_vcf(
     return path
 
 
+def write_tabix(vcf_gz_path: str, contigs: List[Tuple[str, int]]) -> str:
+    """Minimal .tbi for a BGZF VCF written by write_vcf: one linear-index
+    entry per contig pointing at its first data record's virtual offset
+    (no bins), enough for VcfReader.iter_regions' seek + scan-to-end."""
+    import gzip as _gzip
+    import struct as _struct
+
+    from demuxlet_tpu.io.bgzf import read_block_at
+
+    # block table (file offset, uncompressed start) + full text, then map
+    # each chromosome's first data-line uncompressed offset to a voff
+    blocks = []  # (file_off, u_start)
+    parts = []
+    u = 0
+    with open(vcf_gz_path, "rb") as fh:
+        while True:
+            coff = fh.tell()
+            b = read_block_at(fh)
+            if b is None:
+                break
+            blocks.append((coff, u))
+            parts.append(b)
+            u += len(b)
+    text = b"".join(parts)
+
+    def voff_of(uoff: int) -> int:
+        bi = max(i for i in range(len(blocks)) if blocks[i][1] <= uoff)
+        coff, ustart = blocks[bi]
+        return (coff << 16) | (uoff - ustart)
+
+    first_voff = {}
+    off = 0
+    for line in text.split(b"\n"):
+        if line and not line.startswith(b"#"):
+            chrom = line.split(b"\t", 1)[0].decode()
+            if chrom not in first_voff:
+                first_voff[chrom] = voff_of(off)
+        off += len(line) + 1
+    names = [n for n, _ in contigs]
+    blob = b"TBI\x01" + _struct.pack("<i", len(names))
+    blob += _struct.pack("<6i", 2, 1, 2, 0, ord("#"), 0)
+    nm = b"".join(n.encode() + b"\x00" for n in names)
+    blob += _struct.pack("<i", len(nm)) + nm
+    for n in names:
+        blob += _struct.pack("<i", 0)  # n_bin
+        if n in first_voff:
+            blob += _struct.pack("<i", 1) + _struct.pack(
+                "<Q", first_voff[n]
+            )
+        else:
+            blob += _struct.pack("<i", 0)
+    out = vcf_gz_path + ".tbi"
+    with _gzip.open(out, "wb") as fh:
+        fh.write(blob)
+    return out
+
+
 def write_sam(
     path: str, contigs: List[Tuple[str, int]], reads: List[SimRead]
 ) -> str:

@@ -233,3 +233,53 @@ def test_beg_without_end_pattern_errors(tmp_path):
 
     with pytest.raises(DemuxError):
         expand_chunk_pattern("x.-_BEG_-.vcf", [("chr1", 100)], unit=10)
+
+
+def test_tabix_region_seek_matches_full_load(tmp_path):
+    """load_snp_table(regions=...) over a .tbi-indexed .vcf.gz == full load
+    + filter_snp_table: same SNPs/gps, full header contig list preserved
+    (zero-SNP region chroms must still resolve for read ownership)."""
+    import random
+
+    import numpy as np
+
+    from demuxlet_tpu.io.vcf import filter_snp_table, load_snp_table
+    from fixtures import SimVariant, write_tabix, write_vcf
+
+    rng = random.Random(11)
+    contigs = [("chr1", 60000), ("chr2", 60000), ("chr3", 60000)]
+    names = ["S0", "S1"]
+    variants = []
+    for ch, ln in contigs:
+        for p in range(500, ln - 500, 97):
+            ref, alt = rng.sample("ACGT", 2)
+            variants.append(SimVariant(ch, p, ref, alt,
+                            [{"GT": rng.choice(["0/0", "0/1", "1/1"])}
+                             for _ in names]))
+    gz = write_vcf(str(tmp_path / "t.vcf.gz"), names, variants,
+                   contigs=contigs)
+    write_tabix(gz, contigs)
+
+    full = load_snp_table(gz, field_name="GT")
+    for regions in (
+        [("chr2", 1, 60000)],                       # whole chromosome
+        [("chr1", 20000, 40000), ("chr3", 1, 500)], # mid-chrom + empty
+        [("chr1", 55000, 60000), ("chr2", 1, 9000)],
+    ):
+        want = filter_snp_table(full, regions)
+        got = load_snp_table(gz, field_name="GT", regions=regions)
+        assert got.chrom_names == full.chrom_names  # full header contigs
+        assert got.chroms == want.chroms
+        np.testing.assert_array_equal(got.pos0, want.pos0)
+        np.testing.assert_array_equal(got.ref, want.ref)
+        np.testing.assert_array_equal(got.gps, want.gps)
+
+    # no index -> transparent full-scan + post-filter fallback
+    import os
+
+    os.remove(gz + ".tbi")
+    regions = [("chr1", 20000, 40000)]
+    got = load_snp_table(gz, field_name="GT", regions=regions)
+    want = filter_snp_table(full, regions)
+    np.testing.assert_array_equal(got.pos0, want.pos0)
+    np.testing.assert_array_equal(got.gps, want.gps)
