@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import gzip
 import struct
-from typing import IO, Iterator, List
+from typing import IO, Iterator, List, Optional
 
 import numpy as np
 
@@ -91,6 +91,74 @@ def _int_to_str(v: int, typ: int) -> str:
     return str(v)
 
 
+def _read_csi(path: str):
+    """Parse a .csi (BGZF-compressed; CSI has no linear index — each bin
+    carries loff, the voff of its first overlapping record).
+
+    Returns (starts, linear): per-ref smallest data voff (0 = none) and
+    synthetic 16kb linear windows built from leaf-bin loffs (same
+    contract as the C++ parse_csi_starts in native/ingest.cpp). None on
+    an unreadable/foreign index."""
+    try:
+        with gzip.open(path, "rb") as fh:
+            data = fh.read()
+    except OSError:
+        return None
+    if data[:4] != b"CSI\x01":
+        return None
+    pos = [4]
+
+    def u32():
+        v = struct.unpack_from("<i", data, pos[0])[0]
+        pos[0] += 4
+        return v
+
+    def u64():
+        v = struct.unpack_from("<Q", data, pos[0])[0]
+        pos[0] += 8
+        return v
+
+    min_shift, depth, l_aux = u32(), u32(), u32()
+    if not (4 <= min_shift <= 31) or depth > 10:
+        return None
+    pos[0] += l_aux
+    n_ref = u32()
+    leaf0 = ((1 << (3 * depth)) - 1) // 7
+    max_bin = ((1 << (3 * (depth + 1))) - 1) // 7
+    starts = [0] * n_ref
+    linear: List[List[int]] = [[] for _ in range(n_ref)]
+    for r in range(n_ref):
+        n_bin = u32()
+        mn = 0
+        for _ in range(n_bin):
+            bin_ = u32()
+            loff = u64()
+            n_chunk = u32()
+            pseudo = bin_ > max_bin
+            for _ in range(n_chunk):
+                beg = u64()
+                u64()
+                if not pseudo and (mn == 0 or beg < mn):
+                    mn = beg
+            if pseudo or loff == 0 or bin_ < leaf0:
+                continue
+            leaf = bin_ - leaf0
+            if min_shift >= 14:
+                w0 = (leaf << min_shift) >> 14
+                w1 = ((leaf + 1) << min_shift) >> 14
+            else:
+                w0 = leaf >> (14 - min_shift)
+                w1 = w0 + 1
+            lin = linear[r]
+            if len(lin) < w1:
+                lin.extend([0] * (w1 - len(lin)))
+            for w in range(w0, w1):
+                if lin[w] == 0 or loff < lin[w]:
+                    lin[w] = loff
+        starts[r] = mn
+    return starts, linear
+
+
 class BcfReader:
     """Streaming BCF reader with the VcfReader interface."""
 
@@ -148,9 +216,21 @@ class BcfReader:
                         id_to_idx[key] = idx
                 if line.startswith("##contig=<"):
                     inner = line[len("##contig=<") :].rstrip(">")
+                    name = cidx = None
                     for kv in _split_meta(inner):
                         if kv.startswith("ID="):
-                            self.contigs.append(kv[3:])
+                            name = kv[3:]
+                        elif kv.startswith("IDX="):
+                            cidx = int(kv[4:])
+                    if name is None:
+                        continue
+                    if cidx is None:
+                        self.contigs.append(name)
+                    else:
+                        # explicit contig dictionary index (rid)
+                        while len(self.contigs) <= cidx:
+                            self.contigs.append("?")
+                        self.contigs[cidx] = name
             elif line.startswith("#CHROM"):
                 cols = line.split("\t")
                 if len(cols) > 9:
@@ -160,17 +240,66 @@ class BcfReader:
         n = max(idx_map) + 1
         self._dict = [idx_map.get(i, "?") for i in range(n)]
 
-    def __iter__(self) -> Iterator[VariantRecord]:
+    def _records_from(self, fh) -> Iterator[VariantRecord]:
         while True:
-            hdr = self._fh.read(8)
+            hdr = fh.read(8)
             if len(hdr) < 8:
                 return
             l_shared, l_indiv = struct.unpack("<II", hdr)
-            shared = self._fh.read(l_shared)
-            indiv = self._fh.read(l_indiv)
+            shared = fh.read(l_shared)
+            indiv = fh.read(l_indiv)
             if len(shared) < l_shared or len(indiv) < l_indiv:
                 error("[%s] truncated BCF record", self.path)
             yield self._decode(shared, indiv)
+
+    def __iter__(self) -> Iterator[VariantRecord]:
+        return self._records_from(self._fh)
+
+    def iter_regions(self, regions) -> Optional[Iterator[VariantRecord]]:
+        """CSI-seeked iteration over [(chrom, beg1, end0)] regions (the
+        BCF analog of VcfReader.iter_regions; htslib: bcf_itr_querys via
+        hts_idx_load). Returns None without a readable .csi — the caller
+        full-scans + post-filters."""
+        import os
+
+        csi = self.path + ".csi"
+        if not os.path.exists(csi):
+            return None
+        idx = _read_csi(csi)
+        if idx is None:
+            return None
+        return self._iter_regions_csi(idx, regions)
+
+    def _iter_regions_csi(self, idx, regions) -> Iterator[VariantRecord]:
+        from demuxlet_tpu.io.bgzf import BgzfByteStream
+
+        starts, linear = idx
+        rid_of = {n: i for i, n in enumerate(self.contigs)}
+        for chrom, beg1, end0 in regions:
+            r = rid_of.get(chrom)
+            if r is None or r >= len(starts) or starts[r] == 0:
+                continue
+            voff = starts[r]
+            win = (beg1 - 1) >> 14
+            lin = linear[r]
+            if win < len(lin) and lin[win]:
+                voff = max(voff, lin[win])
+            fh = BgzfByteStream(self.path, voff)
+            seen = False
+            try:
+                for rec in self._records_from(fh):
+                    if rec.chrom != chrom:
+                        if seen:
+                            break  # sorted: past this chromosome
+                        continue  # index landed before the chrom start
+                    seen = True
+                    if rec.pos0 + 1 > end0:
+                        break
+                    if rec.pos0 + 1 < beg1:
+                        continue
+                    yield rec
+            finally:
+                fh.close()
 
     def close(self) -> None:
         self._fh.close()

@@ -94,6 +94,33 @@ def iter_lines_from(path: str, voff: int):
                 yield ln.decode("utf-8", "replace")
 
 
+class BgzfByteStream:
+    """Minimal binary read(n) view over a BGZF file starting at a virtual
+    offset — the seek primitive for indexed binary formats (BCF + .csi).
+    read() returns fewer than n bytes only at EOF."""
+
+    def __init__(self, path: str, voff: int):
+        self._fh = open(path, "rb")
+        self._fh.seek(voff >> 16)
+        self._buf = b""
+        self._first_skip = voff & 0xFFFF
+
+    def read(self, n: int) -> bytes:
+        while len(self._buf) < n:
+            block = read_block_at(self._fh)
+            if block is None:
+                break
+            if self._first_skip:
+                block = block[self._first_skip :]
+                self._first_skip = 0
+            self._buf += block
+        out, self._buf = self._buf[:n], self._buf[n:]
+        return out
+
+    def close(self) -> None:
+        self._fh.close()
+
+
 class BgzfWriter:
     def __init__(self, fh: IO[bytes], level: int = 6):
         self._fh = fh

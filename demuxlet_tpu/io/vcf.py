@@ -182,6 +182,7 @@ class VcfReader:
             lin = linear[r]
             if win < len(lin) and lin[win]:
                 voff = max(voff, lin[win])
+            seen = False
             for line in iter_lines_from(self.path, voff):
                 if not line or line.startswith("#"):
                     continue
@@ -189,7 +190,10 @@ class VcfReader:
                 tab2 = line.find("\t", tab1 + 1)
                 c = line[:tab1]
                 if c != chrom:
-                    break  # coordinate-sorted: past this chromosome
+                    if seen:
+                        break  # coordinate-sorted: past this chromosome
+                    continue  # index landed before the chrom start
+                seen = True
                 pos1 = int(line[tab1 + 1 : tab2])
                 if pos1 > end0:
                     break

@@ -394,6 +394,7 @@ def write_bcf(
     contigs: Optional[List[Tuple[str, int]]] = None,
     fmt_keys: Optional[List[str]] = None,
     dup_dp_header: bool = False,
+    index: bool = False,
 ) -> str:
     """Minimal spec-compliant BCF2.2 writer (BGZF-compressed).
 
@@ -435,7 +436,10 @@ def write_bcf(
 
     buf = bytearray()
     buf += b"BCF\x02\x02" + struct.pack("<I", len(text)) + text
+    first_rec = {}  # chrom -> (uncompressed offset, pos0)
     for v in variants:
+        if v.chrom not in first_rec:
+            first_rec[v.chrom] = (len(buf), v.pos0)
         keys = fmt_keys or sorted({k for s in v.samples for k in s})
         n_allele = 2
         shared = bytearray()
@@ -492,7 +496,48 @@ def write_bcf(
         buf += bytes(shared) + bytes(indiv)
     with BgzfWriter(open(path, "wb")) as w:
         w.write(bytes(buf))
+    if index:
+        _write_bcf_csi(path, contigs, first_rec)
     return path
+
+
+def _write_bcf_csi(path, contigs, first_rec):
+    """Minimal .csi (min_shift=14, depth=5): one leaf bin per covered
+    contig with loff = its first record's virtual offset."""
+    import gzip as _gzip
+
+    from demuxlet_tpu.io.bgzf import read_block_at
+
+    blocks = []
+    u = 0
+    with open(path, "rb") as fh:
+        while True:
+            coff = fh.tell()
+            b = read_block_at(fh)
+            if b is None:
+                break
+            blocks.append((coff, u))
+            u += len(b)
+
+    def voff_of(uoff):
+        bi = max(i for i in range(len(blocks)) if blocks[i][1] <= uoff)
+        coff, ustart = blocks[bi]
+        return (coff << 16) | (uoff - ustart)
+
+    blob = b"CSI\x01" + struct.pack("<iii", 14, 5, 0)
+    blob += struct.pack("<i", len(contigs))
+    for name, _ln in contigs:
+        if name in first_rec:
+            uoff, pos0 = first_rec[name]
+            voff = voff_of(uoff)
+            bin_ = 4681 + (pos0 >> 14)
+            blob += struct.pack("<i", 1)
+            blob += struct.pack("<IQi", bin_, voff, 1)
+            blob += struct.pack("<QQ", voff, voff + (1 << 32))
+        else:
+            blob += struct.pack("<i", 0)
+    with _gzip.open(path + ".csi", "wb") as fh:
+        fh.write(blob)
 
 
 # ---------------------------------------------------------------- CRAM

@@ -77,3 +77,41 @@ def test_bcf_shared_implicit_idx(tmp_path):
     tb = load_snp_table(bcf, field_name="GP")
     assert tv.sample_ids == tb.sample_ids
     np.testing.assert_allclose(tv.gps, tb.gps, rtol=0, atol=0)
+
+
+def test_csi_region_seek_matches_full_load(tmp_path):
+    """load_snp_table(regions=...) over a .csi-indexed BCF == full load +
+    filter_snp_table (the BCF analog of the .tbi seek path)."""
+    import random
+
+    import numpy as np
+
+    from demuxlet_tpu.io.vcf import filter_snp_table, load_snp_table
+    from fixtures import SimVariant, write_bcf
+
+    rng = random.Random(13)
+    contigs = [("chr1", 60000), ("chr2", 60000), ("chr3", 60000)]
+    names = ["S0", "S1"]
+    variants = []
+    for ch, ln in contigs:
+        for p in range(500, ln - 500, 113):
+            ref, alt = rng.sample("ACGT", 2)
+            variants.append(SimVariant(ch, p, ref, alt,
+                            [{"GT": rng.choice(["0/0", "0/1", "1/1"])}
+                             for _ in names]))
+    bcf = write_bcf(str(tmp_path / "t.bcf"), names, variants,
+                    contigs=contigs, index=True)
+    import os
+
+    assert os.path.exists(bcf + ".csi")
+    full = load_snp_table(bcf, field_name="GT")
+    for regions in (
+        [("chr2", 1, 60000)],
+        [("chr1", 20000, 40000), ("chr3", 1, 400)],
+        [("chr3", 55000, 60000)],
+    ):
+        want = filter_snp_table(full, regions)
+        got = load_snp_table(bcf, field_name="GT", regions=regions)
+        assert got.chroms == want.chroms
+        np.testing.assert_array_equal(got.pos0, want.pos0)
+        np.testing.assert_array_equal(got.gps, want.gps)
