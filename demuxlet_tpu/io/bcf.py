@@ -263,7 +263,7 @@ class BcfReader:
         import os
 
         csi = self.path + ".csi"
-        if not os.path.exists(csi):
+        if not os.path.exists(csi) or not self.contigs:
             return None
         idx = _read_csi(csi)
         if idx is None:

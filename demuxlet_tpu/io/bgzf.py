@@ -63,11 +63,14 @@ def read_block_at(fh: IO[bytes]):
         if si1 == 0x42 and si2 == 0x43 and slen == 2:
             bsize = struct.unpack("<H", extra[off + 4 : off + 6])[0] + 1
         off += 4 + slen
-    if bsize == 0:
+    if bsize < 12 + xlen + 8 + 2:  # corrupt BSIZE: refuse, don't slurp
         return None
     payload = fh.read(bsize - 12 - xlen - 8)
     fh.read(8)  # CRC + ISIZE
-    return zlib.decompress(payload, -15)
+    try:
+        return zlib.decompress(payload, -15)
+    except zlib.error:
+        return None
 
 
 def iter_lines_from(path: str, voff: int):

@@ -163,6 +163,12 @@ class VcfReader:
         tbi = self.path + ".tbi"
         if not (self.path.endswith(".gz") and os.path.exists(tbi)):
             return None
+        if not self.contigs:
+            # no ##contig header lines: a seeked parse could not preserve
+            # the full contig list (load_snp_table's chrom_names override),
+            # and genome-shard read-ownership accounting needs it — fall
+            # back to the full scan + post-filter
+            return None
         idx = _read_tabix(tbi)
         if idx is None:
             return None

@@ -440,6 +440,72 @@ class DemuxEngine:
                 pad_cells_to=self.cell_block,
             ))
 
+        def sharded_step():
+            """Build (and cache per doublet_prior) the mesh compact step."""
+            if (
+                self._sharded_compact is None
+                or self._sharded_compact[0] != doublet_prior
+            ):
+                from demuxlet_tpu.parallel import mesh as pmesh
+
+                if exact:
+                    step = pmesh.build_sharded_exact_compact_step(
+                        self.mesh, self._exact_tables()[3], self.n_alpha,
+                        self.nv, doublet_prior, interpret=interpret,
+                        a0_zero=self.grid_alpha[0] == 0.0,
+                        sym_a=self._sym_a(),
+                    )
+                else:
+                    step = pmesh.build_sharded_compact_step(
+                        self.mesh, self.n_alpha, self.nv, doublet_prior,
+                        interpret=interpret,
+                        a0_sep=self.grid_alpha[0] == 0.0,
+                        sym_a=self._sym_a(), expand=expand,
+                    )
+                self._sharded_compact = (doublet_prior, step)
+            return self._sharded_compact[1]
+
+        def dispatch(codes, idx, msk):
+            if self.mesh is not None:
+                args = (jnp.asarray(codes), jnp.asarray(idx),
+                        jnp.asarray(msk))
+                if exact:
+                    gps_pair, gp0_pair, tabs, _ = self._exact_tables()
+                    return sharded_step()(
+                        *args, gps_pair[0], gps_pair[1],
+                        gp0_pair[0], gp0_pair[1],
+                        tabs[0], tabs[1], tabs[2], dbl_w, dbl_msk,
+                    )
+                return sharded_step()(
+                    *args, self._gps_dev, self._gp0_dev,
+                    w_ext, logf_ext, dbl_w, dbl_msk,
+                )
+            wire = None
+            if msk is None and isinstance(idx, tuple):
+                codes, wire = _to_wire(codes, idx)
+                idx = None
+            args = (
+                jnp.asarray(codes),
+                None if idx is None else _dev(idx),
+                None if msk is None else jnp.asarray(msk),
+            )
+            if exact:
+                gps_pair, gp0_pair, tabs, meta = self._exact_tables()
+                return D.demux_block_exact_compact(
+                    *args, gps_pair, gp0_pair, tabs, dbl_w, dbl_msk,
+                    meta, self.n_alpha, self.nv, doublet_prior,
+                    interpret=interpret,
+                    a0_zero=self.grid_alpha[0] == 0.0,
+                    sym_a=self._sym_a(), wire=wire,
+                )
+            return D.demux_block_fast_compact(
+                *args, self._gps_dev, self._gp0_dev,
+                w_ext, logf_ext, dbl_w, dbl_msk, self.n_alpha,
+                self.nv, doublet_prior, interpret=interpret,
+                a0_sep=self.grid_alpha[0] == 0.0,
+                sym_a=self._sym_a(), expand=expand, wire=wire,
+            )
+
         pending = []
         with ThreadPoolExecutor(max_workers=2) as pool, ThreadPoolExecutor(
             max_workers=4
@@ -447,86 +513,7 @@ class DemuxEngine:
             for cells, (codes, idx, msk) in _prefetched(
                 prep_pool, prep, blocks
             ):
-                if exact:
-                    gps_pair, gp0_pair, tabs, meta = self._exact_tables()
-                    if self.mesh is not None:
-                        if (
-                            self._sharded_compact is None
-                            or self._sharded_compact[0] != doublet_prior
-                        ):
-                            from demuxlet_tpu.parallel import mesh as pmesh
-
-                            self._sharded_compact = (
-                                doublet_prior,
-                                pmesh.build_sharded_exact_compact_step(
-                                    self.mesh, meta, self.n_alpha, self.nv,
-                                    doublet_prior, interpret=interpret,
-                                    a0_zero=self.grid_alpha[0] == 0.0,
-                                    sym_a=self._sym_a(),
-                                ),
-                            )
-                        packed = self._sharded_compact[1](
-                            jnp.asarray(codes), jnp.asarray(idx),
-                            jnp.asarray(msk),
-                            gps_pair[0], gps_pair[1],
-                            gp0_pair[0], gp0_pair[1],
-                            tabs[0], tabs[1], tabs[2], dbl_w, dbl_msk,
-                        )
-                    else:
-                        wire = None
-                        if msk is None and isinstance(idx, tuple):
-                            codes, wire = _to_wire(codes, idx)
-                            idx = None
-                        packed = D.demux_block_exact_compact(
-                            jnp.asarray(codes),
-                            None if idx is None else _dev(idx),
-                            None if msk is None else jnp.asarray(msk),
-                            gps_pair, gp0_pair, tabs,
-                            dbl_w, dbl_msk, meta, self.n_alpha, self.nv,
-                            doublet_prior, interpret=interpret,
-                            a0_zero=self.grid_alpha[0] == 0.0,
-                            sym_a=self._sym_a(), wire=wire,
-                        )
-                    pending.append(pool.submit(fetch, cells, packed))
-                    while len(pending) > pipeline_depth:
-                        parts.append(pending.pop(0).result())
-                    continue
-                if self.mesh is not None:
-                    if (
-                        self._sharded_compact is None
-                        or self._sharded_compact[0] != doublet_prior
-                    ):
-                        from demuxlet_tpu.parallel import mesh as pmesh
-
-                        self._sharded_compact = (
-                            doublet_prior,
-                            pmesh.build_sharded_compact_step(
-                                self.mesh, self.n_alpha, self.nv,
-                                doublet_prior, interpret=interpret,
-                                a0_sep=self.grid_alpha[0] == 0.0,
-                                sym_a=self._sym_a(), expand=expand,
-                            ),
-                        )
-                    packed = self._sharded_compact[1](
-                        jnp.asarray(codes), jnp.asarray(idx),
-                        jnp.asarray(msk), self._gps_dev, self._gp0_dev,
-                        w_ext, logf_ext, dbl_w, dbl_msk,
-                    )
-                else:
-                    wire = None
-                    if msk is None and isinstance(idx, tuple):
-                        codes, wire = _to_wire(codes, idx)
-                        idx = None
-                    packed = D.demux_block_fast_compact(
-                        jnp.asarray(codes),
-                        None if idx is None else _dev(idx),
-                        None if msk is None else jnp.asarray(msk),
-                        self._gps_dev, self._gp0_dev,
-                        w_ext, logf_ext, dbl_w, dbl_msk, self.n_alpha,
-                        self.nv, doublet_prior, interpret=interpret,
-                        a0_sep=self.grid_alpha[0] == 0.0,
-                        sym_a=self._sym_a(), expand=expand, wire=wire,
-                    )
+                packed = dispatch(codes, idx, msk)
                 pending.append(pool.submit(fetch, cells, packed))
                 while len(pending) > pipeline_depth:
                     parts.append(pending.pop(0).result())

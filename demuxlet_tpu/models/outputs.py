@@ -347,7 +347,6 @@ def write_pass2_compact(
     l_p12 = np.asarray(C.pair_llk12, np.float64).tolist()
     l_p10 = np.asarray(C.pair_llk10, np.float64).tolist()
     l_p20 = np.asarray(C.pair_llk20, np.float64).tolist()
-    w_sng = (1.0 - doublet_prior) / nv
     exp = math.exp
     lines2: List[str] = []
     linesb: List[str] = []
@@ -368,7 +367,7 @@ def write_pass2_compact(
             lines2.append(
                 "%s\t%s\t%d\t%d\t%d\t%d\t%.4f\t%.4f\t%.3g\n"
                 % (bc, sample_ids[j], totl, pass_, uniq, nsnp, v, z0_0,
-                   exp(v - max_llk) * w_sng / sum_single)
+                   exp(v - max_llk) * (1.0 - doublet_prior) / nv / sum_single)
             )
         i_sing1 = l_i1[i]
         i_sing2 = l_i2[i]
@@ -384,7 +383,10 @@ def write_pass2_compact(
         pair_llk1 = sing[j_best]
         pair_llk2 = sing[k_best]
         post_dbl = sum_double / (sum_single + sum_double)
-        post_sng = exp(sing_llk1 - max_llk) * w_sng / sum_single
+        post_sng = (
+            exp(sing_llk1 - max_llk) * (1.0 - doublet_prior) / nv
+            / sum_single
+        )
         if (
             pair_llk12 > pair_llk1
             and pair_llk12 > pair_llk2

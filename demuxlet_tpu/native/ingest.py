@@ -96,6 +96,17 @@ def _p64(a):
 
 def _bam_refs_len(path: str):
     """Header-only BAM parse: [(chrom, length)] in header order."""
+    import struct
+    import zlib
+
+    try:
+        return _bam_refs_len_raw(path)
+    except (zlib.error, EOFError, OSError, ValueError, struct.error,
+            MemoryError) as e:
+        error("%s: cannot read BAM header (%s)", path, e)
+
+
+def _bam_refs_len_raw(path: str):
     import gzip
     import struct
 

@@ -454,9 +454,9 @@ def _log_mantissa(mh, ml, ee):
     return df.add(lgh, lgl, th_, tl_)
 
 
-def _call_pair_kernel_df(prod, gall, mskf, V, A, interpret,
+def _call_pair_kernel_df(prod, gall, mskf, V, A, interpret, gsel,
                          a0_zero=False, expand=None, sym_a=None,
-                         cmask=None, gsel=None):
+                         cmask=None):
     ph, plm, pe = prod
     n_tch, B, S = ph.shape
     if expand is None:

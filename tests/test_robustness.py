@@ -122,6 +122,6 @@ def test_corrupt_bam_bgzf_native(tmp_path):
         p2 = str(tmp_path / f"mut{trial}.bam")
         open(p2, "wb").write(bytes(mut))
         try:
-            native.build_pileup(p2, table)
-        except (DemuxError, Exception):
-            pass  # clean failure (or harmless decode) — no crash
+            native.build_pileup(p2, table)  # harmless decode is fine...
+        except DemuxError:
+            pass  # ...and so is the CLEAN error; any other type fails
