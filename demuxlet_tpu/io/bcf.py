@@ -98,7 +98,15 @@ def _read_csi(path: str):
     Returns (starts, linear): per-ref smallest data voff (0 = none) and
     synthetic 16kb linear windows built from leaf-bin loffs (same
     contract as the C++ parse_csi_starts in native/ingest.cpp). None on
-    an unreadable/foreign index."""
+    an unreadable/foreign/truncated index (callers full-scan instead)."""
+    try:
+        return _read_csi_raw(path)
+    except (struct.error, IndexError, ValueError, MemoryError,
+            EOFError, OSError):
+        return None
+
+
+def _read_csi_raw(path: str):
     try:
         with gzip.open(path, "rb") as fh:
             data = fh.read()

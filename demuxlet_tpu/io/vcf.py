@@ -236,7 +236,17 @@ def _read_tabix(path: str):
 
     Returns (names, starts, linear): per-ref smallest data virtual offset
     (0 = none recorded) and the 16kb linear-index window voffs. None on
-    an unreadable/foreign index."""
+    an unreadable/foreign/truncated index (callers full-scan instead)."""
+    import struct
+
+    try:
+        return _read_tabix_raw(path)
+    except (struct.error, IndexError, ValueError, MemoryError,
+            EOFError, OSError):
+        return None
+
+
+def _read_tabix_raw(path: str):
     import struct
 
     try:

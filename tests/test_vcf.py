@@ -283,3 +283,51 @@ def test_tabix_region_seek_matches_full_load(tmp_path):
     want = filter_snp_table(full, regions)
     np.testing.assert_array_equal(got.pos0, want.pos0)
     np.testing.assert_array_equal(got.gps, want.gps)
+
+
+def test_corrupt_index_falls_back_cleanly(tmp_path):
+    """Garbage/truncated .tbi or .csi files never crash region loading —
+    the parsers return None and the loader full-scans + post-filters."""
+    import gzip as _gzip
+    import random
+
+    import numpy as np
+
+    from demuxlet_tpu.io.vcf import filter_snp_table, load_snp_table
+    from fixtures import SimVariant, write_bcf, write_tabix, write_vcf
+
+    rng = random.Random(17)
+    contigs = [("chr1", 40000), ("chr2", 40000)]
+    names = ["S0", "S1"]
+    variants = []
+    for ch, ln in contigs:
+        for p in range(500, ln - 500, 301):
+            ref, alt = rng.sample("ACGT", 2)
+            variants.append(SimVariant(ch, p, ref, alt,
+                            [{"GT": rng.choice(["0/0", "0/1", "1/1"])}
+                             for _ in names]))
+    gz = write_vcf(str(tmp_path / "t.vcf.gz"), names, variants,
+                   contigs=contigs)
+    tbi = write_tabix(gz, contigs)
+    bcf = write_bcf(str(tmp_path / "t.bcf"), names, variants,
+                    contigs=contigs, index=True)
+    regions = [("chr1", 10000, 30000)]
+    full_v = load_snp_table(gz, field_name="GT")
+    want = filter_snp_table(full_v, regions)
+
+    # truncate the gzip payloads mid-stream + pure garbage
+    good_tbi = open(tbi, "rb").read()
+    for payload in (good_tbi[: len(good_tbi) // 2], b"GARBAGE" * 10,
+                    _gzip.compress(b"TBI\x01" + b"\x00" * 3)):
+        open(tbi, "wb").write(payload)
+        got = load_snp_table(gz, field_name="GT", regions=regions)
+        np.testing.assert_array_equal(got.pos0, want.pos0)
+
+    good_csi = open(bcf + ".csi", "rb").read()
+    full_b = load_snp_table(bcf, field_name="GT")
+    want_b = filter_snp_table(full_b, regions)
+    for payload in (good_csi[: len(good_csi) // 2], b"junk",
+                    _gzip.compress(b"CSI\x01" + b"\x00" * 5)):
+        open(bcf + ".csi", "wb").write(payload)
+        got = load_snp_table(bcf, field_name="GT", regions=regions)
+        np.testing.assert_array_equal(got.pos0, want_b.pos0)
