@@ -24,6 +24,7 @@ N_CELLS = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
 S_PER_CELL = int(sys.argv[2]) if len(sys.argv) > 2 else 1000
 NV = int(sys.argv[3]) if len(sys.argv) > 3 else 8
 NA = int(sys.argv[4]) if len(sys.argv) > 4 else 5
+MODE = sys.argv[5] if len(sys.argv) > 5 else "fast"
 NSNPS = 50_000
 UMIS = 2
 
@@ -75,10 +76,11 @@ def main():
 
     grid = np.linspace(0.0, 0.5, NA).tolist()
     t0 = time.time()
-    eng = DemuxEngine(gps, grid, cell_block=2048, mode="fast")
+    eng = DemuxEngine(gps, grid, cell_block=2048, mode=MODE,
+                      exact_kernel="pallas" if MODE == "exact" else "auto")
     llks, llk0s, compact = eng.run_compact(csr, doublet_prior=0.5)
     t_engine = time.time() - t0
-    print(f"# engine (fast+device decisions): {t_engine:.1f}s -> "
+    print(f"# engine ({MODE}+device decisions): {t_engine:.1f}s -> "
           f"{N_CELLS / t_engine:.0f} barcodes/s", flush=True)
 
     t0 = time.time()
@@ -95,10 +97,10 @@ def main():
     total = t_gen * 0 + t_engine + t_out
     print(f"# outputs (.sing2/.best): {t_out:.1f}s", flush=True)
     print(
-        '{"metric": "e2e_demux_barcodes_per_s", "value": %.1f, '
+        '{"metric": "e2e_demux_barcodes_per_s", "mode": "%s", "value": %.1f, '
         '"unit": "barcodes/s", "engine_s": %.1f, "outputs_s": %.1f, '
         '"cells": %d}'
-        % (N_CELLS / total, t_engine, t_out, N_CELLS)
+        % (MODE, N_CELLS / total, t_engine, t_out, N_CELLS)
     )
 
 

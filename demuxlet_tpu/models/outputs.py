@@ -336,7 +336,11 @@ def write_pass2_compact(
     l_uniq = np.asarray(stats.uniq).tolist()
     l_nsnp = np.asarray(stats.nsnp).tolist()
     l_max_llk = np.asarray(C.max_llk, np.float64).tolist()
-    l_sum_single = np.asarray(C.sum_single, np.float64).tolist()
+    # keep the posterior DENOMINATORS as numpy scalars: pure-Python float
+    # division raises ZeroDivisionError where the reference's C (and the
+    # previous numpy path) produce IEEE inf/nan — sum_single can be an
+    # exact 0.0 when every singlet underflows the max-shifted exp
+    l_sum_single = np.asarray(C.sum_single, np.float64)
     l_sum_double = np.asarray(C.sum_double, np.float64).tolist()
     l_sing_col = np.asarray(C.sing_col, np.float64).tolist()
     l_llk00 = np.asarray(C.llk_00, np.float64).tolist()

@@ -433,3 +433,62 @@ def test_two_process_distributed_with_mesh(tmp_path):
         want = open(str(tmp_path / "ref") + ext).read()
         got = open(str(tmp_path / "dist") + ext).read()
         assert got == want, f"{ext} differs"
+
+
+def test_two_process_genome_sharded_cli_indexed_vcf(tmp_path):
+    # NOTE .best is compared canonicalized: the two-shard LLK sum reorders
+    # the SNP reduction, and on the CPU XLA exact path the (j,k)/(k,j)
+    # alpha=0.5 mirrors are computed independently — ulp ties can resolve
+    # to the mirrored doublet order (documented contract, parity_utils).
+    """Genome shards over a .tbi-indexed .vcf.gz (each process index-seeks
+    only its regions' VCF ranges) produce byte-identical outputs to the
+    single-process plain-VCF run."""
+    import socket
+    import subprocess
+    import sys
+
+    from fixtures import write_tabix
+    from demuxlet_tpu.io.vcf import VcfReader
+
+    rng = random.Random(37)
+    contigs, names, variants, reads, truth = random_workload(
+        rng, n_cells=20, n_snps=40, n_samples=3, reads_per_cell=50
+    )
+    vcf = write_vcf(str(tmp_path / "d.vcf"), names, variants,
+                    contigs=contigs)
+    gz = write_vcf(str(tmp_path / "d.vcf.gz"), names, variants,
+                   contigs=contigs)
+    write_tabix(gz, contigs)
+    bam = write_bam(str(tmp_path / "d.bam"), contigs, reads)
+    # sanity: the index path actually engages for this input
+    regions = [(contigs[0][0], 1, contigs[0][1])]
+    assert VcfReader(gz).iter_regions(regions) is not None
+
+    env = _cli_env()
+    _run_cli(["--sam", bam, "--vcf", vcf, "--field", "GT",
+              "--out", str(tmp_path / "ref"), "--device", "cpu",
+              "--mesh", "none"], env)
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    coord = f"127.0.0.1:{port}"
+    procs = [subprocess.Popen(
+        [sys.executable, "-m", "demuxlet_tpu.cli", "--sam", bam,
+         "--vcf", gz, "--field", "GT",
+         "--out", str(tmp_path / "dist"), "--device", "cpu",
+         "--mesh", "none", "--num-shards", "2", "--shard-id", str(k),
+         "--shard-by", "genome", "--dist-coordinator", coord],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+    ) for k in range(2)]
+    for p in procs:
+        out, err = p.communicate(timeout=600)
+        assert p.returncode == 0, err[-4000:]
+    from parity_utils import canonicalize_best
+
+    for ext in (".single", ".sing2", ".best"):
+        want = open(str(tmp_path / "ref") + ext).read()
+        got = open(str(tmp_path / "dist") + ext).read()
+        if ext == ".best":
+            want = canonicalize_best(want.splitlines())
+            got = canonicalize_best(got.splitlines())
+        assert got == want, f"{ext} differs"
