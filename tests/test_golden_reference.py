@@ -139,6 +139,98 @@ def test_golden_exact_engine_mode(tmp_path, ref_binary):
           exts=(".single", ".sing2", ".best"), canonicalize=True)
 
 
+def _bgzf_compress(src: str, dst: str) -> str:
+    from demuxlet_tpu.io.bgzf import BgzfWriter
+
+    with open(src, "rb") as fh:
+        data = fh.read()
+    with BgzfWriter(open(dst, "wb")) as w:
+        w.write(data)
+    return dst
+
+
+def test_golden_vcf_gz_input(tmp_path, ref_binary):
+    """BGZF-compressed .vcf.gz through BOTH binaries: the shim inflates
+    at hts_open (shim.cpp gzopen path) exactly where real htslib does
+    (/root/reference/hts_utils.cpp format dispatch), so the golden
+    evidence now covers the compressed-VCF input path users actually
+    run, not just plain text."""
+    vcf, sam = _workload(tmp_path, 211)
+    vcf_gz = _bgzf_compress(vcf, str(tmp_path / "w.vcf.gz"))
+    _run_ref(ref_binary, vcf_gz, sam, str(tmp_path / "ref"),
+             ["--field", "GT", "--write-pair"])
+    _run_ours(vcf_gz, sam, str(tmp_path / "ours"),
+              ["--field", "GT", "--write-pair"])
+    _diff(str(tmp_path / "ref"), str(tmp_path / "ours"))
+
+
+def test_golden_bam_input(tmp_path, ref_binary):
+    """Binary BAM through BOTH binaries: the reference reads it via the
+    shim's BAM record parser (shim.cpp bam_read1_bin; real htslib's
+    sam_read1 path, /root/reference/sam_filtered_reader.cpp:76-102), we
+    read it via io/bam.py — byte-identical outputs."""
+    import pathlib
+    import sys as _sys
+
+    _sys.path.insert(0, str(pathlib.Path(__file__).parent))
+    rng = random.Random(223)
+    contigs, names, variants, reads, truth = random_workload(
+        rng, n_cells=20, n_snps=40, n_samples=3, reads_per_cell=50,
+    )
+    from fixtures import write_bam
+
+    vcf = write_vcf(str(tmp_path / "w.vcf"), names, variants,
+                    contigs=contigs)
+    bam = write_bam(str(tmp_path / "w.bam"), contigs, reads)
+    _run_ref(ref_binary, vcf, bam, str(tmp_path / "ref"),
+             ["--field", "GT", "--write-pair"])
+    _run_ours(vcf, bam, str(tmp_path / "ours"),
+              ["--field", "GT", "--write-pair"])
+    _diff(str(tmp_path / "ref"), str(tmp_path / "ours"))
+
+
+@pytest.mark.parametrize(
+    "extra",
+    [
+        ["--cap-BQ", "25", "--min-BQ", "20"],
+        ["--min-TD", "5"],
+        ["--min-total", "30", "--min-uniq", "20", "--min-snp", "5"],
+        ["--min-MQ", "60"],
+    ],
+    ids=["bq-edges", "min-td", "cell-filters", "min-mq"],
+)
+def test_golden_read_filter_flags(tmp_path, ref_binary, extra):
+    """Read/cell filter flag edges against the reference binary
+    (previously only oracle-tested): capBQ/minBQ clamps
+    (cmd_cram_demuxlet.cpp pileup filters), tail-distance, min-MQ, and
+    the .best row gating by min-total/uniq/snp."""
+    vcf, sam = _workload(tmp_path, 307)
+    args = ["--field", "GT", "--write-pair"] + extra
+    _run_ref(ref_binary, vcf, sam, str(tmp_path / "ref"), args)
+    _run_ours(vcf, sam, str(tmp_path / "ours"), args)
+    _diff(str(tmp_path / "ref"), str(tmp_path / "ours"))
+
+
+def test_golden_group_list_and_sm_list(tmp_path, ref_binary):
+    """--group-list (barcode whitelist; the reference's manual-sharding
+    mechanism, cmd_cram_demuxlet.cpp:68) and --sm-list (VCF sample
+    subset) against the reference binary."""
+    vcf, sam = _workload(tmp_path, 311, n_cells=24, n_samples=4)
+    # half the barcodes, two of the four samples
+    glist = str(tmp_path / "groups.txt")
+    with open(glist, "w") as fh:
+        for c in range(0, 24, 2):
+            fh.write("BC%05d\n" % c)
+    smlist = str(tmp_path / "sm.txt")
+    with open(smlist, "w") as fh:
+        fh.write("S0\nS2\n")
+    args = ["--field", "GT", "--write-pair", "--group-list", glist,
+            "--sm-list", smlist]
+    _run_ref(ref_binary, vcf, sam, str(tmp_path / "ref"), args)
+    _run_ours(vcf, sam, str(tmp_path / "ours"), args)
+    _diff(str(tmp_path / "ref"), str(tmp_path / "ours"))
+
+
 TUT_VCF = "/root/reference/tutorial/jurkat_293T_exons_only.vcf.gz"
 
 
@@ -148,17 +240,14 @@ def test_golden_tutorial_vcf(tmp_path, ref_binary):
     """Golden parity on the REAL tutorial panel (54,424 records, jurkat +
     293T_RTG, GT:GQ:DP:PL:AD): synthetic droplets over the real SNPs,
     reference binary vs our CLI, byte-for-byte."""
-    import gzip
-
     import numpy as np
 
     from demuxlet_tpu.io.vcf import load_snp_table
     from fixtures import SimRead, write_sam
 
-    # the shim reads plain text: decompress the BGZF VCF
-    vcf = str(tmp_path / "tut.vcf")
-    with gzip.open(TUT_VCF, "rb") as src, open(vcf, "wb") as dst:
-        dst.write(src.read())
+    # both binaries read the REAL BGZF .vcf.gz directly (the shim
+    # inflates it at hts_open)
+    vcf = TUT_VCF
 
     t = load_snp_table(TUT_VCF, field_name="GT")
     rng = random.Random(5)

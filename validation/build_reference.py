@@ -77,7 +77,7 @@ def build(ref_dir: str = "/root/reference", out_dir: str | None = None) -> str:
              "-c", src, "-o", obj],
             check=True,
         )
-    subprocess.run(["g++", "-O2"] + objs + ["-o", exe], check=True)
+    subprocess.run(["g++", "-O2"] + objs + ["-o", exe, "-lz"], check=True)
     return exe
 
 

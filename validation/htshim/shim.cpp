@@ -5,8 +5,10 @@
  * /root/reference) without htslib, so the framework's outputs can be
  * diffed against goldens produced by the reference's own algorithm code
  * (cmd_cram_demuxlet.cpp, bcf_filtered_reader.cpp, PhredHelper.cpp, ...).
- * Only plain-text SAM and VCF inputs are supported; anything else —
- * BGZF, CRAM, indexes, regions, FASTA — aborts loudly.
+ * Supported inputs: plain-text SAM and VCF, BGZF/gzip-compressed text
+ * (.vcf.gz, .sam.gz — inflated whole into a tmpfile at open), and
+ * binary BAM (plain or BGZF). Anything else — CRAM, binary BCF,
+ * indexes, regions, FASTA — aborts loudly.
  *
  * This file is validation tooling, NOT part of the demuxlet-tpu runtime.
  */
@@ -18,6 +20,8 @@
 #include <cstring>
 #include <string>
 #include <vector>
+
+#include <zlib.h>
 
 #include "htslib/bgzf.h"
 #include "htslib/faidx.h"
@@ -92,13 +96,54 @@ htsFile *hts_open(const char *fn, const char *mode) {
         fp->fp.hfile = h;
         return fp;
     }
-    /* sniff: BGZF/gzip unsupported */
+    /* sniff: BGZF/gzip → inflate the WHOLE file into a tmpfile and read
+     * that (zlib's gzFile transparently concatenates BGZF members).
+     * Validation-only tooling: simplicity over streaming. */
     int c0 = fgetc(f);
     int c1 = fgetc(f);
     rewind(f);
-    if (c0 == 0x1f && c1 == 0x8b) shim_die("compressed input (use plain text)");
+    if (c0 == 0x1f && c1 == 0x8b) {
+        gzFile gz = gzopen(fn, "rb");
+        if (!gz) shim_die("gzopen");
+        FILE *tf = tmpfile();
+        if (!tf) shim_die("tmpfile");
+        char buf[1 << 16];
+        int r;
+        while ((r = gzread(gz, buf, sizeof buf)) > 0)
+            if (fwrite(buf, 1, (size_t)r, tf) != (size_t)r)
+                shim_die("tmpfile write");
+        if (r < 0) shim_die("gzread (corrupt BGZF/gzip)");
+        gzclose(gz);
+        rewind(tf);
+        fclose(f);
+        f = tf;
+        fp->format.compression = bgzf;
+        c0 = fgetc(f);
+        c1 = fgetc(f);
+        rewind(f);
+    }
+    fp->shim_fp = f;
+    /* binary-format magics on the (possibly inflated) stream */
+    char magic[4] = {0, 0, 0, 0};
+    if (fread(magic, 1, 4, f) == 4) {
+        rewind(f);
+        if (memcmp(magic, "BAM\1", 4) == 0) {
+            fp->format.format = bam;
+            fp->format.category = sequence_data;
+            fp->is_bin = 1;
+            return fp;
+        }
+        if (memcmp(magic, "BCF", 3) == 0)
+            shim_die("binary BCF input (use VCF text or .vcf.gz)");
+        if (memcmp(magic, "CRAM", 4) == 0) shim_die("CRAM input");
+    } else {
+        rewind(f);
+    }
     size_t n = strlen(fn);
-    if (n >= 4 && strcmp(fn + n - 4, ".vcf") == 0) {
+    if (n >= 7 && strcmp(fn + n - 7, ".vcf.gz") == 0) {
+        fp->format.format = vcf;
+        fp->format.category = variant_data;
+    } else if (n >= 4 && strcmp(fn + n - 4, ".vcf") == 0) {
         fp->format.format = vcf;
         fp->format.category = variant_data;
     } else if (n >= 4 && strcmp(fn + n - 4, ".sam") == 0) {
@@ -281,7 +326,47 @@ static char *next_tok(char **p, char sep) {
     return s;
 }
 
+static int read_i32(FILE *f, int32_t *v) {
+    unsigned char b[4];
+    if (fread(b, 1, 4, f) != 4) return -1;
+    *v = (int32_t)((uint32_t)b[0] | ((uint32_t)b[1] << 8) |
+                   ((uint32_t)b[2] << 16) | ((uint32_t)b[3] << 24));
+    return 0;
+}
+
+static bam_hdr_t *bam_hdr_read_bin(FILE *f) {
+    /* BAM spec §4.2: magic, l_text, text, n_ref, then per-ref
+     * (l_name, name incl NUL, l_ref). */
+    char magic[4];
+    if (fread(magic, 1, 4, f) != 4 || memcmp(magic, "BAM\1", 4))
+        shim_die("bad BAM magic");
+    bam_hdr_t *h = (bam_hdr_t *)calloc(1, sizeof(bam_hdr_t));
+    int32_t l_text, n_ref;
+    if (read_i32(f, &l_text) || l_text < 0) shim_die("BAM l_text");
+    h->text = (char *)malloc((size_t)l_text + 1);
+    if (fread(h->text, 1, (size_t)l_text, f) != (size_t)l_text)
+        shim_die("BAM text");
+    h->text[l_text] = 0;
+    h->l_text = (uint32_t)l_text;
+    if (read_i32(f, &n_ref) || n_ref < 0) shim_die("BAM n_ref");
+    h->n_targets = n_ref;
+    h->target_name = (char **)calloc((size_t)n_ref + 1, sizeof(char *));
+    h->target_len = (uint32_t *)calloc((size_t)n_ref + 1, sizeof(uint32_t));
+    for (int32_t i = 0; i < n_ref; ++i) {
+        int32_t l_name, l_ref;
+        if (read_i32(f, &l_name) || l_name <= 0) shim_die("BAM l_name");
+        h->target_name[i] = (char *)malloc((size_t)l_name);
+        if (fread(h->target_name[i], 1, (size_t)l_name, f) !=
+            (size_t)l_name)
+            shim_die("BAM ref name");
+        if (read_i32(f, &l_ref)) shim_die("BAM l_ref");
+        h->target_len[i] = (uint32_t)l_ref;
+    }
+    return h;
+}
+
 bam_hdr_t *sam_hdr_read(htsFile *fp) {
+    if (fp->format.format == bam) return bam_hdr_read_bin(fp->shim_fp);
     bam_hdr_t *h = (bam_hdr_t *)calloc(1, sizeof(bam_hdr_t));
     kstring_t text = KS_INITIALIZE;
     std::vector<char *> names;
@@ -357,7 +442,39 @@ static void bam_reserve(bam1_t *b, int n) {
     }
 }
 
+static int bam_read1_bin(FILE *f, bam1_t *b) {
+    /* BAM spec §4.2: block_size, then 8 fixed int32 words, then the
+     * variable data section copied VERBATIM (qname|cigar|seq|qual|aux —
+     * the bam1_t in-memory layout; l_extranul stays 0). */
+    int32_t block_size;
+    if (read_i32(f, &block_size)) return -1;
+    if (block_size < 32) shim_die("BAM record block_size");
+    int32_t w[8];
+    for (int i = 0; i < 8; ++i)
+        if (read_i32(f, &w[i])) shim_die("truncated BAM record");
+    uint32_t bin_mq_nl = (uint32_t)w[2], flag_nc = (uint32_t)w[3];
+    b->core.tid = w[0];
+    b->core.pos = w[1];
+    b->core.bin = (uint16_t)(bin_mq_nl >> 16);
+    b->core.qual = (uint8_t)((bin_mq_nl >> 8) & 0xff);
+    b->core.l_qname = (uint16_t)(bin_mq_nl & 0xff);
+    b->core.l_extranul = 0;
+    b->core.flag = (uint16_t)(flag_nc >> 16);
+    b->core.n_cigar = flag_nc & 0xffff;
+    b->core.l_qseq = w[4];
+    b->core.mtid = w[5];
+    b->core.mpos = w[6];
+    b->core.isize = w[7];
+    int ldata = block_size - 32;
+    bam_reserve(b, ldata);
+    if (fread(b->data, 1, (size_t)ldata, f) != (size_t)ldata)
+        shim_die("truncated BAM record data");
+    b->l_data = ldata;
+    return 0;
+}
+
 int sam_read1(htsFile *fp, bam_hdr_t *h, bam1_t *b) {
+    if (fp->format.format == bam) return bam_read1_bin(fp->shim_fp, b);
     kstring_t line = KS_INITIALIZE;
     int r;
     do {
@@ -493,7 +610,18 @@ uint8_t *bam_aux_get(const bam1_t *b, const char tag[2]) {
             sz = 1;
         else if (typ == 's' || typ == 'S')
             sz = 2;
-        else
+        else if (typ == 'd')
+            sz = 8;
+        else if (typ == 'B') {
+            /* sub-type byte + i32 count + count elements */
+            uint8_t st = val[0];
+            uint32_t cnt;
+            memcpy(&cnt, val + 1, 4);
+            size_t esz = (st == 'c' || st == 'C') ? 1
+                         : (st == 's' || st == 'S') ? 2
+                                                    : 4;
+            sz = 5 + (size_t)cnt * esz;
+        } else
             sz = 4;
         if (t0 == (uint8_t)tag[0] && t1 == (uint8_t)tag[1]) return s + 2;
         s = val + sz;
