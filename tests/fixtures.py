@@ -597,7 +597,7 @@ def _enc_bas(stop: int, cid: int) -> bytes:
 
 _CRAM_IDS = dict(BF=1, CF=2, RL=3, AP=4, RG=5, RN=6, TL=7, FN=8, FC=9,
                  FP=10, BS=11, DL=12, RS=13, IN=14, SC=15, HC=16, PD=17,
-                 BA=18, QS=19, MF=20, NS=21, NP=22, TS=23, MQ=24)
+                 BA=18, QS=19, MF=20, NS=21, NP=22, TS=23, MQ=24, RI=25)
 
 
 def _enc_beta(offset: int, nbits: int) -> bytes:
@@ -784,6 +784,10 @@ def write_cram(
             S = streams
             events.append(("BF", r.flag))
             events.append(("CF", 0x1 | 0x2))
+            # RI (record reference id): consumed by decoders ONLY in
+            # multi-ref (ref_id == -2) slices; always emitted (external
+            # stream, trailing unread bytes are legal)
+            events.append(("RI", ref_index[r.chrom]))
             events.append(("RL", len(r.seq)))
             events.append(("AP", r.pos0 + 1))
             events.append(("RG", -1))
@@ -870,8 +874,10 @@ def write_cram(
         base += len(g)
 
     # ---- choose per-series encodings (shared by all slices)
-    INT_KEYS = ("BF", "CF", "RL", "AP", "RG", "MF", "NS", "NP", "TS", "TL",
-                "FN", "FP", "DL", "RS", "HC", "PD", "MQ")
+    # RI stays EXTERNAL always (core-encoding it would misalign the CORE
+    # bitstream for single-ref slices, whose decoders never read RI)
+    INT_KEYS = ("BF", "CF", "RI", "RL", "AP", "RG", "MF", "NS", "NP", "TS",
+                "TL", "FN", "FP", "DL", "RS", "HC", "PD", "MQ")
     encodings = {}
     core_enc = {}
     if core_codecs:
@@ -950,8 +956,10 @@ def write_cram(
         used = sorted(cid for cid in streams if streams[cid])
         core_bytes = core_w.tobytes()
         n_data = len(used) + (1 if core_codecs else 0)
-        rid = ref_index[g[0].chrom] if g else -1
-        start = g[0].pos0 + 1 if g else 0
+        rids = {ref_index[r.chrom] for r in g}
+        # multi-reference slice: ref_id -2 + per-record RI (CRAM 3.0 §8.5)
+        rid = (-2 if len(rids) > 1 else rids.pop()) if g else -1
+        start = (g[0].pos0 + 1 if g else 0) if rid != -2 else 0
         slice_hdr = (
             _itf8(rid) + _itf8(start) + _itf8(0) + _itf8(len(g))
             + _ltf8(0) + _itf8(n_data)
@@ -1004,9 +1012,11 @@ def write_cram(
             blocks += sb
             total_blocks += nb
         min_start = reads[0].pos0 + 1 if reads else 1
+        c_rids = {ref_index[r.chrom] for r in reads}
+        c_rid = (-2 if len(c_rids) > 1 else c_rids.pop()) if reads else -1
         out += container(
-            ref_index[reads[0].chrom] if reads else -1,
-            min_start, len(reads), blocks, total_blocks,
+            c_rid, min_start if c_rid != -2 else 0,
+            len(reads), blocks, total_blocks,
         )
     out += container(-1, 0, 0, b"", 0)  # EOF
     with open(path, "wb") as fh:
