@@ -85,7 +85,7 @@ def main():
 
     @jax.jit
     def stage_a(codes):
-        mh, ml, ef = PE._pair_prod_gather(tabs_p, codes_i32(codes), n_rows)
+        mh, ml, ef = PE._pair_prod_gather(tabs_p[:3], codes_i32(codes), n_rows)
         return jnp.sum(mh) + jnp.sum(ef)
 
     def g_fused(idx, msk):
@@ -113,7 +113,7 @@ def main():
     @jax.jit
     def make_inputs(codes, idx, msk):
         c = codes_i32(codes)
-        mh, ml, ef = PE._pair_prod_gather(tabs_p, c, n_rows)
+        mh, ml, ef = PE._pair_prod_gather(tabs_p[:3], c, n_rows)
         gall = g_fused(idx, msk)
         return (mh, ml, ef, gall, msk[None].astype(jnp.float32))
 
@@ -133,7 +133,17 @@ def main():
         llk, llk0, ab, z0 = PE.demux_block_exact_impl(
             codes, idx, msk, gps_p, gp0_p, tabs_p, meta,
             NALPHA, NV, interpret=interpret, a0_zero=True,
-            sym_a=NALPHA - 1,
+            sym_a=NALPHA - 1, front="pair",
+        )
+        return (jnp.sum(ab[0]) + jnp.sum(ab[1]) + jnp.sum(llk[0])
+                + jnp.sum(z0[0]))
+
+    @jax.jit
+    def stage_h(codes, idx, msk):
+        llk, llk0, ab, z0 = PE.demux_block_exact_impl(
+            codes, idx, msk, gps_p, gp0_p, tabs_p, meta,
+            NALPHA, NV, interpret=interpret, a0_zero=True,
+            sym_a=NALPHA - 1, front="onehot",
         )
         return (jnp.sum(ab[0]) + jnp.sum(ab[1]) + jnp.sum(llk[0])
                 + jnp.sum(z0[0]))
@@ -142,7 +152,8 @@ def main():
         "pair_gather_ms": timeit(stage_a, codes_d),
         "g_gather_ms": timeit(stage_d, idx_d, msk_d),
         "kernel_incl_front_ms": timeit(stage_f, *ins),
-        "full_ms": timeit(stage_g, codes_d, idx_d, msk_d),
+        "full_pair_ms": timeit(stage_g, codes_d, idx_d, msk_d),
+        "full_onehot_ms": timeit(stage_h, codes_d, idx_d, msk_d),
         "n_uniq_channels": C,
         "block": B,
     }

@@ -370,7 +370,7 @@ class DemuxEngine:
             return self._sharded_exact_pallas(
                 jnp.asarray(codes), jnp.asarray(idx), jnp.asarray(msk),
                 gps_pair[0], gps_pair[1], gp0_pair[0], gp0_pair[1],
-                tabs[0], tabs[1], tabs[2],
+                tabs[0], tabs[1], tabs[2], tabs[3],
             )
         return PE.demux_block_exact(
             jnp.asarray(codes),
@@ -419,12 +419,18 @@ class DemuxEngine:
         llks = np.zeros((n, self.nv), dtype=np.float64)
         llk0s = np.zeros(n, dtype=np.float64)
         parts = []
+        # per-run transport accounting (read by benchmarks/e2e_demux.py
+        # for the H2D-ceiling artifact): bytes shipped per block, tables
+        # excluded (they ship once and are cached on device)
+        self.h2d_bytes = 0
+        self.d2h_bytes = 0
 
         def fetch(cells, packed):
             m = len(cells)
             a, b, c = D.unpack_block(
                 np.asarray(packed)[:m], self.nv, self.n_alpha
             )
+            self.d2h_bytes += np.asarray(packed).nbytes
             llks[cells] = a
             llk0s[cells] = b
             return c
@@ -467,6 +473,12 @@ class DemuxEngine:
 
         def dispatch(codes, idx, msk):
             if self.mesh is not None:
+                self.h2d_bytes += codes.nbytes + sum(
+                    e.nbytes
+                    for buf in (idx, msk)
+                    if buf is not None
+                    for e in (buf if isinstance(buf, tuple) else (buf,))
+                )
                 args = (jnp.asarray(codes), jnp.asarray(idx),
                         jnp.asarray(msk))
                 if exact:
@@ -474,7 +486,8 @@ class DemuxEngine:
                     return sharded_step()(
                         *args, gps_pair[0], gps_pair[1],
                         gp0_pair[0], gp0_pair[1],
-                        tabs[0], tabs[1], tabs[2], dbl_w, dbl_msk,
+                        tabs[0], tabs[1], tabs[2], tabs[3],
+                        dbl_w, dbl_msk,
                     )
                 return sharded_step()(
                     *args, self._gps_dev, self._gp0_dev,
@@ -482,8 +495,14 @@ class DemuxEngine:
                 )
             wire = None
             if msk is None and isinstance(idx, tuple):
-                codes, wire = _to_wire(codes, idx)
+                codes, wire = _to_wire(codes, idx)  # codes IS the buffer now
                 idx = None
+            self.h2d_bytes += codes.nbytes + sum(
+                e.nbytes
+                for buf in (idx, msk)
+                if buf is not None
+                for e in (buf if isinstance(buf, tuple) else (buf,))
+            )
             args = (
                 jnp.asarray(codes),
                 None if idx is None else _dev(idx),

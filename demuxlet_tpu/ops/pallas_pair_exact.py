@@ -518,6 +518,82 @@ def _call_pair_kernel_df(prod, gall, mskf, V, A, interpret, gsel,
 
 
 # ---------------------------------------------------------------- XLA front
+def _sel_rows(c_plane, tT):
+    """One-hot MXU selection: c_plane (TB, TS) int32 row ids -> the
+    selected LUT rows as (3C, TB, TS) planes. tT is the (3C, 128)
+    transposed single-code table (columns beyond n_rows zero-padded).
+
+    dot_general at precision=HIGHEST selects BIT-EXACTLY: the bf16x3
+    input split is an exact decomposition of f32 (8+8+8 mantissa bits)
+    and each output lane sums exactly one nonzero partial, so the f32
+    accumulation never rounds (pinned by probe_gather3 onehot_bitexact
+    and tests/test_pallas_exact.py::test_onehot_front_matches_pair)."""
+    outs = []
+    rid = jax.lax.broadcasted_iota(jnp.int32, (128, c_plane.shape[1]), 0)
+    for b in range(c_plane.shape[0]):
+        oh = (rid == c_plane[b : b + 1, :]).astype(jnp.float32)
+        outs.append(jax.lax.dot_general(
+            tT, oh, (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        ))
+    return jnp.stack(outs, axis=1)  # (3C, TB, TS)
+
+
+def _onehot_front_kernel(c_ref, tT_ref, oh_ref, ol_ref, oe_ref, *,
+                         C, fence):
+    tT = tT_ref[...]
+    U = c_ref.shape[0]
+    h = l = e = None
+    for u in range(U):
+        sel = _sel_rows(c_ref[u], tT)
+        h2, l2, e2 = sel[:C], sel[C : 2 * C], sel[2 * C :]
+        if h is None:
+            h, l, e = h2, l2, e2
+        else:
+            h, l = _mul2(h, l, h2, l2, fence)
+            h, l, e = _renorm(h, l, e + e2)
+    oh_ref[...] = h
+    ol_ref[...] = l
+    oe_ref[...] = e
+
+
+def _onehot_prod_front(cP, tT, interpret):
+    """Per-slot probability products via a STANDALONE one-hot Pallas
+    kernel: each UMI code selects its (C,) LUT column by an MXU one-hot
+    matmul over the 128-padded single-code table (bit-exact, see
+    _sel_rows), and consecutive selections multiply in df with exponent
+    renormalization in VMEM.
+
+    Replaces the XLA pair-code LUT take for the TPU path: the (R^2, 3C)
+    take is HBM-row-transaction-bound (~9.9 ms/2048-cell block at U=2)
+    while this kernel only streams the (U, B, S) i32 code planes in and
+    the (3C, B, S) product planes out (~2.6 ms compute,
+    benchmarks/probe_gather3.py p1_onehot vs p0_take). Kept OUT of the
+    main pair kernel on purpose: fusing it there regressed the kernel
+    20.6 -> 110 ms (Mosaic scheduling pathology, probe_onehot_parts).
+
+    cP (U, B, S) int32; tT (3C, 128). Returns (mh, ml, ef) each (C, B, S),
+    the _pair_prod_gather contract."""
+    C3 = tT.shape[0]
+    C = C3 // 3
+    U, B, S = cP.shape
+    kernel = functools.partial(_onehot_front_kernel, C=C, fence=interpret)
+    out = pl.pallas_call(
+        kernel,
+        grid=(B // TB, S // TS),
+        in_specs=[
+            pl.BlockSpec((U, TB, TS), lambda ib, is_: (ib * 0, ib, is_)),
+            pl.BlockSpec((C3, 128), lambda ib, is_: (ib * 0, ib * 0)),
+        ],
+        out_specs=[pl.BlockSpec((C, TB, TS),
+                                lambda ib, is_: (ib * 0, ib, is_))] * 3,
+        out_shape=[jax.ShapeDtypeStruct((C, B, S), jnp.float32)] * 3,
+        interpret=interpret,
+    )(cP, tT)
+    return out
+
+
 def _pair_prod_gather(tabs, codes_i32, n_rows):
     """Per-slot probability products via the PAIR-code LUT: codes are
     consumed two at a time (c0 * n_rows + c1 indexes the host-built
@@ -686,11 +762,16 @@ def split_tables(gps, gp0, w, logf):
       columns. expand_w/expand_gl map logical channels to unique ones.
     * Pair-code LUT: rows are code PAIRS (c0*(NB+1)+c1) holding the
       f64-exact per-channel product — one device gather covers two UMIs
-      with no df mul.
+      with no df mul. Used by the interpret/CPU front.
+    * Single-code transposed table: the same T columns as (3C, 128)
+      mantissa-df + exponent planes (codes zero-padded to the 128-lane
+      one-hot width) — the _onehot_prod_front kernel's selection operand
+      for the TPU front.
 
     Returns (gps_pair, gp0_pair, tabs, meta):
-      tabs = (pm_h, pm_l, pe) each ((NB+1)^2, C) f32 — mantissa df pair
-        (hi in [1,2)) + integer-valued exponent plane;
+      tabs = (pm_h, pm_l, pe, tT): the pair-LUT planes each ((NB+1)^2, C)
+        f32 — mantissa df pair (hi in [1,2)) + integer-valued exponent
+        plane — plus the (3C, 128) transposed single-code table;
       meta = (C, expand_w, expand_gl) — static (hashable) channel maps.
     """
     gps_h, gps_l = df.from_f64(gps)
@@ -711,14 +792,21 @@ def split_tables(gps, gp0, w, logf):
     mant, ex = np.frexp(P)
     pm_h, pm_l = df.from_f64(mant * 2.0)  # exact scale: mant -> [1, 2)
     pe = (ex - 1).astype(np.float32)
+    n_rows = T.shape[0]
+    assert n_rows <= 128, "single-code LUT must fit the 128-lane one-hot"
+    smant, sex = np.frexp(T)
+    sh, sl = df.from_f64(smant * 2.0)
+    pad = lambda a: np.pad(a.T.astype(np.float32), ((0, 0), (0, 128 - n_rows)))
+    tT = np.concatenate(
+        [pad(sh), pad(sl), pad((sex - 1).astype(np.float32))], axis=0)
     meta = (len(cols), tuple(inv[:nw]), tuple(inv[nw:]))
-    return (gps_h, gps_l), (gp0_h, gp0_l), (pm_h, pm_l, pe), meta
+    return (gps_h, gps_l), (gp0_h, gp0_l), (pm_h, pm_l, pe, tT), meta
 
 
 def demux_block_exact_impl(
     codes, idx, msk, gps_pair, gp0_pair, tabs, meta,
     n_alpha, n_samples, interpret=False, a0_zero=False, sym_a=None,
-    wire=None,
+    wire=None, front=None,
 ):
     """Fused exact-mode (df32) block step.
 
@@ -728,8 +816,12 @@ def demux_block_exact_impl(
     16-bit pairs); msk (B,S) bool or None (derived from codes); wire:
     static (S, U, K) when codes is the fused int32 wire buffer (engine
     _to_wire). gps_pair ((NS,V,3) hi, lo); gp0_pair ((NS,3) hi, lo);
-    tabs/meta from split_tables (pair-code product LUT + static
-    channel-dedup maps).
+    tabs/meta from split_tables (pair-code product LUT + single-code
+    transposed table + static channel-dedup maps).
+    front: "pair" (XLA pair-code LUT take) or "onehot" (standalone
+    one-hot Pallas kernel, _onehot_prod_front); None picks "pair" under
+    interpret (the one-hot kernel's interpret-mode compile is slow) and
+    "onehot" on the real TPU (measured faster, probe_gather3).
     Returns df pairs: (llk (B,V), llk0 (B,), llk_ab (B,V,V,A), llk00 (B,A)),
     each as (hi, lo) f32 — combine to f64 on the host."""
     from demuxlet_tpu.ops.pallas_pair import unpack_block_inputs
@@ -742,7 +834,13 @@ def demux_block_exact_impl(
     none_row = n_rows - 1
     c = jnp.where(codes >= 254, jnp.uint8(none_row), codes).astype(jnp.int32)
 
-    mh, ml, ef = _pair_prod_gather(tabs, c, n_rows)  # (C,B,S)
+    if front is None:
+        front = "pair" if interpret else "onehot"
+    if front == "onehot":
+        cP = jnp.transpose(c, (2, 0, 1))  # (U, B, S)
+        mh, ml, ef = _onehot_prod_front(cP, tabs[3], interpret)
+    else:
+        mh, ml, ef = _pair_prod_gather(tabs[:3], c, n_rows)  # (C,B,S)
     w_used = sorted(set(expand_w))
     cmask = None
     if w_used != list(range(C)):
@@ -785,7 +883,7 @@ def demux_block_exact_impl(
 demux_block_exact = jax.jit(
     demux_block_exact_impl,
     static_argnames=("meta", "n_alpha", "n_samples", "interpret", "a0_zero",
-                     "sym_a", "wire"),
+                     "sym_a", "wire", "front"),
 )
 
 

@@ -253,10 +253,10 @@ def build_sharded_exact_compact_step(
     from demuxlet_tpu.models.decision import compact_step_body_exact
 
     def body(codes, idx, msk, gps_h, gps_l, gp0_h, gp0_l,
-             pm_h, pm_l, pe, dbl_w, dbl_msk):
+             pm_h, pm_l, pe, tT, dbl_w, dbl_msk):
         return compact_step_body_exact(
             codes, idx, msk, (gps_h, gps_l), (gp0_h, gp0_l),
-            (pm_h, pm_l, pe), dbl_w, dbl_msk, meta, n_alpha, n_samples,
+            (pm_h, pm_l, pe, tT), dbl_w, dbl_msk, meta, n_alpha, n_samples,
             doublet_prior, interpret=interpret, a0_zero=a0_zero,
             sym_a=sym_a,
         )
@@ -273,6 +273,7 @@ def build_sharded_exact_compact_step(
             rep3, rep3,          # gps planes
             rep2, rep2,          # gp0 planes
             rep2, rep2, rep2,    # pair-code LUT planes
+            rep2,                # single-code one-hot table
             rep3, rep3,          # dbl_w, dbl_msk
         ),
         out_specs=P("b", None),
@@ -298,10 +299,10 @@ def build_sharded_exact_pallas_step(
     from demuxlet_tpu.ops.pallas_pair_exact import demux_block_exact_impl
 
     def body(codes, idx, msk, gps_h, gps_l, gp0_h, gp0_l,
-             pm_h, pm_l, pe):
+             pm_h, pm_l, pe, tT):
         return demux_block_exact_impl(
             codes, idx, msk, (gps_h, gps_l), (gp0_h, gp0_l),
-            (pm_h, pm_l, pe), meta, n_alpha, n_samples,
+            (pm_h, pm_l, pe, tT), meta, n_alpha, n_samples,
             interpret=interpret, a0_zero=a0_zero, sym_a=sym_a,
         )
 
@@ -319,6 +320,7 @@ def build_sharded_exact_pallas_step(
             rep3, rep3,          # gps planes
             rep2, rep2,          # gp0 planes
             rep2, rep2, rep2,    # pair-code LUT planes
+            rep2,                # single-code one-hot table
         ),
         out_specs=((b2, b2), (b1, b1), (b4, b4), (b2, b2)),
         check_vma=False,

@@ -224,3 +224,28 @@ def test_exact_pallas_a0_zero_factorization(seed):
     ab = PE.combine(sym[2])
     sa = grid.index(0.5)
     assert (ab[:, :, :, sa] == np.swapaxes(ab[:, :, :, sa], 1, 2)).all()
+
+
+def test_onehot_front_matches_pair():
+    """The TPU-default one-hot MXU front (standalone Pallas selection
+    kernel, PE._onehot_prod_front) must reproduce the pair-code-LUT XLA
+    front: same per-slot products to df noise (the pair LUT carries
+    f64-exact host pair products; the one-hot path does the UMI mul in
+    device df — ~1e-15 relative). Tiny V/A keeps the interpret-mode
+    compile of the second kernel variant cheap."""
+    codes, idx, msk, gps, gp0, w, logf, grid = _workload(
+        7, B=16, S=128, U=3, V=2, A=2)
+    gps, gp0 = gps[:, :2], gp0
+    gps_pair, gp0_pair, tabs, meta = PE.split_tables(gps, gp0, w, logf)
+    args = (
+        jnp.asarray(codes), jnp.asarray(idx), jnp.asarray(msk),
+        tuple(map(jnp.asarray, gps_pair)), tuple(map(jnp.asarray, gp0_pair)),
+        tuple(map(jnp.asarray, tabs)), meta, 2, 2,
+    )
+    kw = dict(interpret=True, a0_zero=True, sym_a=1)
+    o_pair = PE.demux_block_exact_impl(*args, front="pair", **kw)
+    o_onehot = PE.demux_block_exact_impl(*args, front="onehot", **kw)
+    for p, q in zip(o_pair, o_onehot):
+        a = np.asarray(p[0], np.float64) + np.asarray(p[1], np.float64)
+        b = np.asarray(q[0], np.float64) + np.asarray(q[1], np.float64)
+        np.testing.assert_allclose(a, b, rtol=1e-12, atol=1e-12)

@@ -122,7 +122,7 @@ def test_sharded_exact_compact_matches_single_device():
     out = step(
         jnp.asarray(codes), jnp.asarray(idx), jnp.asarray(msk),
         gps_pair[0], gps_pair[1], gp0_pair[0], gp0_pair[1],
-        tabs[0], tabs[1], tabs[2], dbl_w, dbl_msk,
+        tabs[0], tabs[1], tabs[2], tabs[3], dbl_w, dbl_msk,
     )
     a, b = np.asarray(out), np.asarray(ref)
     # integer decision fields (argmaxes) must agree exactly; float fields
