@@ -459,18 +459,38 @@ def main(argv=None) -> int:
                 uniq=stats.uniq, nsnp=stats.nsnp, llks=res.llks,
                 llk0s=res.llk0s, llk_ab=res.llk_ab, llk_00=res.llk_00,
             )
-            merged = mh.gather_results_sum(local)
-            if merged is None:
-                notice("Genome shard %d: results gathered to process 0",
-                       args.shard_id)
-                return 0
-            stats = out_mod.CellStats(
-                barcodes=merged.barcodes, totl=merged.totl,
-                pass_=merged.pass_, uniq=merged.uniq, nsnp=merged.nsnp,
-            )
-            res = EngineResult(
-                merged.llks, merged.llk0s, merged.llk_ab, merged.llk_00
-            )
+            if args.write_pair or args.spool:
+                # the .pair writer needs the full (V,V,A) tensor — keep
+                # the full-tensor allgather for that case only
+                merged = mh.gather_results_sum(local)
+                if merged is None:
+                    notice("Genome shard %d: results gathered to process 0",
+                           args.shard_id)
+                    return 0
+                stats = out_mod.CellStats(
+                    barcodes=merged.barcodes, totl=merged.totl,
+                    pass_=merged.pass_, uniq=merged.uniq, nsnp=merged.nsnp,
+                )
+                res = EngineResult(
+                    merged.llks, merged.llk0s, merged.llk_ab, merged.llk_00
+                )
+            else:
+                # device reduce-scatter of the summed LLKs + on-device
+                # decision per stripe; only compact rows reach process 0
+                merged = mh.gather_results_sum_compact(
+                    local, grid_alpha, args.doublet_prior
+                )
+                if merged is None:
+                    notice("Genome shard %d: results gathered to process 0",
+                           args.shard_id)
+                    return 0
+                stats = out_mod.CellStats(
+                    barcodes=merged.barcodes, totl=merged.totl,
+                    pass_=merged.pass_, uniq=merged.uniq, nsnp=merged.nsnp,
+                )
+                llks_c, llk0s_c, compact = (
+                    merged.llks, merged.llk0s, merged.compact
+                )
         elif args.write_pair or args.spool:
             local = mh.ShardResult(
                 barcodes=stats.barcodes, totl=stats.totl, pass_=stats.pass_,

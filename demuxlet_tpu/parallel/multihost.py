@@ -329,6 +329,181 @@ def merge_shards_sum(shards: Sequence[ShardResult]) -> ShardResult:
     return out
 
 
+def gather_results_sum_compact(
+    local: ShardResult,
+    grid_alpha: Sequence[float],
+    doublet_prior: float,
+    max_chunk_bytes: int = 48 << 20,
+) -> Optional[CompactShard]:
+    """Genome-shard merge WITHOUT the full-tensor allgather.
+
+    gather_results_sum ships every process's full (n, V, V, A) f64 tensor
+    to every process (~205 MB x P at 100K cells, V=8, A=5). But the LLKs
+    only need to SUM before the decision, and the decision is per-cell —
+    so instead:
+
+      1. allgather barcode NAMES + integer counters (O(n) bytes) and
+         derive the global sorted barcode order on every process;
+      2. device reduce-scatter (lax.psum_scatter over a one-lead-device-
+         per-process mesh) of the barcode-aligned (N, V*V*A + A + V + 1)
+         f64 LLK matrix, in fixed-size chunks — each process ends holding
+         the fully SUMMED stripe of 1/P of the barcodes (reduction
+         traffic ~1x the local tensor, the floor for any merge);
+      3. the decision pass (models/decision.decide — the multi-host
+         analog of cmd_cram_demuxlet.cpp:713-828) runs ON DEVICE per
+         stripe inside the same shard_map, packing compact rows;
+      4. ONE small allgather of the (N/P, 2V+A+11) compact stripes —
+         per-process gather traffic O(n*(V+A)).
+
+    Merged CompactShard on process 0, None elsewhere. Output order and
+    values match gather_results_sum + compact_from_result (the P-way
+    psum reorders the shard sum; fp-identical for P=2, ~1 ulp beyond)."""
+    import jax
+
+    from demuxlet_tpu.models import decision as D
+
+    nproc = jax.process_count()
+    if nproc == 1:
+        m = merge_shards_sum([local])
+        comp = D.compact_from_result(
+            m.llk_ab, m.llk_00, grid_alpha, doublet_prior
+        )
+        return CompactShard(
+            barcodes=m.barcodes, totl=m.totl, pass_=m.pass_, uniq=m.uniq,
+            nsnp=m.nsnp, llks=m.llks, llk0s=m.llk0s, compact=comp,
+        )
+
+    import jax.numpy as jnp
+    from jax.experimental import multihost_utils as mhu
+    from jax.sharding import Mesh, NamedSharding
+    from jax.sharding import PartitionSpec as P
+
+    n = len(local.barcodes)
+    V = local.llks.shape[1]
+    A = local.llk_00.shape[1]
+    bc = _encode_barcodes(local.barcodes)
+    counts = mhu.process_allgather(np.asarray([n], dtype=np.int64))
+    nmax = int(max(counts.max(), 1))
+
+    def pad(a):
+        out = np.zeros((nmax,) + a.shape[1:], dtype=a.dtype)
+        out[: len(a)] = a
+        return out
+
+    imat = np.stack(
+        [np.asarray(local.totl, np.int64), np.asarray(local.pass_, np.int64),
+         np.asarray(local.uniq, np.int64), np.asarray(local.nsnp, np.int64)],
+        axis=1) if n else np.zeros((0, 4), np.int64)
+    g_bc = mhu.process_allgather(pad(bc.astype(np.int32)))
+    g_i = mhu.process_allgather(pad(imat))
+
+    # global sorted barcode order — derived identically on every process
+    names_by_p = []
+    seen = set()
+    order: List[str] = []
+    for p in range(nproc):
+        np_ = int(counts[p])
+        names = [
+            bytes(row.astype(np.uint8)).rstrip(b"\x00").decode()
+            for row in g_bc[p][:np_]
+        ]
+        names_by_p.append(names)
+        for b in names:
+            if b not in seen:
+                seen.add(b)
+                order.append(b)
+    sorted_bcs = sorted(order)
+    pos = {b: i for i, b in enumerate(sorted_bcs)}
+    N = len(sorted_bcs)
+
+    # barcode-aligned local LLK matrix (zeros where this shard has no row)
+    F = V * V * A + A + V + 1
+    RS = max(16, min(4096, max_chunk_bytes // max(nproc * F * 8, 1)))
+    CH = nproc * RS
+    n_chunks = max(1, -(-max(N, 1) // CH))
+    N_pad = n_chunks * CH
+    loc = np.zeros((N_pad, F), np.float64)
+    if n:
+        my = np.asarray([pos[b] for b in local.barcodes], np.int64)
+        o = V * V * A
+        loc[my, :o] = np.asarray(local.llk_ab, np.float64).reshape(n, -1)
+        loc[my, o : o + A] = np.asarray(local.llk_00, np.float64)
+        loc[my, o + A : o + A + V] = np.asarray(local.llks, np.float64)
+        loc[my, o + A + V] = np.asarray(local.llk0s, np.float64)
+
+    lead = {}
+    for d in jax.devices():
+        lead.setdefault(d.process_index, d)
+    mesh = Mesh(np.asarray([lead[p] for p in range(nproc)]), ("p",))
+    dbl_w = jnp.asarray(D.doublet_weights(V, grid_alpha, doublet_prior))
+    dbl_msk = jnp.asarray(D.doublet_mask(V, A))
+    NC = 2 * V + A + 11
+
+    def body(x):
+        y = jax.lax.psum_scatter(x[0], "p", scatter_dimension=0, tiled=True)
+        o = V * V * A
+        llk_ab = y[:, :o].reshape(RS, V, V, A)
+        llk_00 = y[:, o : o + A]
+        llks = y[:, o + A : o + A + V]
+        llk0s = y[:, o + A + V]
+        out = D.decide(llk_ab, llk_00, dbl_w, dbl_msk, doublet_prior)
+        cols = [out["sing_col"], out["llk_00"]]
+        for k in D._PACK_KEYS:
+            cols.append(out[k].astype(jnp.float64)[:, None])
+        cols.append(llks)
+        cols.append(llk0s[:, None])
+        return jnp.concatenate(cols, axis=1)[None]
+
+    fn = jax.jit(jax.shard_map(
+        body, mesh=mesh,
+        in_specs=P("p", None, None), out_specs=P("p", None, None),
+        check_vma=False,
+    ))
+    sharding = NamedSharding(mesh, P("p", None, None))
+    my_stripes = []
+    for c in range(n_chunks):
+        chunk = np.ascontiguousarray(loc[c * CH : (c + 1) * CH])[None]
+        garr = jax.make_array_from_process_local_data(
+            sharding, chunk, (nproc, CH, F)
+        )
+        out = fn(garr)
+        my_stripes.append(
+            np.asarray(out.addressable_shards[0].data)[0]  # (RS, NC)
+        )
+    g_s = mhu.process_allgather(np.concatenate(my_stripes, axis=0))
+    if jax.process_index() != 0:
+        return None
+
+    full = np.empty((N_pad, NC), np.float64)
+    for c in range(n_chunks):
+        for p in range(nproc):
+            full[c * CH + p * RS : c * CH + (p + 1) * RS] = (
+                g_s[p][c * RS : (c + 1) * RS]
+            )
+    llks, llk0s, d = D.unpack_block(full[:N], V, A)
+    comp = D.concat([d])
+
+    totl = np.zeros(N, np.int64)
+    pass_ = np.zeros(N, np.int64)
+    uniq = np.zeros(N, np.int64)
+    nsnp = np.zeros(N, np.int64)
+    for p in range(nproc):
+        np_ = int(counts[p])
+        if not np_:
+            continue
+        idx = np.asarray([pos[b] for b in names_by_p[p]], np.int64)
+        gi = np.asarray(g_i[p][:np_], np.int64)
+        np.add.at(totl, idx, gi[:, 0])
+        np.add.at(pass_, idx, gi[:, 1])
+        np.add.at(uniq, idx, gi[:, 2])
+        np.add.at(nsnp, idx, gi[:, 3])
+    return CompactShard(
+        barcodes=sorted_bcs, totl=totl, pass_=pass_, uniq=uniq, nsnp=nsnp,
+        llks=np.asarray(llks, np.float64),
+        llk0s=np.asarray(llk0s, np.float64), compact=comp,
+    )
+
+
 def gather_results_sum(local: ShardResult) -> Optional[ShardResult]:
     """All-gather genome-shard results and SUM-merge by barcode; merged
     result on process 0, None elsewhere."""
