@@ -118,6 +118,17 @@ def trim(out: dict, m: int) -> dict:
     return {k: np.asarray(v)[:m] for k, v in out.items()}
 
 
+def take(res: CompactResult, idx: np.ndarray) -> CompactResult:
+    """Reindex every per-cell field (row i of the result <- row idx[i]);
+    used to undo the engine's coverage-sorted block permutation."""
+    import dataclasses
+
+    return CompactResult(**{
+        f.name: getattr(res, f.name)[idx]
+        for f in dataclasses.fields(CompactResult)
+    })
+
+
 def concat(parts: Sequence[dict]) -> CompactResult:
     cat = lambda k: np.concatenate([p[k] for p in parts])
     return CompactResult(
