@@ -51,8 +51,19 @@ class CsrPileup:
     def n_snps_all(self) -> np.ndarray:
         """(ncells,) distinct-SNP counts, vectorized over all cells (obs
         are (cell, snp)-sorted, so distinct slots = run starts; the
-        per-cell np.unique loop this replaces dominated the output phase
-        at 100K cells)."""
+        per-cell np.unique loop this replaced dominated the output phase
+        at 100K cells). MEMOIZED: the engine's coverage-sorted blocking
+        and cell_stats both need it, and each pass re-walks the multi-GB
+        obs arrays (20-43 s at 100K cells on this host). Obs arrays are
+        append-free after construction, so the cache is safe."""
+        cached = getattr(self, "_nsnp_cache", None)
+        if cached is not None:
+            return cached
+        out = self._n_snps_all_impl()
+        self._nsnp_cache = out
+        return out
+
+    def _n_snps_all_impl(self) -> np.ndarray:
         n = self.nbcs
         tot = len(self.obs_snp)
         if tot == 0:

@@ -383,19 +383,34 @@ class DemuxEngine:
 
     def _blocks(self, n: int, scl=None):
         """Cell-id blocks, COVERAGE-SORTED (ascending distinct-SNP count)
-        when the pileup exposes counts: each block buckets its slot axis
-        to the block MAX covered-SNP count, so grouping similar-coverage
+        when it pays: each block buckets its slot axis to the block MAX
+        covered-SNP count (128-multiples), so grouping similar-coverage
         cells shrinks padded slots — less wire volume and kernel work on
-        the skewed coverage distributions of real droplet data (uniform
-        synthetic workloads are unaffected). Outputs are order-safe:
-        llks/llk_ab write by cell id and compact rows are inverse-
-        permuted after the run. The sort is deterministic (stable), so
-        spool block keys and distributed stripe compositions reproduce
-        across runs."""
+        the skewed coverage distributions of real droplet data.
+
+        Sorting breaks build_codes_block's contiguous-slice fast path
+        (per-block obs become a gather), so it only engages when the
+        bucketed padded-slot total actually drops >10% — uniform
+        workloads (every cell in the same 128-bucket) stay on the
+        natural order. Outputs are order-safe either way: llks/llk_ab
+        write by cell id and compact rows are inverse-permuted after the
+        run. The sort is deterministic (stable), so spool block keys and
+        distributed stripe compositions reproduce across runs."""
         ids = np.arange(n, dtype=np.int64)
-        if scl is not None and hasattr(scl, "n_snps_all"):
+        if n and scl is not None and hasattr(scl, "n_snps_all"):
             counts = np.asarray(scl.n_snps_all())
-            ids = ids[np.argsort(counts, kind="stable")]
+            order = ids[np.argsort(counts, kind="stable")]
+
+            def padded_slots(perm):
+                c = counts[perm]
+                pad = (-len(c)) % self.cell_block
+                if pad:
+                    c = np.concatenate([c, np.zeros(pad, c.dtype)])
+                bmax = c.reshape(-1, self.cell_block).max(axis=1)
+                return int((np.maximum(-(-bmax // 128) * 128, 128)).sum())
+
+            if padded_slots(order) < 0.9 * padded_slots(ids):
+                ids = order
         return [
             ids[s : s + self.cell_block].tolist()
             for s in range(0, n, self.cell_block)

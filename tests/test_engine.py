@@ -251,23 +251,12 @@ def test_n_snps_all_matches_per_cell_unique():
     assert np.array_equal(csr.n_snps_all(), expect)
 
 
-def test_coverage_sorted_blocks_permutation_exact():
-    """Coverage-sorted blocking (engine._blocks) must be output-
-    invariant: llks write by cell id and compact rows are inverse-
-    permuted. Pinned bit-exactly by running the same SKEWED-coverage
-    workload with the sort on (default) and with blocks forced to
-    natural order, in exact XLA f64 mode (values independent of block
-    padding), comparing every CompactResult field."""
-    import dataclasses
-
+def _skewed_csr(seed=3, NSNPS=60, NV=3, N=24):
     import numpy as np
 
     from demuxlet_tpu.host.csr import CsrPileup
-    from demuxlet_tpu.models import decision as D
-    from demuxlet_tpu.models.engine import DemuxEngine
 
-    rng = np.random.default_rng(3)
-    NSNPS, NV, N = 60, 3, 24
+    rng = np.random.default_rng(seed)
     # coverage skew: cell i covers 2 + 2*i observations
     lens = 2 + 2 * np.arange(N)
     obs_cell = np.repeat(np.arange(N), lens)
@@ -282,12 +271,55 @@ def test_coverage_sorted_blocks_permutation_exact():
         rng.integers(0, 2, nobs), rng.integers(13, 41, nobs),
     )
     gps = rng.dirichlet(np.ones(3), size=(NSNPS, NV))
+    return csr, gps
+
+
+def test_coverage_sort_heuristic():
+    """engine._blocks sorts only when the bucketed padded-slot total
+    actually drops: sub-128 counts all share one bucket (natural order
+    kept — the contiguous-slice prep fast path survives); a strongly
+    skewed multi-bucket distribution sorts."""
+    import numpy as np
+
+    from demuxlet_tpu.models.engine import DemuxEngine
+
+    csr, gps = _skewed_csr()
     eng = DemuxEngine(gps, [0.0, 0.5], cell_block=8, mode="fast")
+    # all counts < 128 -> one bucket -> sorting cannot help
+    assert eng._blocks(csr.nbcs, csr)[0] == list(range(8))
 
-    blocks_sorted = eng._blocks(N, csr)
-    assert blocks_sorted[0] != list(range(8)), "sort should reorder"
-    assert sorted(sum(blocks_sorted, [])) == list(range(N))
+    class FakeCsr:
+        nbcs = 24
 
+        def n_snps_all(self):
+            # interleaved tiny/huge coverage: natural blocks all bucket
+            # to the max; sorted blocks segregate -> >10% saving
+            return np.where(np.arange(24) % 2 == 0, 10, 2000)
+
+    blocks = eng._blocks(24, FakeCsr())
+    assert blocks[0] != list(range(8)), "skewed distribution must sort"
+    assert sorted(sum(blocks, [])) == list(range(24))
+
+
+def test_block_permutation_output_invariance():
+    """Permuted blocks (the coverage sort's mechanism) must be output-
+    invariant: llks write by cell id and compact rows are inverse-
+    permuted. Pinned by forcing a SHUFFLED block order against the
+    natural order on the same workload."""
+    import dataclasses
+
+    import numpy as np
+
+    from demuxlet_tpu.models import decision as D
+    from demuxlet_tpu.models.engine import DemuxEngine
+
+    csr, gps = _skewed_csr()
+    N = csr.nbcs
+    eng = DemuxEngine(gps, [0.0, 0.5], cell_block=8, mode="fast")
+    perm = np.random.default_rng(0).permutation(N)
+    eng._blocks = lambda n, scl=None: [
+        perm[s : s + 8].tolist() for s in range(0, n, 8)
+    ]
     l1, l01, c1 = eng.run_compact(csr, doublet_prior=0.5)
     eng2 = DemuxEngine(gps, [0.0, 0.5], cell_block=8, mode="fast")
     eng2._blocks = lambda n, scl=None: [
