@@ -379,18 +379,37 @@ def _pair_kernel_df(
             _dot3(glt[0], glt[1], glt[2], src[0], src[1], src[2], fence))
 
     # Plane-wide accumulate: stack the per-slot inner pairs and fold them
-    # into the scratch with ONE df mul + renorm per 64-channel chunk (the
+    # into the scratch with ONE df mul per 64-channel chunk (the
     # per-channel RMW form serializes; a single full-width op blows the
-    # 16 MB scoped-VMEM limit on its transients at V=8, A=5)
+    # 16 MB scoped-VMEM limit on its transients at V=8, A=5).
+    # Renorm every THIRD step (+ the last, so the finish butterfly sees
+    # [1,2) mantissas): inner >= ~1e-6 (smoothing floor) so three
+    # unrenormalized muls keep the mantissa >= ~1e-18 and its lo limb
+    # >= ~1e-26 — comfortably above the f32 denormal flush (~1.2e-38)
+    # that would silently drop the lo limb at every-4 or beyond.
+    # np.int32 literals: bare Python ints promote the traced i32 scalar
+    # to i64 under x64 (the bench/CLI enable x64) and the conversion
+    # recurses — same pitfall as the index_map `ib * 0` notes
+    do_rn = (jax.lax.rem(s_step, np.int32(3)) == np.int32(2)) | (
+        s_step == np.int32(n_s - 1)
+    )
     for c0 in range(0, n_acc, chunk):
         c1 = min(c0 + chunk, n_acc)
         ih = jnp.stack([inners[i][0] for i in range(c0, c1)], axis=0)
         il = jnp.stack([inners[i][1] for i in range(c0, c1)], axis=0)
         nh, nl = _mul2(mh_ref[c0:c1], ml_ref[c0:c1], ih, il, fence)
-        nh, nl, ne = _renorm(nh, nl, me_ref[c0:c1])
-        mh_ref[c0:c1] = nh
-        ml_ref[c0:c1] = nl
-        me_ref[c0:c1] = ne
+
+        @pl.when(do_rn)
+        def _(c0=c0, c1=c1, nh=nh, nl=nl):
+            h2, l2, e2 = _renorm(nh, nl, me_ref[c0:c1])
+            mh_ref[c0:c1] = h2
+            ml_ref[c0:c1] = l2
+            me_ref[c0:c1] = e2
+
+        @pl.when(jnp.logical_not(do_rn))
+        def _(c0=c0, c1=c1, nh=nh, nl=nl):
+            mh_ref[c0:c1] = nh
+            ml_ref[c0:c1] = nl
 
     @pl.when(s_step == n_s - 1)
     def _():
