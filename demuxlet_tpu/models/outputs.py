@@ -327,6 +327,15 @@ def write_pass2_compact(
         "SNG.2ND\tSNG.LLK2\tSNG.LLK0\tDBL.1ST\tDBL.2ND\tALPHA\tLLK12\tLLK1\t"
         "LLK2\tLLK10\tLLK20\tLLK00\tPRB.DBL\tPRB.SNG1\n"
     )
+    # native C++ renderer (~1-2 us/row vs ~50 us here; byte parity pinned
+    # by tests/test_native_render.py); Python loop below is the fallback
+    from demuxlet_tpu.native import render as _native_render
+
+    if _native_render.available() and _native_render.write_pass2_compact(
+        stats, sample_ids, compact, grid_alpha, doublet_prior,
+        wsing2, wbest, min_total, min_uniq, min_snp,
+    ):
+        return
     # hoist every per-cell numpy access to plain Python lists once — numpy
     # scalar indexing + %-formatting per row dominated the render at 100K
     # cells; bytes are unchanged (same floats, same format ops)

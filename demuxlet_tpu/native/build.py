@@ -1,8 +1,9 @@
-"""Build the native ingest shared library.
+"""Build the native shared libraries (ingest + output renderer).
 
 Usage: python demuxlet_tpu/native/build.py
-Produces _ingest.so next to this file; the package falls back to the pure
-Python ingest when the library is absent or fails to load.
+Produces _ingest.so and _render.so next to this file; the package falls
+back to the pure Python ingest/renderer when a library is absent or
+fails to load.
 """
 
 from __future__ import annotations
@@ -45,3 +46,8 @@ def build(force: bool = False) -> str:
 if __name__ == "__main__":
     path = build(force="--force" in sys.argv)
     print(path)
+    # script-style invocation: repo root is not on sys.path
+    sys.path.insert(0, os.path.dirname(os.path.dirname(HERE)))
+    from demuxlet_tpu.native.render import build as build_render
+
+    print(build_render(force="--force" in sys.argv))
