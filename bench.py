@@ -308,6 +308,13 @@ def main():
         "dtype": tpu["dtype"],
         "step_ms": round(tpu["step_ms"], 2),
     }
+    try:  # append the run record (load condition + timings) for diffing
+        from benchmarks.record import record
+
+        record(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "benchmarks", "BENCH_RUNS.jsonl"), dict(result))
+    except Exception:
+        pass  # recording must never fail the bench
     print(json.dumps(result))
 
 
