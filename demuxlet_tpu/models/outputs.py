@@ -53,6 +53,13 @@ def write_single(
 ) -> None:
     nv = len(sample_ids)
     fh.write("BARCODE\tSM_ID\tRD.TOTL\tRD.PASS\tRD.UNIQ\tN.SNP\tLLK1\tLLK0\tPOSTPRB\n")
+    # native C++ renderer first (byte parity: tests/test_native_render.py)
+    from demuxlet_tpu.native import render as _native_render
+
+    if _native_render.available() and _native_render.write_single(
+        stats, sample_ids, llks, llk0s, fh, min_total, min_uniq, min_snp
+    ):
+        return
     # hoisted plain-Python views (see write_pass2_compact) — bytes unchanged
     l_totl = np.asarray(stats.totl).tolist()
     l_pass = np.asarray(stats.pass_).tolist()

@@ -149,4 +149,49 @@ int dmx_render_pass2_compact(
     return 0;
 }
 
+// Renders the .single body (header written by the caller): per-cell
+// sequential log-sum-exp over the singlet LLKs (reference order,
+// cmd_cram_demuxlet.cpp pass 1) then one line per sample. Same libm
+// exp/log as CPython's math module -> identical doubles.
+int dmx_render_single(
+    int64_t n_order, const int64_t *order,
+    const char *bc_concat, const int64_t *bc_off,
+    const char *sm_concat, const int64_t *sm_off, int64_t nv,
+    const int64_t *totl, const int64_t *pass_, const int64_t *uniq,
+    const int64_t *nsnp,
+    const double *llks, /* (n, nv) */ const double *llk0s,
+    int64_t min_total, int64_t min_uniq, int64_t min_snp,
+    char **out, int64_t *len) {
+    Buf b;
+    b.s.reserve((size_t)n_order * nv * 64);
+    for (int64_t r = 0; r < n_order; ++r) {
+        int64_t i = order[r];
+        int64_t t = totl[i], u = uniq[i], ns = nsnp[i];
+        if (t < min_total || u < min_uniq || ns < min_snp) continue;
+        const char *bc = str_at(bc_concat, bc_off, i);
+        int64_t p = pass_[i];
+        const double *row = llks + i * nv;
+        double llk0 = llk0s[i];
+        double sum_llk = -1e300;
+        for (int64_t j = 0; j < nv; ++j) {
+            double cur = row[j];
+            if (sum_llk > cur)
+                sum_llk = sum_llk + log(1.0 + exp(cur - sum_llk));
+            else
+                sum_llk = cur + log(1.0 + exp(sum_llk - cur));
+        }
+        for (int64_t j = 0; j < nv; ++j) {
+            b.appendf("%s\t%s\t%lld\t%lld\t%lld\t%lld\t%.5f\t%.5f\t%.3g\n",
+                      bc, str_at(sm_concat, sm_off, j), (long long)t,
+                      (long long)p, (long long)u, (long long)ns, F(row[j]),
+                      F(llk0), F(exp(row[j] - sum_llk)));
+        }
+    }
+    *len = (int64_t)b.s.size();
+    *out = (char *)malloc(b.s.size() + 1);
+    if (!*out) return -1;
+    memcpy(*out, b.s.data(), b.s.size() + 1);
+    return 0;
+}
+
 }  // extern "C"

@@ -65,6 +65,17 @@ def _load():
         C.POINTER(C.c_char_p), C.POINTER(C.c_int64),
         C.POINTER(C.c_char_p), C.POINTER(C.c_int64),
     ]
+    fn1 = lib.dmx_render_single
+    fn1.restype = C.c_int
+    fn1.argtypes = [
+        C.c_int64, _I64P,                      # n_order, order
+        C.c_char_p, _I64P,                     # bc_concat, bc_off
+        C.c_char_p, _I64P, C.c_int64,          # sm_concat, sm_off, nv
+        _I64P, _I64P, _I64P, _I64P,            # totl, pass, uniq, nsnp
+        _F64P, _F64P,                          # llks, llk0s
+        C.c_int64, C.c_int64, C.c_int64,       # min_total/uniq/snp
+        C.POINTER(C.c_char_p), C.POINTER(C.c_int64),
+    ]
     lib.dmx_render_free.restype = None
     lib.dmx_render_free.argtypes = [C.c_char_p]
     _LIB = lib
@@ -126,4 +137,35 @@ def write_pass2_compact(
     finally:
         lib.dmx_render_free(out2)
         lib.dmx_render_free(outb)
+    return True
+
+
+def write_single(
+    stats, sample_ids, llks, llk0s, fh,
+    min_total=0, min_uniq=0, min_snp=0,
+) -> bool:
+    """Native .single body render. False -> caller falls back."""
+    lib = _load()
+    if lib is None:
+        return False
+    order = np.asarray([i for _, i in stats.bc_order()], np.int64)
+    bc_concat, bc_off = _concat(stats.barcodes)
+    sm_concat, sm_off = _concat(list(sample_ids))
+    f64 = lambda a: np.ascontiguousarray(a, np.float64)
+    i64 = lambda a: np.ascontiguousarray(a, np.int64)
+    out, ln = C.c_char_p(), C.c_int64()
+    rc = lib.dmx_render_single(
+        len(order), order, bc_concat, bc_off, sm_concat, sm_off,
+        len(sample_ids),
+        i64(stats.totl), i64(stats.pass_), i64(stats.uniq), i64(stats.nsnp),
+        f64(llks), f64(llk0s),
+        int(min_total), int(min_uniq), int(min_snp),
+        C.byref(out), C.byref(ln),
+    )
+    if rc != 0:
+        return False
+    try:
+        fh.write(C.string_at(out, ln.value).decode())
+    finally:
+        lib.dmx_render_free(out)
     return True

@@ -82,6 +82,33 @@ def test_native_render_byte_parity(seed, degenerate, filters):
     assert nb.getvalue() == wantb
 
 
+@pytest.mark.parametrize("seed,degenerate,filters", [
+    (11, False, {}),
+    (12, True, dict(min_total=100)),
+])
+def test_native_render_single_byte_parity(seed, degenerate, filters):
+    rng = np.random.default_rng(seed)
+    nv = 5
+    stats, _ = _random_compact(rng, 50, nv, 2, degenerate)
+    llks = rng.normal(-100, 30, size=(50, nv))
+    llk0s = rng.normal(-110, 20, size=50)
+    if degenerate:
+        llks[::4] = -1e300
+    sample_ids = [f"SM{i}" for i in range(nv)]
+
+    pf = io.StringIO()
+    import demuxlet_tpu.native.render as nr
+    orig = nr.available
+    nr.available = lambda: False  # force the Python fallback
+    try:
+        out_mod.write_single(pf, stats, sample_ids, llks, llk0s, **filters)
+    finally:
+        nr.available = orig
+    nf = io.StringIO()
+    assert render.write_single(stats, sample_ids, llks, llk0s, nf, **filters)
+    assert nf.getvalue() == pf.getvalue().split("\n", 1)[1]
+
+
 def test_native_render_empty():
     rng = np.random.default_rng(9)
     stats, comp = _random_compact(rng, 0, 3, 2)
