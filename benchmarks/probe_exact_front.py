@@ -58,7 +58,7 @@ def main():
 
     # single-code tables: recover from the pair LUT's none-row pairs
     # (row c*R + none == value of code c alone)
-    pm_h, pm_l, pe = (np.asarray(x) for x in tabs)
+    pm_h, pm_l, pe = (np.asarray(x) for x in tabs[:3])
     sel = np.arange(n_rows) * n_rows + none_row
     s_h, s_l, s_e = pm_h[sel], pm_l[sel], pe[sel]  # (R, C)
     sing3 = jnp.asarray(np.concatenate([s_h, s_l, s_e], axis=1))  # (R, 3C)
@@ -74,7 +74,7 @@ def main():
 
     @jax.jit
     def v1(codes):
-        mh, ml, ef = PE._pair_prod_gather(tabs_p, codes_i32(codes), n_rows)
+        mh, ml, ef = PE._pair_prod_gather(tabs_p[:3], codes_i32(codes), n_rows)
         return mh, ml, ef
 
     def combine_umis(h, l, e):

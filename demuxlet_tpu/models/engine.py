@@ -384,37 +384,53 @@ class DemuxEngine:
     def _blocks(self, n: int, scl=None):
         """Cell-id blocks, COVERAGE-SORTED (ascending distinct-SNP count)
         when it pays: each block buckets its slot axis to the block MAX
-        covered-SNP count (128-multiples), so grouping similar-coverage
-        cells shrinks padded slots — less wire volume and kernel work on
-        the skewed coverage distributions of real droplet data.
+        covered-SNP count, so grouping similar-coverage cells shrinks
+        padded slots — less wire volume and kernel work on the skewed
+        coverage distributions of real droplet data.
 
-        Sorting breaks build_codes_block's contiguous-slice fast path
-        (per-block obs become a gather), so it only engages when the
-        bucketed padded-slot total actually drops >10% — uniform
-        workloads (every cell in the same 128-bucket) stay on the
-        natural order. Outputs are order-safe either way: llks/llk_ab
-        write by cell id and compact rows are inverse-permuted after the
-        run. The sort is deterministic (stable), so spool block keys and
-        distributed stripe compositions reproduce across runs."""
+        Returns (blocks, pads): pads is None for natural order, else a
+        per-block POWER-OF-TWO slot pad (>= 128) for prep to request.
+        Pow2 (not 128-multiple) buckets bound the number of distinct
+        compiled shapes a sorted run creates to ~log2(Smax/128) — per
+        CLAUDE.md each new shape costs ~10-20 s of jit trace + cached-
+        executable load, which would otherwise dwarf the padding savings
+        at 49 blocks/100K cells. The heuristic compares the REAL costs:
+        natural order pads to 128-multiples (build_codes_block default,
+        few shapes since block maxes cluster near the global max) vs
+        sorted order at pow2 buckets; sort engages on a >10% saving.
+        Sorting also breaks build_codes_block's contiguous-slice fast
+        path (per-block obs become a gather), another reason uniform
+        workloads must stay natural. Outputs are order-safe either way:
+        llks/llk_ab write by cell id and compact rows are inverse-
+        permuted after the run. The sort is deterministic (stable), so
+        block compositions reproduce across runs (spool files also
+        self-validate their stored cell ids)."""
         ids = np.arange(n, dtype=np.int64)
         if n and scl is not None and hasattr(scl, "n_snps_all"):
             counts = np.asarray(scl.n_snps_all())
             order = ids[np.argsort(counts, kind="stable")]
 
-            def padded_slots(perm):
+            def block_maxes(perm):
                 c = counts[perm]
                 pad = (-len(c)) % self.cell_block
                 if pad:
                     c = np.concatenate([c, np.zeros(pad, c.dtype)])
-                bmax = c.reshape(-1, self.cell_block).max(axis=1)
-                return int((np.maximum(-(-bmax // 128) * 128, 128)).sum())
+                return c.reshape(-1, self.cell_block).max(axis=1)
 
-            if padded_slots(order) < 0.9 * padded_slots(ids):
-                ids = order
+            cost_nat = int(
+                np.maximum(-(-block_maxes(ids) // 128) * 128, 128).sum()
+            )
+            pow2 = [_bucket(max(int(m), 1), minimum=128)
+                    for m in block_maxes(order)]
+            if sum(pow2) < 0.9 * cost_nat:
+                return [
+                    order[s : s + self.cell_block].tolist()
+                    for s in range(0, n, self.cell_block)
+                ], pow2
         return [
             ids[s : s + self.cell_block].tolist()
             for s in range(0, n, self.cell_block)
-        ]
+        ], None
 
     def run_compact(self, scl, doublet_prior: float, pipeline_depth: int = 1):
         """Fast-mode pipeline with the device-side decision pass (kernel 3):
@@ -457,25 +473,32 @@ class DemuxEngine:
         # per-run transport accounting (read by benchmarks/e2e_demux.py
         # for the H2D-ceiling artifact): bytes shipped per block, tables
         # excluded (they ship once and are cached on device)
-        self.h2d_bytes = 0
-        self.d2h_bytes = 0
+        import threading
+
+        self.h2d_bytes = 0  # main-thread dispatch only
+        self.d2h_bytes = 0  # fetch pool: guard the read-modify-write
+        d2h_lock = threading.Lock()
 
         def fetch(cells, packed):
             m = len(cells)
             a, b, c = D.unpack_block(
                 np.asarray(packed)[:m], self.nv, self.n_alpha
             )
-            self.d2h_bytes += np.asarray(packed).nbytes
+            with d2h_lock:
+                self.d2h_bytes += np.asarray(packed).nbytes
             llks[cells] = a
             llk0s[cells] = b
             return c
 
-        blocks = self._blocks(n, scl)
+        blocks, pads = self._blocks(n, scl)
+        jobs = list(zip(blocks, pads or [None] * len(blocks)))
 
-        def prep(cells):
+        def prep(job):
+            cells, pad = job
+            kw = {} if pad is None else {"pad_slots_to": pad}
             return cells, self._shrink_codes_blk(build_codes_block(
                 scl, cells, cap_bq=self.cap_bq,
-                pad_cells_to=self.cell_block,
+                pad_cells_to=self.cell_block, **kw,
             ))
 
         def sharded_step():
@@ -562,7 +585,7 @@ class DemuxEngine:
             max_workers=4
         ) as prep_pool:
             for cells, (codes, idx, msk) in _prefetched(
-                prep_pool, prep, blocks
+                prep_pool, prep, jobs
             ):
                 packed = dispatch(codes, idx, msk)
                 pending.append(pool.submit(fetch, cells, packed))
@@ -640,27 +663,41 @@ class DemuxEngine:
             arrs = fetch(out)
             if spool_dir:
                 tmp = spool_path(cells) + ".tmp.npz"
-                np.savez(tmp, a=arrs[0], b=arrs[1], c=arrs[2], d=arrs[3])
+                # cells recorded for load-time validation: the (first-id,
+                # length) filename no longer determines membership now that
+                # coverage-sorted blocking can permute block composition
+                np.savez(tmp, a=arrs[0], b=arrs[1], c=arrs[2], d=arrs[3],
+                         cells=np.asarray(cells, np.int64))
                 os.replace(tmp, spool_path(cells))
             return arrs
 
         # Dispatch (host prep + async H2D + device enqueue) stays on the
         # main thread; D2H readback runs on worker threads so the next
         # block's prep overlaps the previous blocks' compute + transfers.
-        blocks = self._blocks(n, scl)
+        blocks, pads = self._blocks(n, scl)
+        jobs = list(zip(blocks, pads or [None] * len(blocks)))
 
-        def prep(cells):
+        def prep(job):
             """Host-side block prep (spool probe / codes / dense slots);
             runs on the prefetch pool, overlapping device compute."""
+            cells, pad = job
             if spool_dir and os.path.exists(spool_path(cells)):
                 z = np.load(spool_path(cells))
-                return cells, ("spooled", (z["a"], z["b"], z["c"], z["d"]))
+                # block files from a different blocking (older version,
+                # different sort decision) must recompute, not misattribute
+                if "cells" in z.files and np.array_equal(
+                    z["cells"], np.asarray(cells, np.int64)
+                ):
+                    return cells, (
+                        "spooled", (z["a"], z["b"], z["c"], z["d"])
+                    )
             if self.mode == "fast" or self.use_exact_pallas:
                 from demuxlet_tpu.host.csr import build_codes_block
 
+                kw = {} if pad is None else {"pad_slots_to": pad}
                 blk = self._shrink_codes_blk(build_codes_block(
                     scl, cells, cap_bq=self.cap_bq,
-                    pad_cells_to=self.cell_block,
+                    pad_cells_to=self.cell_block, **kw,
                 ))
                 return cells, ("codes", blk)
             blk = build_slots(scl, cells, cap_bq=self.cap_bq)
@@ -671,7 +708,7 @@ class DemuxEngine:
         with ThreadPoolExecutor(max_workers=2) as pool, ThreadPoolExecutor(
             max_workers=4
         ) as prep_pool:
-            for cells, (kind, data) in _prefetched(prep_pool, prep, blocks):
+            for cells, (kind, data) in _prefetched(prep_pool, prep, jobs):
                 if kind == "spooled":
                     store(cells, data)
                     continue

@@ -24,6 +24,9 @@ def build(force: bool = False) -> str:
         and os.path.getmtime(OUT) >= os.path.getmtime(SRC)
     ):
         return OUT
+    # temp + rename: concurrent builders (distributed shards) must never
+    # dlopen a half-written .so
+    tmp = OUT + ".tmp%d" % os.getpid()
     cmd = [
         "g++",
         "-O2",
@@ -32,7 +35,7 @@ def build(force: bool = False) -> str:
         "-shared",
         "-fPIC",
         "-o",
-        OUT,
+        tmp,
         SRC,
         "-lz",
         "-llzma",
@@ -40,6 +43,7 @@ def build(force: bool = False) -> str:
         "-ldl",
     ]
     subprocess.run(cmd, check=True)
+    os.replace(tmp, OUT)
     return OUT
 
 

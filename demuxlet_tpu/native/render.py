@@ -29,10 +29,14 @@ def build(force: bool = False) -> str:
         and os.path.getmtime(OUT) >= os.path.getmtime(SRC)
     ):
         return OUT
+    # temp + rename: concurrent builders (distributed shards) must never
+    # dlopen a half-written .so
+    tmp = OUT + ".tmp%d" % os.getpid()
     subprocess.run(
-        ["g++", "-O2", "-std=c++17", "-shared", "-fPIC", "-o", OUT, SRC],
+        ["g++", "-O2", "-std=c++17", "-shared", "-fPIC", "-o", tmp, SRC],
         check=True,
     )
+    os.replace(tmp, OUT)
     return OUT
 
 

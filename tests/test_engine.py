@@ -286,7 +286,8 @@ def test_coverage_sort_heuristic():
     csr, gps = _skewed_csr()
     eng = DemuxEngine(gps, [0.0, 0.5], cell_block=8, mode="fast")
     # all counts < 128 -> one bucket -> sorting cannot help
-    assert eng._blocks(csr.nbcs, csr)[0] == list(range(8))
+    blocks, pads = eng._blocks(csr.nbcs, csr)
+    assert blocks[0] == list(range(8)) and pads is None
 
     class FakeCsr:
         nbcs = 24
@@ -296,9 +297,13 @@ def test_coverage_sort_heuristic():
             # to the max; sorted blocks segregate -> >10% saving
             return np.where(np.arange(24) % 2 == 0, 10, 2000)
 
-    blocks = eng._blocks(24, FakeCsr())
+    blocks, pads = eng._blocks(24, FakeCsr())
     assert blocks[0] != list(range(8)), "skewed distribution must sort"
     assert sorted(sum(blocks, [])) == list(range(24))
+    # pow2 pad hints bound the distinct compiled shapes
+    assert pads is not None and len(pads) == len(blocks)
+    assert all(p >= 128 and (p & (p - 1)) == 0 for p in pads)
+    assert pads == sorted(pads), "ascending coverage -> ascending pads"
 
 
 def test_block_permutation_output_invariance():
@@ -317,14 +322,14 @@ def test_block_permutation_output_invariance():
     N = csr.nbcs
     eng = DemuxEngine(gps, [0.0, 0.5], cell_block=8, mode="fast")
     perm = np.random.default_rng(0).permutation(N)
-    eng._blocks = lambda n, scl=None: [
+    eng._blocks = lambda n, scl=None: ([
         perm[s : s + 8].tolist() for s in range(0, n, 8)
-    ]
+    ], None)
     l1, l01, c1 = eng.run_compact(csr, doublet_prior=0.5)
     eng2 = DemuxEngine(gps, [0.0, 0.5], cell_block=8, mode="fast")
-    eng2._blocks = lambda n, scl=None: [
+    eng2._blocks = lambda n, scl=None: ([
         list(range(s, min(s + 8, n))) for s in range(0, n, 8)
-    ]
+    ], None)
     l2, l02, c2 = eng2.run_compact(csr, doublet_prior=0.5)
     np.testing.assert_array_equal(l1, l2)
     np.testing.assert_array_equal(l01, l02)

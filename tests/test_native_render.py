@@ -68,8 +68,17 @@ def test_native_render_byte_parity(seed, degenerate, filters):
     sample_ids = [f"SAMP{i}" for i in range(nv)]
 
     p2, pb = io.StringIO(), io.StringIO()
-    out_mod.write_pass2_compact(stats, sample_ids, comp, grid, 0.5,
-                                p2, pb, **filters)
+    # FORCE the Python fallback — write_pass2_compact delegates to the
+    # native renderer when available, which would make this comparison
+    # native-vs-native (vacuous)
+    import demuxlet_tpu.native.render as nr
+    orig = nr.available
+    nr.available = lambda: False
+    try:
+        out_mod.write_pass2_compact(stats, sample_ids, comp, grid, 0.5,
+                                    p2, pb, **filters)
+    finally:
+        nr.available = orig
     n2, nb = io.StringIO(), io.StringIO()
     # headers come from the shared Python prologue in the integrated
     # path; write bodies only here by replaying the header lines
