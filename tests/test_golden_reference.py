@@ -189,6 +189,39 @@ def test_golden_bam_input(tmp_path, ref_binary):
     _diff(str(tmp_path / "ref"), str(tmp_path / "ours"))
 
 
+@pytest.mark.parametrize("field", ["GT", "GP", "PL"])
+def test_golden_bcf_input(tmp_path, ref_binary, field):
+    """Binary BCF through BOTH binaries: the shim decodes BCF2 typed
+    records to VCF text at hts_open (shim_bcf.cpp; floats re-rendered
+    with %.9g round-trip exactly through (float)atof) and the reference
+    reads that, we read the binary directly (io/bcf.py) — byte-identical
+    outputs across GT/GP/PL fields."""
+    from fixtures import write_bcf
+
+    vcf, sam = _workload(tmp_path, 401, fields=("GT", "GP", "PL"))
+    # rebuild the same variants as BCF (write_bcf consumes the SimVariant
+    # list; regenerate it deterministically)
+    rng = random.Random(401)
+    contigs, names, variants, reads, truth = random_workload(
+        rng, n_cells=20, n_snps=40, n_samples=3, reads_per_cell=50,
+    )
+    for v in variants:
+        for s in v.samples:
+            g = {"0/0": 0, "0/1": 1, "1/1": 2}[s["GT"]]
+            gp = [0.02, 0.02, 0.02]
+            gp[g] = 0.96
+            s["GP"] = ",".join(f"{x:g}" for x in gp)
+            pl = [60, 60, 60]
+            pl[g] = 0
+            s["PL"] = ",".join(str(x) for x in pl)
+    bcf = write_bcf(str(tmp_path / "w.bcf"), names, variants,
+                    contigs=contigs, fmt_keys=["GT", "GP", "PL"])
+    args = ["--field", field, "--write-pair"]
+    _run_ref(ref_binary, bcf, sam, str(tmp_path / "ref"), args)
+    _run_ours(bcf, sam, str(tmp_path / "ours"), args)
+    _diff(str(tmp_path / "ref"), str(tmp_path / "ours"))
+
+
 @pytest.mark.parametrize(
     "extra",
     [

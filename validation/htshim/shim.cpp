@@ -133,8 +133,18 @@ htsFile *hts_open(const char *fn, const char *mode) {
             fp->is_bin = 1;
             return fp;
         }
-        if (memcmp(magic, "BCF", 3) == 0)
-            shim_die("binary BCF input (use VCF text or .vcf.gz)");
+        if (memcmp(magic, "BCF", 3) == 0) {
+            /* binary BCF: decode the whole stream to VCF TEXT once
+             * (shim_bcf.cpp) and run the existing text parser over it */
+            extern FILE *shim_bcf_to_vcf_text(FILE *);
+            FILE *tf = shim_bcf_to_vcf_text(f);
+            fclose(f);
+            f = tf;
+            fp->shim_fp = f;
+            fp->format.format = vcf;
+            fp->format.category = variant_data;
+            return fp;
+        }
         if (memcmp(magic, "CRAM", 4) == 0) shim_die("CRAM input");
     } else {
         rewind(f);
