@@ -198,9 +198,7 @@ def test_golden_bcf_input(tmp_path, ref_binary, field):
     outputs across GT/GP/PL fields."""
     from fixtures import write_bcf
 
-    vcf, sam = _workload(tmp_path, 401, fields=("GT", "GP", "PL"))
-    # rebuild the same variants as BCF (write_bcf consumes the SimVariant
-    # list; regenerate it deterministically)
+    # ONE workload object: SAM and BCF come from the same variants/reads
     rng = random.Random(401)
     contigs, names, variants, reads, truth = random_workload(
         rng, n_cells=20, n_snps=40, n_samples=3, reads_per_cell=50,
@@ -214,6 +212,7 @@ def test_golden_bcf_input(tmp_path, ref_binary, field):
             pl = [60, 60, 60]
             pl[g] = 0
             s["PL"] = ",".join(str(x) for x in pl)
+    sam = write_sam(str(tmp_path / "w.sam"), contigs, reads)
     bcf = write_bcf(str(tmp_path / "w.bcf"), names, variants,
                     contigs=contigs, fmt_keys=["GT", "GP", "PL"])
     args = ["--field", field, "--write-pair"]

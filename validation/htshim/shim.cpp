@@ -6,9 +6,10 @@
  * diffed against goldens produced by the reference's own algorithm code
  * (cmd_cram_demuxlet.cpp, bcf_filtered_reader.cpp, PhredHelper.cpp, ...).
  * Supported inputs: plain-text SAM and VCF, BGZF/gzip-compressed text
- * (.vcf.gz, .sam.gz — inflated whole into a tmpfile at open), and
- * binary BAM (plain or BGZF). Anything else — CRAM, binary BCF,
- * indexes, regions, FASTA — aborts loudly.
+ * (.vcf.gz, .sam.gz — inflated whole into a tmpfile at open), binary
+ * BAM (plain or BGZF), and binary BCF2 (decoded to VCF text at open,
+ * shim_bcf.cpp). Anything else — CRAM, indexes, regions, FASTA —
+ * aborts loudly.
  *
  * This file is validation tooling, NOT part of the demuxlet-tpu runtime.
  */

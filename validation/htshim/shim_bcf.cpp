@@ -165,7 +165,12 @@ void build_dicts(const std::string &text, Dicts *d) {
             size_t vend;
             std::string val;
             if (eq + 1 < body.size() && body[eq + 1] == '"') {
-                vend = body.find('"', eq + 2);
+                /* skip escaped quotes inside Description strings */
+                size_t q = eq + 2;
+                while (q < body.size() &&
+                       !(body[q] == '"' && body[q - 1] != '\\'))
+                    ++q;
+                vend = q;
                 val = body.substr(eq + 2, vend - eq - 2);
                 vend = body.find(',', vend);
             } else {
@@ -333,6 +338,7 @@ extern "C" FILE *shim_bcf_to_vcf_text(FILE *in) {
         uint32_t n_ai = (uint32_t)sb.intN(3);
         uint32_t n_fs = (uint32_t)sb.intN(3);
         int n_allele = (int)(n_ai >> 16);
+        if (n_allele == 0) bdie("n_allele == 0");
         int n_fmt = (int)(n_fs >> 24);
         int ns = (int)(n_fs & 0xFFFFFF);
         if (ns != n_sample) bdie("n_sample mismatch");
@@ -354,8 +360,9 @@ extern "C" FILE *shim_bcf_to_vcf_text(FILE *in) {
             }
         }
         line += "\t" + (n_allele > 1 ? alts : std::string("."));
-        /* QUAL */
-        if (qbits == F_MISSING || qbits == 0x7F800001u) {
+        /* QUAL: bcf_float_missing, or any NaN (some writers use qNaN) */
+        if (qbits == F_MISSING ||
+            ((qbits & 0x7F800000u) == 0x7F800000u && (qbits & 0x7FFFFFu))) {
             line += "\t.";
         } else {
             float q;
@@ -370,9 +377,10 @@ extern "C" FILE *shim_bcf_to_vcf_text(FILE *in) {
             std::string flt;
             for (int64_t k = 0; k < len; ++k) {
                 int64_t fid = sb.intN(type ? type : 1);
+                if (fid < 0 || (size_t)fid >= d.ids.size())
+                    bdie("FILTER id out of range");
                 if (k) flt += ";";
-                if (fid >= 0 && (size_t)fid < d.ids.size())
-                    flt += d.ids[(size_t)fid];
+                flt += d.ids[(size_t)fid];
             }
             line += "\t" + (len ? flt : std::string("."));
         }
