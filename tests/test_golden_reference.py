@@ -89,12 +89,35 @@ def _diff(ref_out, our_out, exts=(".single", ".sing2", ".pair", ".best"),
         assert got == want, f"{ext} differs from the reference binary"
 
 
-def test_golden_gt_field(tmp_path, ref_binary):
-    vcf, sam = _workload(tmp_path, 99)
+@pytest.mark.parametrize("seed", [99, 733, 977])
+def test_golden_gt_field(tmp_path, ref_binary, seed):
+    vcf, sam = _workload(tmp_path, seed)
     _run_ref(ref_binary, vcf, sam, str(tmp_path / "ref"),
              ["--field", "GT", "--write-pair"])
     _run_ours(vcf, sam, str(tmp_path / "ours"),
               ["--field", "GT", "--write-pair"])
+    _diff(str(tmp_path / "ref"), str(tmp_path / "ours"))
+
+
+def test_golden_multi_chromosome(tmp_path, ref_binary):
+    """Two-chromosome workload with shared barcodes through both
+    binaries: per-barcode contributions must SUM across chromosomes in
+    the same order (the synchronized BAM x VCF co-scan,
+    cmd_cram_demuxlet.cpp ingest sweep) — byte-identical outputs."""
+    rng = random.Random(811)
+    c1, names, v1, r1, _ = random_workload(
+        rng, n_cells=18, n_snps=30, n_samples=3, reads_per_cell=40,
+        chrom="chr1")
+    c2, _, v2, r2, _ = random_workload(
+        rng, n_cells=18, n_snps=30, n_samples=3, reads_per_cell=40,
+        chrom="chr2")
+    contigs = c1 + c2
+    vcf = write_vcf(str(tmp_path / "m.vcf"), names, v1 + v2,
+                    contigs=contigs)
+    sam = write_sam(str(tmp_path / "m.sam"), contigs, r1 + r2)
+    args = ["--field", "GT", "--write-pair"]
+    _run_ref(ref_binary, vcf, sam, str(tmp_path / "ref"), args)
+    _run_ours(vcf, sam, str(tmp_path / "ours"), args)
     _diff(str(tmp_path / "ref"), str(tmp_path / "ours"))
 
 
