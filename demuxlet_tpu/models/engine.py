@@ -580,6 +580,40 @@ class DemuxEngine:
                 sym_a=self._sym_a(), expand=expand, wire=wire,
             )
 
+        # Single-device: DEFER all device->host readback to ONE fetch at
+        # the end. The decision rows are tiny (~0.5 MB/2048-cell block)
+        # but each readback pays the link's ~30 ms fixed cost and
+        # contends with the next block's H2D on the serialized relay
+        # (~36 ms/block measured) — one device-side concat + a single
+        # transfer removes n_blocks-1 of those. Mesh mode keeps the
+        # per-block worker-thread readback (concat over a sharded global
+        # array would re-layout across devices).
+        if self.mesh is None:
+            dev_parts = []
+            with ThreadPoolExecutor(max_workers=4) as prep_pool:
+                for cells, (codes, idx, msk) in _prefetched(
+                    prep_pool, prep, jobs
+                ):
+                    dev_parts.append((cells, dispatch(codes, idx, msk)))
+            if dev_parts:
+                host = np.asarray(jnp.concatenate(
+                    [p for _, p in dev_parts], axis=0
+                ))
+                off = 0
+                for cells, p in dev_parts:
+                    b = p.shape[0]
+                    parts.append(fetch(cells, host[off : off + b]))
+                    off += b
+            comp = D.concat(parts)
+            perm = np.concatenate(
+                [np.asarray(b, np.int64) for b in blocks]
+            )
+            if not np.array_equal(perm, np.arange(n)):
+                inv = np.empty(n, np.int64)
+                inv[perm] = np.arange(n)
+                comp = D.take(comp, inv)
+            return llks, llk0s, comp
+
         pending = []
         with ThreadPoolExecutor(max_workers=2) as pool, ThreadPoolExecutor(
             max_workers=4
