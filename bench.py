@@ -29,10 +29,15 @@ sys.path.insert(0, ROOT)
 # Workload parameters (match C++ baseline exactly).
 S_PER_CELL = 1024
 UMIS_PER_SNP = 2
-NV = 8
+NV = 8        # headline shape; extra rows bench other (V, A) below
 NALPHA = 5
 NSNPS = 8192
 CAP_BQ = 40
+
+# extra workload rows (fast + exact-df only): the tutorial jurkat/293T
+# shape (V=2, default [0, .5] grid) and the large-pool shapes the tiled
+# kernels unlock. Each costs ~2 compiles + short runs on the real chip.
+EXTRA_SHAPES = [(2, 2), (16, 5), (32, 5), (64, 2)]
 
 BASE_CELLS = int(os.environ.get("BENCH_BASE_CELLS", "256"))
 TPU_BLOCK = int(os.environ.get("BENCH_TPU_BLOCK", "2048"))
@@ -41,7 +46,8 @@ SLOT_CHUNK = int(os.environ.get("BENCH_SLOT_CHUNK", "128"))
 DTYPE_NAME = os.environ.get("BENCH_DTYPE", "f64")
 
 
-def measure_cpp_baseline() -> float:
+def measure_cpp_baseline(nv: int = NV, nalpha: int = NALPHA,
+                         cells: int = BASE_CELLS) -> float:
     """Compile + run the single-thread C++ replica; returns barcodes/s.
 
     Best of two runs — the baseline deserves its peak rate on a possibly
@@ -58,11 +64,11 @@ def measure_cpp_baseline() -> float:
         out = subprocess.run(
             [
                 exe,
-                str(BASE_CELLS),
+                str(cells),
                 str(S_PER_CELL),
                 str(UMIS_PER_SNP),
-                str(NV),
-                str(NALPHA),
+                str(nv),
+                str(nalpha),
                 str(NSNPS),
             ],
             check=True,
@@ -73,7 +79,7 @@ def measure_cpp_baseline() -> float:
     return best
 
 
-def _synth_block(B: int, rng: np.random.Generator):
+def _synth_block(B: int, rng: np.random.Generator, nv: int = NV):
     """Synthetic slot tensors matching the C++ baseline's workload.
 
     Returns (cnt, msk, gps, gp0, codes): dense counts for the XLA kernels
@@ -93,13 +99,16 @@ def _synth_block(B: int, rng: np.random.Generator):
             1,
         )
     msk = np.ones((B, S_PER_CELL), dtype=bool)
-    gps = rng.dirichlet(np.ones(3), size=(B, S_PER_CELL, NV))
+    gps = rng.dirichlet(np.ones(3), size=(B, S_PER_CELL, nv))
     gp0 = gps.mean(axis=2)
     return cnt, msk, gps, gp0, codes
 
 
-def measure_tpu() -> dict:
-    """Pair-search throughput, fast (f32 Pallas) and exact (f64 XLA) modes.
+def measure_tpu(nv: int = NV, nalpha: int = NALPHA,
+                include_xla: bool = True, block: int = TPU_BLOCK,
+                iters: int = TPU_ITERS) -> dict:
+    """Pair-search throughput, fast (f32 Pallas) and exact (df32 Pallas /
+    f64 XLA) modes at an (nv, nalpha) workload shape.
 
     Timing protocol: inputs device-resident, each timed iteration chains a
     scalar reduction consumed on host — on the tunneled axon backend,
@@ -122,11 +131,11 @@ def measure_tpu() -> dict:
         pair_llks_pallas,
     )
 
-    grid = np.linspace(0.0, 0.5, NALPHA).tolist()
+    grid = np.linspace(0.0, 0.5, nalpha).tolist()
     w = luts.pair_lut(grid, CAP_BQ)
     cols, expand = dedup_channels(grid)
     rng = np.random.default_rng(0)
-    cnt, msk, gps, gp0, codes = _synth_block(TPU_BLOCK, rng)
+    cnt, msk, gps, gp0, codes = _synth_block(block, rng, nv)
 
     def timeit(fn, *args, iters):
         """Two-point protocol: time `iters` and `2*iters` async-queued
@@ -171,30 +180,34 @@ def measure_tpu() -> dict:
     @jax.jit
     def fast_step(cnt_t, gps_t, wt):
         ab, z0 = pair_llks_pallas(
-            cnt_t, gps_t, wt, NALPHA, NV, interpret=interpret,
-            a0_sep=True, sym_a=NALPHA - 1, expand=expand,
+            cnt_t, gps_t, wt, nalpha, nv, interpret=interpret,
+            a0_sep=True, sym_a=nalpha - 1, expand=expand,
         )
         return jnp.sum(ab) + jnp.sum(z0)
 
-    dt_fast = timeit(fast_step, cnt_d, gps_d, wt_d, iters=TPU_ITERS)
+    dt_fast = timeit(fast_step, cnt_d, gps_d, wt_d, iters=iters)
 
-    # ---- exact mode: f64 XLA kernels (byte-parity path)
-    nexact = max(64, TPU_BLOCK // 8)
-    cnt_e = jax.device_put(jnp.asarray(cnt[:nexact]))
-    msk_e = jax.device_put(jnp.asarray(msk[:nexact]))
-    gps_e = jax.device_put(jnp.asarray(gps[:nexact]))
-    gp0_e = jax.device_put(jnp.asarray(gp0[:nexact]))
-    w_d = jax.device_put(jnp.asarray(w))
+    # ---- exact mode: f64 XLA kernels (byte-parity path); skipped for the
+    # extra workload rows (its device_put alone ships ~86 MB over the
+    # tunneled link)
+    dt_exact, nexact = None, max(64, block // 8)
+    if include_xla:
+        cnt_e = jax.device_put(jnp.asarray(cnt[:nexact]))
+        msk_e = jax.device_put(jnp.asarray(msk[:nexact]))
+        gps_e = jax.device_put(jnp.asarray(gps[:nexact]))
+        gp0_e = jax.device_put(jnp.asarray(gp0[:nexact]))
+        w_d = jax.device_put(jnp.asarray(w))
 
-    @jax.jit
-    def exact_step(cnt, msk, gps, gp0, w):
-        ab, z0 = pair_llks(
-            cnt, msk, gps, gp0, w, NALPHA, slot_chunk=SLOT_CHUNK,
-            dtype=jnp.float64,
-        )
-        return jnp.sum(ab) + jnp.sum(z0)
+        @jax.jit
+        def exact_step(cnt, msk, gps, gp0, w):
+            ab, z0 = pair_llks(
+                cnt, msk, gps, gp0, w, nalpha, slot_chunk=SLOT_CHUNK,
+                dtype=jnp.float64,
+            )
+            return jnp.sum(ab) + jnp.sum(z0)
 
-    dt_exact = timeit(exact_step, cnt_e, msk_e, gps_e, gp0_e, w_d, iters=2)
+        dt_exact = timeit(exact_step, cnt_e, msk_e, gps_e, gp0_e, w_d,
+                          iters=2)
 
     # ---- exact mode, production TPU path: df32 (double-single f32)
     # Pallas kernel (ops/pallas_pair_exact.py), same workload as fast
@@ -205,9 +218,9 @@ def measure_tpu() -> dict:
     # per-slot gps in the bench are per-(cell,slot); the engine path uses a
     # SNP table + idx gather -- emulate with an identity-style table
     NSNP = 4096
-    table_gps = rng.dirichlet(np.ones(3), size=(NSNP, NV))
+    table_gps = rng.dirichlet(np.ones(3), size=(NSNP, nv))
     table_gp0 = compute_gp0(table_gps)
-    idx = rng.integers(0, NSNP, size=(TPU_BLOCK, S_PER_CELL)).astype(np.int32)
+    idx = rng.integers(0, NSNP, size=(block, S_PER_CELL)).astype(np.int32)
     gps_pair, gp0_pair, tabs, meta = PE.split_tables(
         table_gps, table_gp0, w, singlet_lut(CAP_BQ)
     )
@@ -221,15 +234,15 @@ def measure_tpu() -> dict:
     def exact_df_step(codes, idx, msk, gps_p, gp0_p, tabs_p):
         llk, llk0, ab, z0 = PE.demux_block_exact_impl(
             codes, idx, msk, gps_p, gp0_p, tabs_p, meta,
-            NALPHA, NV, interpret=interpret, a0_zero=True,
-            sym_a=NALPHA - 1,
+            nalpha, nv, interpret=interpret, a0_zero=True,
+            sym_a=nalpha - 1,
         )
         return (jnp.sum(ab[0]) + jnp.sum(ab[1]) + jnp.sum(llk[0])
                 + jnp.sum(z0[0]))
 
     dt_exact_df = timeit(
         exact_df_step, codes_d, idx_d, msk_d, gps_p, gp0_p, tabs_p,
-        iters=max(2, TPU_ITERS // 2),
+        iters=max(2, iters // 2),
     )
 
     # ---- roofline accounting for the exact df32 kernel: analytic f32 op
@@ -241,40 +254,42 @@ def measure_tpu() -> dict:
     DF_MUL, DF_ADD = 15, 13
     DOT3 = 3 * DF_MUL + 2 * DF_ADD
     n_acc_est = (
-        NV * NV * (NALPHA - 1) - NV * (NV - 1) // 2  # ab minus sym mirrors
-        + (NALPHA - 1)                               # m0
-        + (NV + 1)                                   # pass-1
-        + 2 * NV + 2                                 # separable a0 factors
+        nv * nv * (nalpha - 1) - nv * (nv - 1) // 2  # ab minus sym mirrors
+        + (nalpha - 1)                               # m0
+        + (nv + 1)                                   # pass-1
+        + 2 * nv + 2                                 # separable a0 factors
     )
-    u_stage_df = NV * ((NALPHA - 1) * 3 + 1) * DOT3
-    inner_df = (NV * NV * (NALPHA - 1) - NV * (NV - 1) // 2) * DOT3
+    u_stage_df = nv * ((nalpha - 1) * 3 + 1) * DOT3
+    inner_df = (nv * nv * (nalpha - 1) - nv * (nv - 1) // 2) * DOT3
     acc_df = n_acc_est * (DF_MUL + 8)
-    misc_df = (NV + 1) * DOT3 + (NALPHA - 1) * DOT3 + NV * 2 * DF_ADD
+    misc_df = (nv + 1) * DOT3 + (nalpha - 1) * DOT3 + nv * 2 * DF_ADD
     exact_ops_slot = u_stage_df + inner_df + acc_df + misc_df
     exact_vpu_gflops = (
-        exact_ops_slot * TPU_BLOCK * S_PER_CELL / dt_exact_df / 1e9
+        exact_ops_slot * block * S_PER_CELL / dt_exact_df / 1e9
     )
 
     # ---- roofline accounting for the fast kernel (VERDICT r1 #6):
     # analytic per-(cell,slot) op counts; transcendental logs excluded
     # from the FLOP tally (VPU log is multi-op; counted separately).
-    u_stage = NV * NALPHA * 3 * 5          # 3 mul + 2 add per U entry
-    inner_stage = NV * NV * NALPHA * 6     # 3 mul + 2 add + 1 acc add
-    bg_stage = NALPHA * (15 + 6) + 3 * NV  # llk00 + g0 mean
+    u_stage = nv * nalpha * 3 * 5          # 3 mul + 2 add per U entry
+    inner_stage = nv * nv * nalpha * 6     # 3 mul + 2 add + 1 acc add
+    bg_stage = nalpha * (15 + 6) + 3 * nv  # llk00 + g0 mean
     vpu_flops_slot = u_stage + inner_stage + bg_stage
-    n_logs_slot = NV * NV * NALPHA + NALPHA
+    n_logs_slot = nv * nv * nalpha + nalpha
     mxu_front_slot = 2 * (2 * (CAP_BQ + 1)) * len(cols)  # cnt @ W (deduped)
-    cells_slots = TPU_BLOCK * S_PER_CELL
+    cells_slots = block * S_PER_CELL
     fast_vpu_gflops = vpu_flops_slot * cells_slots / dt_fast / 1e9
     fast_logs_gops = n_logs_slot * cells_slots / dt_fast / 1e9
     fast_mxu_gflops = mxu_front_slot * cells_slots / dt_fast / 1e9
 
     return {
-        "barcodes_per_s": TPU_BLOCK / dt_fast,
+        "barcodes_per_s": block / dt_fast,
         "step_ms": dt_fast * 1e3,
-        "exact_barcodes_per_s": TPU_BLOCK / dt_exact_df,
+        "exact_barcodes_per_s": block / dt_exact_df,
         "exact_step_ms": dt_exact_df * 1e3,
-        "exact_xla_f64_barcodes_per_s": nexact / dt_exact,
+        "exact_xla_f64_barcodes_per_s": (
+            nexact / dt_exact if dt_exact else None
+        ),
         "exact_vpu_gflops": exact_vpu_gflops,
         "fast_vpu_gflops": fast_vpu_gflops,
         "fast_log_gops": fast_logs_gops,
@@ -282,6 +297,37 @@ def measure_tpu() -> dict:
         "platform": jax.devices()[0].platform,
         "dtype": "f32-fast",
     }
+
+
+def _extra_rows() -> list:
+    """Bench rows beyond the headline V=8/A=5 shape: the tutorial V=2
+    (jurkat/293T, default [0,.5] grid) and the large pools (V=16-64) the
+    pair-tiled kernels serve. Fast + exact-df only (the XLA f64 row's
+    device_put alone ships ~86 MB over the tunnel); fewer iters. A row
+    that fails records the error instead of killing the headline bench."""
+    rows = []
+    for nv, nalpha in EXTRA_SHAPES:
+        row = {"workload": f"V={nv} A={nalpha} S/cell={S_PER_CELL} "
+                           f"umis/slot={UMIS_PER_SNP}"}
+        try:
+            # C++ baseline cells scaled down for the V^2 cost (and its
+            # nsnps*nv^2*9 f64 gpAB: 2.4 GB at V=64)
+            cells = BASE_CELLS if nv <= 16 else 32
+            base = measure_cpp_baseline(nv, nalpha, cells=cells)
+            t = measure_tpu(nv, nalpha, include_xla=False,
+                            iters=max(2, TPU_ITERS // 4))
+            row.update(
+                barcodes_per_s=round(t["barcodes_per_s"], 1),
+                step_ms=round(t["step_ms"], 2),
+                exact_barcodes_per_s=round(t["exact_barcodes_per_s"], 1),
+                exact_step_ms=round(t["exact_step_ms"], 2),
+                baseline_cpp_barcodes_per_s=round(base, 1),
+                vs_baseline=round(t["barcodes_per_s"] / base, 2),
+            )
+        except Exception as e:  # noqa: BLE001 — record, don't kill
+            row["error"] = f"{type(e).__name__}: {e}"[:300]
+        rows.append(row)
+    return rows
 
 
 def main():
@@ -307,6 +353,7 @@ def main():
         "platform": tpu["platform"],
         "dtype": tpu["dtype"],
         "step_ms": round(tpu["step_ms"], 2),
+        "extra_workloads": _extra_rows(),
     }
     try:  # append the run record (load condition + timings) for diffing
         from benchmarks.record import record

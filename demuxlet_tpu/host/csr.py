@@ -55,12 +55,13 @@ class CsrPileup:
         at 100K cells). MEMOIZED: the engine's coverage-sorted blocking
         and cell_stats both need it, and each pass re-walks the multi-GB
         obs arrays (20-43 s at 100K cells on this host). Obs arrays are
-        append-free after construction, so the cache is safe."""
+        append-free after construction; the cache is additionally keyed
+        on len(obs_snp) as a cheap staleness check."""
         cached = getattr(self, "_nsnp_cache", None)
-        if cached is not None:
-            return cached
+        if cached is not None and cached[0] == len(self.obs_snp):
+            return cached[1]
         out = self._n_snps_all_impl()
-        self._nsnp_cache = out
+        self._nsnp_cache = (len(self.obs_snp), out)
         return out
 
     def _n_snps_all_impl(self) -> np.ndarray:

@@ -159,6 +159,19 @@ class DemuxEngine:
         else:
             use_pallas = exact_kernel == "pallas"
         self.use_exact_pallas = mode == "exact" and use_pallas
+        if self.cap_bq > 126:
+            # u8 observation codes top out at 2*(cap_bq+1)-1 <= 253 (254/
+            # 255 are reserved markers): beyond cap-BQ 126 the codes paths
+            # can't represent observations. Exact mode falls back to the
+            # XLA f64 dense-slot path; fast mode has no dense path.
+            if mode == "fast":
+                from demuxlet_tpu.utils.logging_utils import DemuxError
+
+                raise DemuxError(
+                    "--cap-BQ > 126 is not representable by the fast-mode "
+                    "u8 observation codes; use --mode exact"
+                )
+            self.use_exact_pallas = False
         if self.use_exact_pallas and dtype == jnp.float32:
             self.use_exact_pallas = False  # f32 precision: XLA path is fine
         if self.use_exact_pallas and self.cell_block % 16:

@@ -112,21 +112,24 @@ int dmx_render_pass2_compact(
         double post_dbl = dsum / (ssum + dsum);
         double post_sng =
             exp(sing_llk1 - mx) * (1.0 - doublet_prior) / (double)nv / ssum;
-        char call[256];
+        // Buf::appendf (oversized-field fallback), not a fixed char array:
+        // long sample IDs (4 names + alpha in one AMB string) must render
+        // identically to the Python path, never silently truncate.
+        Buf cb;
         if (p12 > p1 && p12 > p2 && p12 > sing_llk1 + 2) {
-            snprintf(call, sizeof call, "DBL-%s-%s-%.3f",
-                     str_at(sm_concat, sm_off, j_best),
-                     str_at(sm_concat, sm_off, k_best), grid_alpha[a_best]);
+            cb.appendf("DBL-%s-%s-%.3f",
+                       str_at(sm_concat, sm_off, j_best),
+                       str_at(sm_concat, sm_off, k_best), grid_alpha[a_best]);
         } else if (sing_llk1 > sing_llk2 + 2) {
-            snprintf(call, sizeof call, "SNG-%s",
-                     str_at(sm_concat, sm_off, i1));
+            cb.appendf("SNG-%s", str_at(sm_concat, sm_off, i1));
         } else {
-            snprintf(call, sizeof call, "AMB-%s-%s-%s/%s",
-                     str_at(sm_concat, sm_off, i1),
-                     str_at(sm_concat, sm_off, i2),
-                     str_at(sm_concat, sm_off, j_best),
-                     str_at(sm_concat, sm_off, k_best));
+            cb.appendf("AMB-%s-%s-%s/%s",
+                       str_at(sm_concat, sm_off, i1),
+                       str_at(sm_concat, sm_off, i2),
+                       str_at(sm_concat, sm_off, j_best),
+                       str_at(sm_concat, sm_off, k_best));
         }
+        const char *call = cb.s.c_str();
         bb.appendf(
             "%s\t%lld\t%lld\t%lld\t%lld\t%s\t%s\t%.4f\t%s\t%.4f\t%.4f"
             "\t%s\t%s\t%.3f\t%.4f\t%.4f\t%.4f\t%.4f\t%.4f\t%.4f\t%.3g\t%.3g"

@@ -539,8 +539,9 @@ def _call_pair_kernel_df(prod, gall, mskf, V, A, interpret, gsel,
 # ---------------------------------------------------------------- XLA front
 def _sel_rows(c_plane, tT):
     """One-hot MXU selection: c_plane (TB, TS) int32 row ids -> the
-    selected LUT rows as (3C, TB, TS) planes. tT is the (3C, 128)
-    transposed single-code table (columns beyond n_rows zero-padded).
+    selected LUT rows as (3C, TB, TS) planes. tT is the (3C, n_pad)
+    transposed single-code table (n_pad = 128-multiple >= n_rows; columns
+    beyond n_rows zero-padded).
 
     dot_general at precision=HIGHEST selects BIT-EXACTLY: the bf16x3
     input split is an exact decomposition of f32 (8+8+8 mantissa bits)
@@ -548,7 +549,9 @@ def _sel_rows(c_plane, tT):
     accumulation never rounds (pinned by probe_gather3 onehot_bitexact
     and tests/test_pallas_exact.py::test_onehot_front_matches_pair)."""
     outs = []
-    rid = jax.lax.broadcasted_iota(jnp.int32, (128, c_plane.shape[1]), 0)
+    rid = jax.lax.broadcasted_iota(
+        jnp.int32, (tT.shape[1], c_plane.shape[1]), 0
+    )
     for b in range(c_plane.shape[0]):
         oh = (rid == c_plane[b : b + 1, :]).astype(jnp.float32)
         outs.append(jax.lax.dot_general(
@@ -592,9 +595,9 @@ def _onehot_prod_front(cP, tT, interpret):
     main pair kernel on purpose: fusing it there regressed the kernel
     20.6 -> 110 ms (Mosaic scheduling pathology, probe_onehot_parts).
 
-    cP (U, B, S) int32; tT (3C, 128). Returns (mh, ml, ef) each (C, B, S),
-    the _pair_prod_gather contract."""
-    C3 = tT.shape[0]
+    cP (U, B, S) int32; tT (3C, n_pad). Returns (mh, ml, ef) each
+    (C, B, S), the _pair_prod_gather contract."""
+    C3, n_pad = tT.shape
     C = C3 // 3
     U, B, S = cP.shape
     kernel = functools.partial(_onehot_front_kernel, C=C, fence=interpret)
@@ -603,7 +606,7 @@ def _onehot_prod_front(cP, tT, interpret):
         grid=(B // TB, S // TS),
         in_specs=[
             pl.BlockSpec((U, TB, TS), lambda ib, is_: (ib * 0, ib, is_)),
-            pl.BlockSpec((C3, 128), lambda ib, is_: (ib * 0, ib * 0)),
+            pl.BlockSpec((C3, n_pad), lambda ib, is_: (ib * 0, ib * 0)),
         ],
         out_specs=[pl.BlockSpec((C, TB, TS),
                                 lambda ib, is_: (ib * 0, ib, is_))] * 3,
@@ -812,10 +815,14 @@ def split_tables(gps, gp0, w, logf):
     pm_h, pm_l = df.from_f64(mant * 2.0)  # exact scale: mant -> [1, 2)
     pe = (ex - 1).astype(np.float32)
     n_rows = T.shape[0]
-    assert n_rows <= 128, "single-code LUT must fit the 128-lane one-hot"
+    # one-hot lane width: next 128 multiple >= n_rows (n_rows = 2*(cap_bq
+    # +1)+1 <= 255 under the u8 code contract, so <= 256; --cap-BQ >= 63
+    # pads to 256 instead of crashing — advisor r3 finding)
+    assert n_rows <= 256, "u8 codes bound the single-code LUT at 256 rows"
+    n_pad = -(-n_rows // 128) * 128
     smant, sex = np.frexp(T)
     sh, sl = df.from_f64(smant * 2.0)
-    pad = lambda a: np.pad(a.T.astype(np.float32), ((0, 0), (0, 128 - n_rows)))
+    pad = lambda a: np.pad(a.T.astype(np.float32), ((0, 0), (0, n_pad - n_rows)))
     tT = np.concatenate(
         [pad(sh), pad(sl), pad((sex - 1).astype(np.float32))], axis=0)
     meta = (len(cols), tuple(inv[:nw]), tuple(inv[nw:]))

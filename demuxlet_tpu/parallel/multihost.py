@@ -356,8 +356,12 @@ def gather_results_sum_compact(
          per-process gather traffic O(n*(V+A)).
 
     Merged CompactShard on process 0, None elsewhere. Output order and
-    values match gather_results_sum + compact_from_result (the P-way
-    psum reorders the shard sum; fp-identical for P=2, ~1 ulp beyond)."""
+    values match gather_results_sum + compact_from_result; the P-way
+    psum reorders the shard sum — fp-identical for P=2, ~1 ulp beyond,
+    so at P>2 rendered digits / 2-LLK-threshold calls can differ on exact
+    near-ties vs the full-tensor merge (documented in README's golden
+    validation section; use --write-pair's full-tensor path when byte
+    parity across output modes matters)."""
     import jax
 
     from demuxlet_tpu.models import decision as D

@@ -46,6 +46,37 @@ def _dense_from_codes(codes, msk, cap=40):
     return cnt
 
 
+def test_exact_smoke_cold_budget():
+    """COLD-runnable df32 parity gate (not marked slow): a subprocess with
+    a FRESH compile cache runs tests/_exact_smoke_child.py — the tiny
+    V=2/A=2 one-tile default-grid kernel vs the XLA f64 kernels at 1e-10,
+    plus the 256-wide one-hot front (--cap-BQ 63, advisor r3 finding) —
+    on the CPU backend at LLVM opt level 0 (compile-time-bound interpret
+    kernels; measured 31.8 s cold). `pytest -m "not slow"` therefore gives
+    direct df32 parity coverage anywhere in <5 min, without the
+    production-size kernels' multi-minute interpret compiles (marked
+    slow), and the fresh cache pins the cold budget every run."""
+    import os
+    import subprocess
+    import sys
+    import tempfile
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with tempfile.TemporaryDirectory() as cache:
+        env = dict(os.environ)
+        env["DEMUX_TPU_JAX_CACHE"] = cache  # fresh: cold compile
+        env.pop("XLA_FLAGS", None)  # child sets its own opt-level-0 flags
+        env.pop("JAX_PLATFORMS", None)
+        proc = subprocess.run(
+            [sys.executable, os.path.join(repo, "tests",
+                                          "_exact_smoke_child.py")],
+            cwd=repo, env=env, capture_output=True, text=True, timeout=120,
+        )
+    assert proc.returncode == 0, proc.stderr[-4000:]
+    assert "SMOKE_OK" in proc.stdout, (proc.stdout, proc.stderr[-2000:])
+
+
+@pytest.mark.slow
 @pytest.mark.parametrize("seed", [0])  # interpret mode is slow; one adversarial seed
 def test_exact_pallas_matches_xla_f64(seed):
     codes, idx, msk, gps, gp0, w, logf, grid = _workload(seed)
@@ -92,6 +123,7 @@ def test_exact_pallas_matches_xla_f64(seed):
         assert err < 1e-9, (name, err)
 
 
+@pytest.mark.slow
 def test_exact_pallas_empty_slots_neutral():
     """All-padding block: every LLK must be exactly 0."""
     codes = np.full((16, 128, 2), 255, dtype=np.uint8)
@@ -112,6 +144,7 @@ def test_exact_pallas_empty_slots_neutral():
     assert (PE.combine(llk) == 0).all()
 
 
+@pytest.mark.slow
 def test_exact_pallas_cli_byte_parity(tmp_path):
     """CLI --exact-kernel pallas (interpret on CPU) produces byte-identical
     .single/.sing2/.best to the XLA f64 exact path on a real workload."""
@@ -148,6 +181,7 @@ def test_exact_pallas_cli_byte_parity(tmp_path):
         assert got == want, f"{ext} differs between pallas-df32 and XLA f64"
 
 
+@pytest.mark.slow
 def test_exact_compact_matches_full_run():
     """Exact-mode run_compact (device decision pass over f64-combined df
     pairs) matches run() + host compact_from_result: argmax/llk fields
@@ -188,6 +222,7 @@ def test_exact_compact_matches_full_run():
             getattr(got, f), getattr(want, f), rtol=1e-12, err_msg=f)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("seed", [1])
 def test_exact_pallas_a0_zero_factorization(seed):
     """a0_zero=True (engine path for grids starting at alpha=0) agrees
@@ -226,6 +261,7 @@ def test_exact_pallas_a0_zero_factorization(seed):
     assert (ab[:, :, :, sa] == np.swapaxes(ab[:, :, :, sa], 1, 2)).all()
 
 
+@pytest.mark.slow
 def test_onehot_front_matches_pair():
     """The TPU-default one-hot MXU front (standalone Pallas selection
     kernel, PE._onehot_prod_front) must reproduce the pair-code-LUT XLA
