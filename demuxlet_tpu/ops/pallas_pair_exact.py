@@ -536,6 +536,393 @@ def _call_pair_kernel_df(prod, gall, mskf, V, A, interpret, gsel,
     return ab, z0, sing
 
 
+# ------------------------------------------------------------- tiled path
+#
+# Same motivation as pallas_pair's tiled kernel (round-3 verdict #1): the
+# unrolled df kernel's trace time and stacked-scratch size scale ~V^2*A,
+# unusable past V~12. Pools beyond pallas_pair._UNROLL_CAP channels tile
+# the (j,k) pair axis: grid (B/TB, n_tiles, n_s) with slots innermost,
+# per-tile stacked df scratch (Jt*Kt*Ac, TB, TS) x3 flat in V; the
+# O(V)-channel rest (pass-1 singlet, llks00, the separable alpha=0
+# factors) moves to a companion extras kernel. The mixture-table
+# normalization preamble is recomputed per tile (VPU ops on VMEM-resident
+# planes, a few percent of the tile body). gps planes arrive INTERLEAVED
+# per padded sample (hi0 hi1 hi2 lo0 lo1 lo2) so a (Jt*6)-plane BlockSpec
+# slices one tile's samples; gp0 rides as the final 6 planes (only the
+# extras kernel reads it).
+
+
+def plan_pair_tiles_df(V, A, a0_zero, sym_a):
+    """Tile plan for the exact kernel, or None to run unrolled.
+
+    Mirrors pallas_pair.plan_pair_tiles, with the df-specific scratch
+    bound: three stacked (Jt*Kt*Ac, TB, TS) planes must fit VMEM, so the
+    tile extent drops to 8 when 16x16 tiles would blow the budget (the
+    5-alpha grid's Ac=4). alpha[0] == 0 is ALWAYS separable here (the
+    extras kernel has no 128-channel width limit — outputs pad)."""
+    from demuxlet_tpu.ops.pallas_pair import _UNROLL_CAP, _VMEM_BUDGET
+
+    if V * V * A <= _UNROLL_CAP:
+        return None
+    ac_list = [a for a in range(A) if not (a0_zero and a == 0)]
+    nA = len(ac_list)
+    Jt = 16 if V % 16 == 0 else 8
+    if 3 * (Jt * Jt * nA) * TB * TS * 4 > _VMEM_BUDGET - 3 * 2**20:
+        Jt = 8
+    Vp = -(-V // Jt) * Jt
+    n_t = Vp // Jt
+    triangular = a0_zero and ac_list == [sym_a]
+    if triangular:
+        tiles = [(jt, kt) for jt in range(n_t) for kt in range(jt, n_t)]
+    else:
+        tiles = [(jt, kt) for jt in range(n_t) for kt in range(n_t)]
+    return Jt, Jt, Vp, tiles, ac_list, triangular
+
+
+def _extras_slots(V, A, a0_zero):
+    """Ordered accumulator registry for the extras kernel: pass-1 singlet
+    products ('s', j; j == V is gp0), the a0 separable factors, and the
+    non-separable llks00 channels. Same key scheme as _acc_slots."""
+    keys = [("s", j) for j in range(V + 1)]
+    if a0_zero:
+        keys += [("d", j) for j in range(V)]
+        keys += [("gs", k) for k in range(V)]
+        keys += [("u00",), ("g0s",)]
+    keys += [("m0", a) for a in range(A) if not (a0_zero and a == 0)]
+    return keys, {k: i for i, k in enumerate(keys)}
+
+
+def _cmask_arr(cmask, n_tch):
+    """Static channel mask as an iota comparison (pallas_call rejects
+    captured constant arrays)."""
+    if cmask is None:
+        return None
+    ch = jax.lax.broadcasted_iota(jnp.int32, (n_tch, 1, 1), 0)
+    sel = [i for i, b in enumerate(cmask) if b]
+    arr = ch == np.int32(sel[0])
+    for i in sel[1:]:
+        arr = arr | (ch == np.int32(i))
+    return arr
+
+
+def _fold_acc(inners, mh_ref, ml_ref, me_ref, do_rn, chunk, fence):
+    """Fold per-slot inner df pairs into the stacked product scratch with
+    one plane-wide df mul per chunk, renormalizing on do_rn steps (shared
+    by the unrolled, tiled and extras kernels — see _pair_kernel_df)."""
+    n_acc = len(inners)
+    for c0 in range(0, n_acc, chunk):
+        c1 = min(c0 + chunk, n_acc)
+        ih = jnp.stack([inners[i][0] for i in range(c0, c1)], axis=0)
+        il = jnp.stack([inners[i][1] for i in range(c0, c1)], axis=0)
+        nh, nl = _mul2(mh_ref[c0:c1], ml_ref[c0:c1], ih, il, fence)
+
+        @pl.when(do_rn)
+        def _(c0=c0, c1=c1, nh=nh, nl=nl):
+            h2, l2, e2 = _renorm(nh, nl, me_ref[c0:c1])
+            mh_ref[c0:c1] = h2
+            ml_ref[c0:c1] = l2
+            me_ref[c0:c1] = e2
+
+        @pl.when(jnp.logical_not(do_rn))
+        def _(c0=c0, c1=c1, nh=nh, nl=nl):
+            mh_ref[c0:c1] = nh
+            ml_ref[c0:c1] = nl
+
+
+def _butterfly_rows(mh_ref, ml_ref, me_ref, n_acc, chunk, fence):
+    """Lane-product butterfly over the stacked scratch, one chunk at a
+    time; returns per-channel (hi, lo, exp) column triples."""
+    rows = []
+    for c0 in range(0, n_acc, chunk):
+        c1 = min(c0 + chunk, n_acc)
+        rh, rl, re = _lane_prod_df(
+            mh_ref[c0:c1], ml_ref[c0:c1], me_ref[c0:c1], fence, axis=2
+        )
+        rows += [(rh[i, :, 0], rl[i, :, 0], re[i, :, 0])
+                 for i in range(c1 - c0)]
+    return rows
+
+
+def _write_rows(refs, rows_cols):
+    """Stack per-channel column triples into the (TB, W) output refs,
+    zero-padding to the ref width."""
+    zero = jnp.zeros_like(rows_cols[0][0])
+    for ref, c in zip(refs, [list(c) for c in zip(*rows_cols)]):
+        while len(c) < ref.shape[1]:
+            c.append(zero)
+        ref[:] = jnp.stack(c, axis=1)
+
+
+def _pair_kernel_df_tiled(
+    tj_ref, tk_ref, ph_ref, pl_ref, pe_ref, gj_ref, gk_ref,
+    outh_ref, outl_ref, oute_ref, mh_ref, ml_ref, me_ref,
+    *, Jt, Kt, ac_list, n_s, fence, n_tch, expand, cmask, A,
+):
+    """One (Jt x Kt) pair tile of 'ab' df accumulators per grid step.
+    Same per-channel math as _pair_kernel_df's ab path; U[dj, a, m] is
+    recomputed per tile (3/Kt of the inner dot3s). gj/gk blocks carry the
+    tile's samples in the interleaved (hi0 hi1 hi2 lo0 lo1 lo2) layout."""
+    s_step = pl.program_id(2)
+    nA = len(ac_list)
+    n_acc = Jt * Kt * nA
+    chunk = n_acc if fence else _ACC_CHUNK
+
+    @pl.when(s_step == 0)
+    def _():
+        mh_ref[:] = jnp.ones_like(mh_ref)
+        ml_ref[:] = jnp.zeros_like(ml_ref)
+        me_ref[:] = jnp.zeros_like(me_ref)
+
+    t_h, t_l = _mixture_table_df(
+        ph_ref[:], pl_ref[:], pe_ref[:], axis=0,
+        chan_mask=_cmask_arr(cmask, n_tch),
+    )
+    t_u = [_quad(t_h[x], t_l[x]) for x in range(n_tch)]
+    t = [t_u[expand[x]] for x in range(A * 9)]
+    gj = [[_quad(gj_ref[dj * 6 + l], gj_ref[dj * 6 + 3 + l])
+           for l in range(3)] for dj in range(Jt)]
+    gk = [[_quad(gk_ref[dk * 6 + l], gk_ref[dk * 6 + 3 + l])
+           for l in range(3)] for dk in range(Kt)]
+
+    inners = [None] * n_acc
+    for dj in range(Jt):
+        u = []
+        for a in ac_list:
+            for m in range(3):
+                u.append(_quad(*_dot3(
+                    gj[dj][0], gj[dj][1], gj[dj][2],
+                    t[a * 9 + m], t[a * 9 + 3 + m], t[a * 9 + 6 + m],
+                    fence,
+                )))
+        for dk in range(Kt):
+            for ai in range(nA):
+                inners[(dj * Kt + dk) * nA + ai] = _dot3(
+                    gk[dk][0], gk[dk][1], gk[dk][2],
+                    u[ai * 3], u[ai * 3 + 1], u[ai * 3 + 2], fence,
+                )
+
+    do_rn = (jax.lax.rem(s_step, np.int32(3)) == np.int32(2)) | (
+        s_step == np.int32(n_s - 1)
+    )
+    _fold_acc(inners, mh_ref, ml_ref, me_ref, do_rn, chunk, fence)
+
+    @pl.when(s_step == n_s - 1)
+    def _():
+        rows = _butterfly_rows(mh_ref, ml_ref, me_ref, n_acc, chunk, fence)
+        _write_rows((outh_ref, outl_ref, oute_ref), rows)
+
+
+def _extras_kernel_df(
+    ph_ref, pl_ref, pe_ref, gall_ref, mskf_ref,
+    outh_ref, outl_ref, oute_ref, mh_ref, ml_ref, me_ref,
+    *, V, Vp, A, n_s, fence, a0_zero, n_tch, expand, cmask, gsel,
+):
+    """O(V)-channel companion: pass-1 singlet products, the separable
+    alpha=0 factors (d[j], gsum[k], u00, g0sum) and the non-separable
+    llks00 channels. gall carries the interleaved padded-sample planes +
+    gp0 (the final 6); pad samples are skipped statically."""
+    s_step = pl.program_id(1)
+    keys, slot = _extras_slots(V, A, a0_zero)
+    n_acc = len(keys)
+    chunk = n_acc if fence else _ACC_CHUNK
+
+    @pl.when(s_step == 0)
+    def _():
+        mh_ref[:] = jnp.ones_like(mh_ref)
+        ml_ref[:] = jnp.zeros_like(ml_ref)
+        me_ref[:] = jnp.zeros_like(me_ref)
+
+    ph = ph_ref[:]
+    plm = pl_ref[:]
+    pe = pe_ref[:]
+    t_h, t_l = _mixture_table_df(ph, plm, pe, axis=0,
+                                 chan_mask=_cmask_arr(cmask, n_tch))
+    t_u = [_quad(t_h[x], t_l[x]) for x in range(n_tch)]
+    t = [t_u[expand[x]] for x in range(A * 9)]
+    glh, gll = _gl_table_df(
+        jnp.stack([ph[i] for i in gsel]),
+        jnp.stack([plm[i] for i in gsel]),
+        jnp.stack([pe[i] for i in gsel]),
+    )
+    mb = mskf_ref[0] != np.float32(0.0)
+    one, zero = np.float32(1.0), np.float32(0.0)
+    glt = [
+        _quad(jnp.where(mb, glh[0], one), jnp.where(mb, gll[0], zero)),
+        _quad(jnp.where(mb, glh[1], zero), jnp.where(mb, gll[1], zero)),
+        _quad(jnp.where(mb, glh[2], zero), jnp.where(mb, gll[2], zero)),
+    ]
+    g = [[_quad(gall_ref[j * 6 + l], gall_ref[j * 6 + 3 + l])
+          for l in range(3)] for j in range(V)]
+    g0 = [_quad(gall_ref[Vp * 6 + l], gall_ref[Vp * 6 + 3 + l])
+          for l in range(3)]
+
+    inners = [None] * n_acc
+
+    def put(key, inner):
+        inners[slot[key]] = inner
+
+    for j in range(V + 1):
+        src = g0 if j == V else g[j]
+        put(("s", j),
+            _dot3(glt[0], glt[1], glt[2], src[0], src[1], src[2], fence))
+
+    if a0_zero:
+        for k in range(V):
+            s1 = df.add_pos(g[k][0][0], g[k][0][1], g[k][1][0], g[k][1][1])
+            s1 = df.add_pos(*s1, g[k][2][0], g[k][2][1])
+            put(("gs", k), s1)
+        g0sum = df.add_pos(g0[0][0], g0[0][1], g0[1][0], g0[1][1])
+        g0sum = df.add_pos(*g0sum, g0[2][0], g0[2][1])
+        put(("g0s",), g0sum)
+        for j in range(V):
+            put(("d", j), _dot3(g[j][0], g[j][1], g[j][2],
+                                t[0], t[3], t[6], fence))
+        put(("u00",), _dot3(g0[0], g0[1], g0[2], t[0], t[3], t[6], fence))
+
+    for a in range(A):
+        if a0_zero and a == 0:
+            continue
+        u0 = [_quad(*_dot3(
+                  g0[0], g0[1], g0[2],
+                  t[a * 9 + m], t[a * 9 + 3 + m], t[a * 9 + 6 + m],
+                  fence))
+              for m in range(3)]
+        put(("m0", a),
+            _dot3(g0[0], g0[1], g0[2], u0[0], u0[1], u0[2], fence))
+
+    do_rn = (jax.lax.rem(s_step, np.int32(3)) == np.int32(2)) | (
+        s_step == np.int32(n_s - 1)
+    )
+    _fold_acc(inners, mh_ref, ml_ref, me_ref, do_rn, chunk, fence)
+
+    @pl.when(s_step == n_s - 1)
+    def _():
+        rows = _butterfly_rows(mh_ref, ml_ref, me_ref, n_acc, chunk, fence)
+        _write_rows((outh_ref, outl_ref, oute_ref), rows)
+
+
+def _call_pair_kernel_df_tiled(prod, gall, mskf, V, A, interpret, gsel,
+                               plan, a0_zero, expand, sym_a, cmask):
+    """(j,k)-tiled exact pair-search: tiled ab kernel + extras kernel +
+    XLA df reassembly. gall: (Vp*6+6, B, S) INTERLEAVED planes (see
+    demux_block_exact_impl's tiled branch). Returns the same (ab, z0,
+    sing) df-pair contract as _call_pair_kernel_df."""
+    ph, plm, pe = prod
+    n_tch, B, S = ph.shape
+    Jt, Kt, Vp, tiles, ac_list, triangular = plan
+    nA = len(ac_list)
+    n_s = S // TS
+    n_ab = V * V * A
+    Wt = -(-(Jt * Kt * nA) // 128) * 128
+    tile_j = jnp.asarray([jt for jt, _ in tiles], jnp.int32)
+    tile_k = jnp.asarray([kt for _, kt in tiles], jnp.int32)
+
+    kernel = functools.partial(
+        _pair_kernel_df_tiled, Jt=Jt, Kt=Kt, ac_list=tuple(ac_list),
+        n_s=n_s, fence=bool(interpret), n_tch=n_tch, expand=tuple(expand),
+        cmask=cmask, A=A,
+    )
+    in3 = lambda C: pl.BlockSpec(
+        (C, TB, TS), lambda ib, jk, is_, tj, tk: (ib * 0, ib, is_))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(B // TB, len(tiles), n_s),
+        in_specs=[
+            in3(n_tch), in3(n_tch), in3(n_tch),
+            pl.BlockSpec((Jt * 6, TB, TS),
+                         lambda ib, jk, is_, tj, tk: (tj[jk], ib, is_)),
+            pl.BlockSpec((Kt * 6, TB, TS),
+                         lambda ib, jk, is_, tj, tk: (tk[jk], ib, is_)),
+        ],
+        out_specs=[pl.BlockSpec(
+            (TB, Wt), lambda ib, jk, is_, tj, tk: (ib, jk))] * 3,
+        scratch_shapes=[
+            pltpu.VMEM((Jt * Kt * nA, TB, TS), jnp.float32)] * 3,
+    )
+    outh, outl, oute = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((B, len(tiles) * Wt),
+                                        jnp.float32)] * 3,
+        interpret=interpret,
+    )(tile_j, tile_k, ph, plm, pe, gall, gall)
+
+    keys, _slot = _extras_slots(V, A, a0_zero)
+    n_x = len(keys)
+    Wx = -(-n_x // 128) * 128
+    xkernel = functools.partial(
+        _extras_kernel_df, V=V, Vp=Vp, A=A, n_s=n_s, fence=bool(interpret),
+        a0_zero=a0_zero, n_tch=n_tch, expand=tuple(expand), cmask=cmask,
+        gsel=tuple(gsel),
+    )
+    in3x = lambda C: pl.BlockSpec(
+        (C, TB, TS), lambda ib, is_: (ib * 0, ib, is_))
+    exh, exl, exe = pl.pallas_call(
+        xkernel,
+        grid=(B // TB, n_s),
+        in_specs=[in3x(n_tch), in3x(n_tch), in3x(n_tch),
+                  in3x(Vp * 6 + 6), in3x(1)],
+        out_specs=[pl.BlockSpec(
+            (TB, Wx), lambda ib, is_: (ib, ib * 0))] * 3,
+        out_shape=[jax.ShapeDtypeStruct((B, Wx), jnp.float32)] * 3,
+        scratch_shapes=[pltpu.VMEM((n_x, TB, TS), jnp.float32)] * 3,
+        interpret=interpret,
+    )(ph, plm, pe, gall, mskf)
+    ex = _log_mantissa(exh[:, :n_x], exl[:, :n_x], exe[:, :n_x])
+
+    # reassembly: host position map into the tiled channel layout, lower
+    # triangle mirrored when only upper tiles ran (df triples identical
+    # to the unrolled kernel's sym_a mirror)
+    pos = np.full((V, V, nA), -1, dtype=np.int64)
+    for tix, (jt, kt) in enumerate(tiles):
+        for dj in range(Jt):
+            j = jt * Jt + dj
+            if j >= V:
+                continue
+            for dk in range(Kt):
+                k = kt * Kt + dk
+                if k >= V:
+                    continue
+                base = tix * Wt + (dj * Kt + dk) * nA
+                pos[j, k, :] = np.arange(base, base + nA)
+    if triangular:
+        miss = pos < 0
+        pos = np.where(miss, np.transpose(pos, (1, 0, 2)), pos)
+    assert (pos >= 0).all()
+    pidx = jnp.asarray(pos.reshape(-1))
+    abt = _log_mantissa(jnp.take(outh, pidx, axis=1),
+                        jnp.take(outl, pidx, axis=1),
+                        jnp.take(oute, pidx, axis=1))
+
+    def xs(a, b):
+        return ex[0][:, a:b], ex[1][:, a:b]
+
+    sing = xs(0, V + 1)
+    if a0_zero:
+        logD = xs(V + 1, 2 * V + 1)
+        logG = xs(2 * V + 1, 3 * V + 1)
+        a0h, a0l = df.add(
+            logD[0][:, :, None], logD[1][:, :, None],
+            logG[0][:, None, :], logG[1][:, None, :],
+        )  # (B, V, V)
+        abh = jnp.concatenate(
+            [a0h[..., None], abt[0].reshape(B, V, V, nA)], axis=3)
+        abl = jnp.concatenate(
+            [a0l[..., None], abt[1].reshape(B, V, V, nA)], axis=3)
+        u00h, u00l = ex[0][:, 3 * V + 1], ex[1][:, 3 * V + 1]
+        g0sh, g0sl = ex[0][:, 3 * V + 2], ex[1][:, 3 * V + 2]
+        z0h, z0l = df.add(u00h, u00l, g0sh, g0sl)
+        m0 = xs(3 * V + 3, 3 * V + 3 + A - 1)
+        z0 = (jnp.concatenate([z0h[:, None], m0[0]], axis=1),
+              jnp.concatenate([z0l[:, None], m0[1]], axis=1))
+    else:
+        abh = abt[0].reshape(B, V, V, nA)
+        abl = abt[1].reshape(B, V, V, nA)
+        z0 = xs(V + 1, V + 1 + A)
+    ab = (abh.reshape(B, n_ab), abl.reshape(B, n_ab))
+    return ab, z0, sing
+
+
 # ---------------------------------------------------------------- XLA front
 def _sel_rows(c_plane, tT):
     """One-hot MXU selection: c_plane (TB, TS) int32 row ids -> the
@@ -872,13 +1259,46 @@ def demux_block_exact_impl(
     if w_used != list(range(C)):
         cmask = tuple(i in w_used for i in range(C))
 
+    NS = gps_pair[0].shape[0]
+    mskf = msk[None].astype(jnp.float32)
+    plan = plan_pair_tiles_df(V, A, a0_zero, sym_a)
+    if plan is not None:
+        # tiled pools gather the INTERLEAVED per-sample layout (hi0 hi1
+        # hi2 lo0 lo1 lo2, padded samples neutral) + gp0 as the final 6
+        # planes, so a (Jt*6)-plane BlockSpec slices one tile's samples
+        Vp = plan[2]
+        gh = gps_pair[0].reshape(NS, V, 1, 3)
+        gl_ = gps_pair[1].reshape(NS, V, 1, 3)
+        gint = jnp.concatenate([gh, gl_], axis=2).reshape(NS, V * 6)
+        if Vp != V:
+            neu = np.zeros((1, (Vp - V) * 6), dtype=np.float32)
+            neu[0, 0::6] = 1.0
+            gint = jnp.concatenate(
+                [gint,
+                 jnp.broadcast_to(jnp.asarray(neu), (NS, (Vp - V) * 6))],
+                axis=1)
+        fused_g = jnp.concatenate(
+            [gint, gp0_pair[0], gp0_pair[1]], axis=1)
+        gall = jnp.transpose(jnp.take(fused_g, idx, axis=0), (2, 0, 1))
+        neutral_c = np.zeros((Vp * 6 + 6, 1, 1), dtype=np.float32)
+        neutral_c[0 : Vp * 6 : 6] = 1.0
+        neutral_c[Vp * 6] = 1.0
+        gall = jnp.where(msk[None], gall, neutral_c)
+        ab, z0, sing = _call_pair_kernel_df_tiled(
+            (mh, ml, ef), gall, mskf, V, A, interpret, expand_gl,
+            plan, a0_zero, expand_w, sym_a, cmask,
+        )
+        llk_ab = (ab[0].reshape(B, V, V, A), ab[1].reshape(B, V, V, A))
+        llk = (sing[0][:, :V], sing[1][:, :V])
+        llk0 = (sing[0][:, V], sing[1][:, V])
+        return llk, llk0, llk_ab, z0
+
     # ONE fused gather for gps-hi|gp0-hi|gps-lo|gp0-lo: a single wide
     # take measures ~4x faster than the split 24/24/3/3-channel takes
     # (probe_gather_variants v8 = 2.7ms vs 10.4ms — narrow takes are
     # row-transaction-bound, and the (NS, V, 3) 3D form is 5.6x worse
     # still); the row-major V*3 reshape preserves the kernel's j*3+l
     # channel order and the concat of the small host tables fuses away.
-    NS = gps_pair[0].shape[0]
     W3 = V * 3 + 3
     fused_g = jnp.concatenate(
         [gps_pair[0].reshape(NS, V * 3), gp0_pair[0],
@@ -894,7 +1314,6 @@ def demux_block_exact_impl(
     # The mixture-table normalization and the pass-1 GL table (with its
     # masked-slot neutral substitution) are computed INSIDE the kernel
     # from the raw product planes — their XLA forms were HBM-bound.
-    mskf = msk[None].astype(jnp.float32)
     ab, z0, sing = _call_pair_kernel_df(
         (mh, ml, ef), gall, mskf,
         V, A, interpret, a0_zero=a0_zero, expand=expand_w, sym_a=sym_a,

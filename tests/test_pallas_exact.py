@@ -124,6 +124,49 @@ def test_exact_pallas_matches_xla_f64(seed):
 
 
 @pytest.mark.slow
+@pytest.mark.parametrize("V,A", [(16, 2), (17, 3)])
+def test_exact_pallas_tiled_matches_xla_f64(V, A):
+    """(j,k)-TILED df32 kernel (pools past the unroll cap; round-3 verdict
+    #1) vs the XLA f64 kernels: V=16 is the exact-tile default-grid
+    triangular case, V=17 pads the sample axis (Vp=24, 8x8 tiles) on a
+    3-alpha grid."""
+    codes, idx, msk, gps, gp0, w, logf, grid = _workload(
+        0, B=8, S=128, U=2, V=V, A=A, NS=60)
+    assert PE.plan_pair_tiles_df(V, A, grid[0] == 0.0, A - 1) is not None
+
+    gps_pair, gp0_pair, tabs, meta = PE.split_tables(gps, gp0, w, logf)
+    llk, llk0, llk_ab, llk00 = PE.demux_block_exact(
+        jnp.asarray(codes), jnp.asarray(idx), jnp.asarray(msk),
+        tuple(map(jnp.asarray, gps_pair)), tuple(map(jnp.asarray, gp0_pair)),
+        tuple(map(jnp.asarray, tabs)), meta,
+        A, V, interpret=True, a0_zero=grid[0] == 0.0, sym_a=A - 1,
+    )
+
+    cnt = _dense_from_codes(codes, msk)
+    neutral = np.array([1.0, 0, 0])
+    gps_g = np.where(msk[..., None, None], gps[idx], neutral)
+    gp0_g = np.where(msk[..., None], gp0[idx], neutral)
+    ref_ab, ref_00 = pair_llks(
+        jnp.asarray(cnt, jnp.float64), jnp.asarray(msk),
+        jnp.asarray(gps_g), jnp.asarray(gp0_g), jnp.asarray(w), A,
+        slot_chunk=0, dtype=jnp.float64,
+    )
+    ref_llk, ref_llk0 = singlet_llks(
+        jnp.asarray(cnt, jnp.float64), jnp.asarray(msk),
+        jnp.asarray(gps_g), jnp.asarray(gp0_g), jnp.asarray(logf),
+        dtype=jnp.float64,
+    )
+    for name, got, ref in (
+        ("llk_ab", PE.combine(llk_ab), np.asarray(ref_ab)),
+        ("llk_00", PE.combine(llk00), np.asarray(ref_00)),
+        ("llk", PE.combine(llk), np.asarray(ref_llk)),
+        ("llk0", PE.combine(llk0), np.asarray(ref_llk0)),
+    ):
+        err = np.abs(got - ref).max()
+        assert err < 1e-9, (name, err)
+
+
+@pytest.mark.slow
 def test_exact_pallas_empty_slots_neutral():
     """All-padding block: every LLK must be exactly 0."""
     codes = np.full((16, 128, 2), 255, dtype=np.uint8)
