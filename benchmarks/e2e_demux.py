@@ -82,9 +82,34 @@ def main():
     from demuxlet_tpu.models import outputs as out_mod
 
     grid = np.linspace(0.0, 0.5, NA).tolist()
-    t0 = time.time()
     eng = DemuxEngine(gps, grid, cell_block=2048, mode=MODE,
                       exact_kernel="pallas" if MODE == "exact" else "auto")
+    # Per-process FIXED cost (jit trace + compile-cache executable load +
+    # first-touch) is paid once and amortizes over a production run; time
+    # it separately via a one-block warmup at the production shape so the
+    # engine phase reports the MARGINAL rate (probe_e2e_overhead measured
+    # the round-3 "exact-only engine overhead" to be exactly this fixed
+    # cost: fast ~10 s, exact ~20 s incl. a 20 MB executable).
+    t0 = time.time()
+    warm_ids = list(range(min(2048, N_CELLS)))
+    from demuxlet_tpu.host.csr import CsrPileup
+
+    warm_csr = CsrPileup.from_arrays(
+        csr.sample_ids, csr.nsnps, [csr.barcodes[i] for i in warm_ids],
+        csr.cell_totl[warm_ids], csr.cell_pass[warm_ids],
+        csr.cell_uniq[warm_ids],
+        np.repeat(np.arange(len(warm_ids), dtype=np.int64),
+                  np.diff(csr.cell_ptr)[warm_ids]),
+        csr.obs_snp[: int(csr.cell_ptr[len(warm_ids)])].astype(np.int64),
+        csr.obs_allele[: int(csr.cell_ptr[len(warm_ids)])],
+        csr.obs_bq[: int(csr.cell_ptr[len(warm_ids)])],
+    )
+    eng.run_compact(warm_csr, doublet_prior=0.5)
+    t_fixed = time.time() - t0
+    print(f"# fixed (trace+executable load, one-block warmup): "
+          f"{t_fixed:.1f}s", flush=True)
+
+    t0 = time.time()
     llks, llk0s, compact = eng.run_compact(csr, doublet_prior=0.5)
     t_engine = time.time() - t0
     print(f"# engine ({MODE}+device decisions): {t_engine:.1f}s -> "
@@ -135,11 +160,14 @@ def main():
         "value": round(rate, 1),
         "unit": "barcodes/s",
         "vs_baseline": round(rate / base_bps, 1),
+        "cold_bps": round(N_CELLS / (total + t_fixed), 1),
+        "cold_vs_baseline": round(N_CELLS / (total + t_fixed) / base_bps, 1),
         "cells": N_CELLS,
         "snps_per_cell": S_PER_CELL,
         "nv": NV,
         "nalpha": NA,
-        "phases_s": {"gen": round(t_gen, 2), "engine": round(t_engine, 2),
+        "phases_s": {"gen": round(t_gen, 2), "fixed": round(t_fixed, 2),
+                     "engine": round(t_engine, 2),
                      "cell_stats": round(t_stats, 2),
                      "render": round(t_out - t_stats, 2)},
         "transport": {

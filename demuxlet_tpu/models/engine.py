@@ -232,6 +232,34 @@ class DemuxEngine:
         return (self.grid_alpha.index(0.5)
                 if 0.5 in self.grid_alpha else None)
 
+    def _prep_codes_blk(self, scl, cells, pad=None):
+        """Host block prep for the wire path: native C single pass
+        (native/prep.py — build + shrink fused; the numpy pipeline was
+        the warm e2e bottleneck, benchmarks/probe_block_marginal.py) with
+        the Python build_codes_block + _shrink_codes_blk fallback. The
+        native form only serves the single-device shrunk-wire contract;
+        mesh / cap-BQ > 126 paths keep the explicit (codes, idx, msk)."""
+        from demuxlet_tpu.host.csr import build_codes_block
+
+        kw = {} if pad is None else {"pad_slots_to": pad}
+        if (
+            self.mesh is None
+            and self.cap_bq <= 126
+            and hasattr(scl, "cell_ptr")
+        ):
+            from demuxlet_tpu.native import prep as nprep
+
+            blk = nprep.prep_block_shrunk(
+                scl, cells, cap_bq=self.cap_bq,
+                pad_cells_to=self.cell_block, **kw,
+            ) if nprep.available() else None
+            if blk is not None:
+                return blk
+        return self._shrink_codes_blk(build_codes_block(
+            scl, cells, cap_bq=self.cap_bq,
+            pad_cells_to=self.cell_block, **kw,
+        ))
+
     def _shrink_codes_blk(self, codes_blk):
         """Cut fast-path H2D bytes (the tunneled-backend bottleneck at 100K
         cells): when slot ids fit in 16 bits, adjacent pairs pack into one
@@ -508,11 +536,7 @@ class DemuxEngine:
 
         def prep(job):
             cells, pad = job
-            kw = {} if pad is None else {"pad_slots_to": pad}
-            return cells, self._shrink_codes_blk(build_codes_block(
-                scl, cells, cap_bq=self.cap_bq,
-                pad_cells_to=self.cell_block, **kw,
-            ))
+            return cells, self._prep_codes_blk(scl, cells, pad)
 
         def sharded_step():
             """Build (and cache per doublet_prior) the mesh compact step."""
@@ -739,14 +763,9 @@ class DemuxEngine:
                         "spooled", (z["a"], z["b"], z["c"], z["d"])
                     )
             if self.mode == "fast" or self.use_exact_pallas:
-                from demuxlet_tpu.host.csr import build_codes_block
-
-                kw = {} if pad is None else {"pad_slots_to": pad}
-                blk = self._shrink_codes_blk(build_codes_block(
-                    scl, cells, cap_bq=self.cap_bq,
-                    pad_cells_to=self.cell_block, **kw,
+                return cells, ("codes", self._prep_codes_blk(
+                    scl, cells, pad
                 ))
-                return cells, ("codes", blk)
             blk = build_slots(scl, cells, cap_bq=self.cap_bq)
             blk = _pad_block(blk, self.cell_block, _bucket(blk.idx.shape[1]))
             return cells, ("slots", blk)

@@ -52,6 +52,8 @@ if __name__ == "__main__":
     print(path)
     # script-style invocation: repo root is not on sys.path
     sys.path.insert(0, os.path.dirname(os.path.dirname(HERE)))
+    from demuxlet_tpu.native.prep import build as build_prep
     from demuxlet_tpu.native.render import build as build_render
 
     print(build_render(force="--force" in sys.argv))
+    print(build_prep(force="--force" in sys.argv))

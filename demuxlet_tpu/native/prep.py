@@ -1,0 +1,129 @@
+"""ctypes bindings for the native block prep (_prep.so).
+
+Replaces host/csr.build_codes_block + engine._shrink_codes_blk on the
+production wire path: one C pass over the block's CSR slice emits the
+shrunk form (codes, (d8, base, fix_pos, fix_val), None) directly. The
+numpy pipeline was the WARM end-to-end bottleneck at 100K cells
+(benchmarks/probe_block_marginal.py: prep 279 ms/2048-cell block vs
+H2D+step 167 ms). Falls back to the Python path when the library can't
+build/load, input is unsorted (negative slot delta), or the fix list
+outgrows the delta encoding (same conditions as _shrink_codes_blk).
+
+Code placement differs benignly from the Python path: C compacts each
+slot's codes to the leading lanes while Python leaves 255 holes at
+dropped allele==2 positions. Both kernel fronts are hole/order-invariant
+(fast counts codes; the exact pair-LUT's none row multiplies by exactly
+1.0), pinned by tests/test_native.py.
+"""
+
+from __future__ import annotations
+
+import ctypes as C
+import os
+import subprocess
+
+import numpy as np
+
+_LIB = None
+_LOAD_FAILED = False
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+SRC = os.path.join(HERE, "prep.cpp")
+OUT = os.path.join(HERE, "_prep.so")
+
+
+def build(force: bool = False) -> str:
+    if (
+        not force
+        and os.path.exists(OUT)
+        and os.path.getmtime(OUT) >= os.path.getmtime(SRC)
+    ):
+        return OUT
+    tmp = OUT + ".tmp%d" % os.getpid()
+    subprocess.run(
+        ["g++", "-O2", "-march=native", "-std=c++17", "-shared", "-fPIC",
+         "-o", tmp, SRC],
+        check=True,
+    )
+    os.replace(tmp, OUT)
+    return OUT
+
+
+_I64P = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+_I32P = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+_U8P = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+
+
+def _load():
+    global _LIB, _LOAD_FAILED
+    if _LIB is not None or _LOAD_FAILED:
+        return _LIB
+    if os.environ.get("DEMUX_TPU_NO_NATIVE_PREP"):
+        _LOAD_FAILED = True
+        return None
+    try:
+        lib = C.CDLL(build())
+        dims = lib.dmx_prep_dims
+        dims.restype = C.c_int
+        dims.argtypes = [_I64P, _I32P, _U8P, _I64P, C.c_int64, _I64P]
+        fill = lib.dmx_prep_fill
+        fill.restype = C.c_int
+        fill.argtypes = [
+            _I64P, _I32P, _U8P, _U8P, _I64P, C.c_int64,
+            C.c_int64, C.c_int64, C.c_int64, C.c_int64, C.c_int64,
+            _U8P, _U8P, _I32P, _I32P, _I32P,
+        ]
+        _LIB = lib
+    except Exception:
+        _LOAD_FAILED = True
+        return None
+    return _LIB
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def prep_block_shrunk(csr, cell_ids, cap_bq=40, pad_slots_to=128,
+                      pad_cells_to=32):
+    """Native build+shrink: returns (codes, (d8, base, fix_pos, fix_val),
+    None) — the engine._shrink_codes_blk delta contract — or None to
+    signal Python fallback (library unavailable, unsorted slice, or fix
+    list too wide for the delta encoding)."""
+    lib = _load()
+    if lib is None:
+        return None
+    ids = np.ascontiguousarray(np.asarray(cell_ids, dtype=np.int64))
+    B = len(ids)
+    cell_ptr = csr.cell_ptr
+    obs_snp = csr.obs_snp
+    obs_al = csr.obs_allele
+    obs_bq = csr.obs_bq
+    assert (cell_ptr.dtype == np.int64 and obs_snp.dtype == np.int32
+            and obs_al.dtype == np.uint8 and obs_bq.dtype == np.uint8)
+    dims = np.zeros(4, dtype=np.int64)
+    lib.dmx_prep_dims(cell_ptr, obs_snp, obs_al, ids, B, dims)
+    smax, umax, kmax, flags = (int(x) for x in dims)
+    pad_slots_to = max(pad_slots_to, 128)
+    pad_cells_to = max(pad_cells_to, 32)
+    if pad_cells_to % 32:
+        pad_cells_to = -(-pad_cells_to // 32) * 32
+    Sp = max(pad_slots_to, -(-max(smax, 1) // pad_slots_to) * pad_slots_to)
+    Bp = max(pad_cells_to, -(-B // pad_cells_to) * pad_cells_to)
+    if flags & 1 or kmax > Sp // 8:
+        return None  # unsorted / fix list too wide -> Python path
+    U = 1
+    while U < umax:
+        U *= 2
+    Kp = 8
+    while Kp < kmax:
+        Kp *= 2
+    codes = np.empty((Bp, Sp, U), dtype=np.uint8)
+    d8 = np.empty((Bp, Sp), dtype=np.uint8)
+    base = np.empty(Bp, dtype=np.int32)
+    fix_pos = np.empty((Bp, Kp), dtype=np.int32)
+    fix_val = np.empty((Bp, Kp), dtype=np.int32)
+    lib.dmx_prep_fill(cell_ptr, obs_snp, obs_al, obs_bq, ids, B,
+                      cap_bq, Sp, U, Kp, Bp,
+                      codes, d8, base, fix_pos, fix_val)
+    return codes, (d8, base, fix_pos, fix_val), None

@@ -499,3 +499,124 @@ def test_native_cram_matches_python(tmp_path, kw):
     bn, bp = build_slots(csr_n, cells), build_slots(csr_p, cells)
     np.testing.assert_array_equal(bn.idx, bp.idx)
     np.testing.assert_array_equal(bn.cnt, bp.cnt)
+
+
+def _edge_csr(nv=3):
+    """Hand-built CSR hitting every native-prep edge: an empty cell, an
+    allele==2-only slot (254 marker), allele-2 HOLES between valid codes
+    (the Python path leaves 255 at the dropped position; the C path
+    compacts — multiset-equal), a slot-id delta > 255 (sparse fix), and
+    BQ above the cap."""
+    from demuxlet_tpu.host.csr import CsrPileup
+
+    obs = [
+        # cell 0: snps 5 (2 umis), 6 (allele2 then valid: hole), 400 (fix)
+        (0, 5, 0, 30), (0, 5, 1, 99), (0, 6, 2, 30), (0, 6, 1, 13),
+        (0, 400, 0, 20),
+        # cell 1: empty
+        # cell 2: single allele2-only slot, then a normal one
+        (2, 1, 2, 30), (2, 2, 0, 40),
+    ]
+    obs_cell = np.array([o[0] for o in obs], np.int64)
+    obs_snp = np.array([o[1] for o in obs], np.int64)
+    obs_al = np.array([o[2] for o in obs], np.int64)
+    obs_bq = np.array([o[3] for o in obs], np.int64)
+    n = 3
+    z = np.zeros(n, np.int64)
+    return CsrPileup.from_arrays(
+        [f"S{i}" for i in range(nv)], 500, [f"BC{i}" for i in range(n)],
+        z + 5, z + 5, z + 5, obs_cell, obs_snp, obs_al, obs_bq,
+    )
+
+
+def test_native_prep_matches_python():
+    """Native single-pass prep == python build+shrink: d8/base/fixes
+    bit-identical, per-slot code multisets equal (C compacts allele-2
+    holes; both fronts are hole/order-invariant)."""
+    from demuxlet_tpu.host.csr import build_codes_block
+    from demuxlet_tpu.models.engine import DemuxEngine
+    from demuxlet_tpu.native import prep as nprep
+
+    if not nprep.available():
+        import pytest
+
+        pytest.skip("native prep unavailable")
+    csr = _edge_csr()
+    gps = np.random.default_rng(0).dirichlet(np.ones(3), size=(500, 3))
+    eng = DemuxEngine(gps, [0.0, 0.5], cell_block=32, mode="fast")
+    cells = list(range(csr.nbcs))
+    py = eng._shrink_codes_blk(
+        build_codes_block(csr, cells, cap_bq=40, pad_cells_to=32)
+    )
+    nat = nprep.prep_block_shrunk(csr, cells, cap_bq=40, pad_cells_to=32)
+    assert nat is not None
+    pc, (pd8, pbase, pfp, pfv), pm = py
+    nc, (nd8, nbase, nfp, nfv), nm = nat
+    assert pm is None and nm is None
+    assert pc.shape[:2] == nc.shape[:2]
+    np.testing.assert_array_equal(pd8, nd8)
+    np.testing.assert_array_equal(pbase, nbase)
+    np.testing.assert_array_equal(pfp, nfp)
+    np.testing.assert_array_equal(pfv, nfv)
+    # the >255 delta must actually exercise the fix list
+    assert pfv.max() > 0
+    U = max(pc.shape[2], nc.shape[2])
+
+    def norm(c):
+        full = np.full(c.shape[:2] + (U,), 255, np.uint8)
+        full[..., : c.shape[2]] = c
+        return np.sort(full, axis=2)
+
+    np.testing.assert_array_equal(norm(pc), norm(nc))
+    # 254 marker present for the allele2-only slot
+    assert (nc[2] == 254).any()
+
+
+def test_native_prep_engine_bytes(tmp_path):
+    """Fast-mode run_compact with native prep == forced-Python prep,
+    bit-identical packed decision rows and LLKs (the fast front counts
+    codes, so compaction cannot change any bit)."""
+    import random
+
+    from demuxlet_tpu.host.pileup import build_pileup
+    from demuxlet_tpu.io.bam import AlignmentReader
+    from demuxlet_tpu.io.vcf import load_snp_table
+    from demuxlet_tpu.models.engine import DemuxEngine
+    from demuxlet_tpu.native import prep as nprep
+    from fixtures import random_workload, write_bam, write_vcf
+
+    if not nprep.available():
+        import pytest
+
+        pytest.skip("native prep unavailable")
+    rng = random.Random(13)
+    contigs, names, variants, reads, truth = random_workload(
+        rng, n_cells=20, n_snps=40, n_samples=3, reads_per_cell=60
+    )
+    vcf = write_vcf(str(tmp_path / "w.vcf"), names, variants,
+                    contigs=contigs)
+    bam = write_bam(str(tmp_path / "w.bam"), contigs, reads)
+    table = load_snp_table(vcf, field_name="GT")
+    scl, _ = build_pileup(AlignmentReader(bam), table)
+
+    def run(force_py):
+        import os as _os
+
+        if force_py:
+            _os.environ["DEMUX_TPU_NO_NATIVE_PREP"] = "1"
+        # reset the module's load cache so the env var takes effect
+        nprep._LIB, nprep._LOAD_FAILED = None, False
+        try:
+            eng = DemuxEngine(table.gps, [0.0, 0.5], cell_block=32,
+                              mode="fast")
+            return eng.run_compact(scl, doublet_prior=0.5)
+        finally:
+            _os.environ.pop("DEMUX_TPU_NO_NATIVE_PREP", None)
+            nprep._LIB, nprep._LOAD_FAILED = None, False
+
+    ln, l0n, cn = run(False)
+    lp, l0p, cp = run(True)
+    np.testing.assert_array_equal(ln, lp)
+    np.testing.assert_array_equal(l0n, l0p)
+    for f in cn.__dataclass_fields__:
+        np.testing.assert_array_equal(getattr(cn, f), getattr(cp, f))

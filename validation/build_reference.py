@@ -42,7 +42,7 @@ REF_TUS = [
     "PhredHelper",
     "hts_utils",
 ]
-SHIM_TUS = ["shim", "shim_vcf", "shim_bcf", "filter_stub"]
+SHIM_TUS = ["shim", "shim_vcf", "shim_bcf", "shim_cram", "filter_stub"]
 
 
 def build(ref_dir: str = "/root/reference", out_dir: str | None = None) -> str:

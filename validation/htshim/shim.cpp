@@ -146,7 +146,19 @@ htsFile *hts_open(const char *fn, const char *mode) {
             fp->format.category = variant_data;
             return fp;
         }
-        if (memcmp(magic, "CRAM", 4) == 0) shim_die("CRAM input");
+        if (memcmp(magic, "CRAM", 4) == 0) {
+            /* CRAM: decode the whole stream to SAM TEXT once
+             * (shim_cram.cpp; SHIM_CRAM_REF names the FASTA) and run the
+             * existing text parser over it */
+            extern FILE *shim_cram_to_sam_text(FILE *, const char *);
+            FILE *tf = shim_cram_to_sam_text(f, fn);
+            fclose(f);
+            f = tf;
+            fp->shim_fp = f;
+            fp->format.format = sam;
+            fp->format.category = sequence_data;
+            return fp;
+        }
     } else {
         rewind(f);
     }
