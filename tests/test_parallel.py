@@ -164,3 +164,42 @@ def test_sharded_fast_step_matches_single_device():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=0, atol=1e-5
         )
+
+
+@pytest.mark.slow
+def test_mesh_fast_step_tiled_pool():
+    """Sharded fast step at a TILED pool size (V=16 > the unroll cap):
+    the scalar-prefetch pair-tiled kernel must compose with shard_map
+    over the barcode axis — per-shard results equal the single-device
+    kernel's."""
+    import jax.numpy as jnp
+
+    from demuxlet_tpu.parallel import mesh as pmesh
+    from demuxlet_tpu.ops import luts
+    from demuxlet_tpu.ops.pallas_pair import demux_block_fast, extend_luts
+
+    rng = np.random.default_rng(9)
+    B, S, U, V, A, NS = 128, 128, 2, 16, 2, 50
+    codes = rng.integers(0, 82, size=(B, S, U)).astype(np.uint8)
+    codes[rng.random((B, S, U)) < 0.3] = 255
+    idx = rng.integers(0, NS, size=(B, S)).astype(np.int32)
+    msk = rng.random((B, S)) < 0.9
+    gps = rng.dirichlet(np.ones(3), size=(NS, V)).astype(np.float32)
+    gp0 = gps.mean(axis=1)
+    grid = [0.0, 0.5]
+    w_ext, logf_ext = extend_luts(
+        luts.pair_lut(grid, 40), luts.singlet_lut(40)
+    )
+    args = tuple(
+        jnp.asarray(x) for x in (codes, idx, msk, gps, gp0, w_ext, logf_ext)
+    )
+    ref = demux_block_fast(*args, A, V, interpret=True,
+                           a0_sep=True, sym_a=A - 1)
+    mesh = pmesh.make_mesh(n_b=4, n_s=1)
+    step = pmesh.build_sharded_fast_step(mesh, A, V, interpret=True,
+                                         a0_sep=True, sym_a=A - 1)
+    out = step(*args)
+    for a, b in zip(out, ref):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=0, atol=1e-5
+        )
