@@ -560,6 +560,56 @@ def _extras_kernel(t_ref, g_ref, out_ref, acc_ref, *, V, A, n_g, halves,
         out_ref[:] = jnp.stack(cols, axis=1)
 
 
+def _call_extras_only(t, gps_t, gp0_t, V, A, interpret, a0_sep, expand,
+                      tb=None, halves=None):
+    """Invoke just the O(V)-channel extras kernel (separable alpha=0
+    factors + llks00); used by the tiled path and standalone when a
+    single-point alpha=0 grid leaves no tiled channels. Returns the raw
+    (B, Wx) output (see _extras_kernel's channel order)."""
+    n_t_ch, B, S = t.shape
+    n_s = S // TS
+    if tb is None:
+        tb, halves = TB, 1
+        for cand_h in (4, 2, 1):
+            if n_s % cand_h:
+                continue
+            for cand_tb in (TB, TB // 2, TB // 4):
+                if B % cand_tb:
+                    continue
+                n_x0 = (2 * V + 2 if a0_sep else 0) + (
+                    A - 1 if a0_sep else A)
+                scratch = n_x0 * cand_tb * TS * 4
+                blocks = 2 * (n_t_ch + V * 3 + 3) * cand_tb * TS * cand_h * 4
+                if blocks + scratch <= _VMEM_BUDGET:
+                    tb, halves = cand_tb, cand_h
+                    break
+            else:
+                continue
+            break
+    n_g = n_s // halves
+    TSW = TS * halves
+    n_x = (2 * V + 2 if a0_sep else 0) + (A - 1 if a0_sep else A)
+    Wx = -(-n_x // 128) * 128
+    g_all = jnp.concatenate([gps_t, gp0_t], axis=0)
+    xkernel = functools.partial(
+        _extras_kernel, V=V, A=A, n_g=n_g, halves=halves, a0_sep=a0_sep,
+        expand=tuple(expand),
+    )
+    return pl.pallas_call(
+        xkernel,
+        grid=(B // tb, n_g),
+        in_specs=[
+            pl.BlockSpec((n_t_ch, tb, TSW), lambda ib, is_: (ib * 0, ib, is_)),
+            pl.BlockSpec((V * 3 + 3, tb, TSW),
+                         lambda ib, is_: (ib * 0, ib, is_)),
+        ],
+        out_specs=pl.BlockSpec((tb, Wx), lambda ib, is_: (ib, ib * 0)),
+        out_shape=jax.ShapeDtypeStruct((B, Wx), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((n_x, tb, TS), jnp.float32)],
+        interpret=interpret,
+    )(t, g_all)
+
+
 def _call_pair_kernel_tiled(t, gps_t, gp0_t, V, A, interpret, plan,
                             a0_sep=False, sym_a=None, expand=None):
     """(j,k)-tiled pair-search: tiled kernel + extras kernel + XLA
@@ -572,6 +622,16 @@ def _call_pair_kernel_tiled(t, gps_t, gp0_t, V, A, interpret, plan,
     Jt, Kt, Vp, tiles, ac_list, triangular = plan
     nA = len(ac_list)
     n_s = S // TS
+    if nA == 0:
+        # single-point alpha=0 grid: every plane is separable — the
+        # extras kernel alone carries the whole result
+        ex = _call_extras_only(t, gps_t, gp0_t, V, A, interpret, a0_sep,
+                               expand)
+        sd = ex[:, :V]
+        sg = ex[:, V : 2 * V]
+        llk_ab = (sd[:, :, None] + sg[:, None, :])[..., None]
+        llk_00 = (ex[:, 2 * V] + ex[:, 2 * V + 1])[:, None]
+        return llk_ab, llk_00
 
     if Vp != V:
         # padded samples: neutral (1,0,0) rows — their channels never
@@ -641,26 +701,8 @@ def _call_pair_kernel_tiled(t, gps_t, gp0_t, V, A, interpret, plan,
     )(tile_j, tile_k, t, gps_p, gps_p)
 
     # extras: separable alpha=0 factors + llks00
-    n_x = (2 * V + 2 if a0_sep else 0) + (A - 1 if a0_sep else A)
-    Wx = -(-n_x // 128) * 128
-    g_all = jnp.concatenate([gps_t, gp0_t], axis=0)
-    xkernel = functools.partial(
-        _extras_kernel, V=V, A=A, n_g=n_g, halves=halves, a0_sep=a0_sep,
-        expand=tuple(expand),
-    )
-    ex = pl.pallas_call(
-        xkernel,
-        grid=(B // tb, n_g),
-        in_specs=[
-            pl.BlockSpec((n_t_ch, tb, TSW), lambda ib, is_: (ib * 0, ib, is_)),
-            pl.BlockSpec((V * 3 + 3, tb, TSW),
-                         lambda ib, is_: (ib * 0, ib, is_)),
-        ],
-        out_specs=pl.BlockSpec((tb, Wx), lambda ib, is_: (ib, ib * 0)),
-        out_shape=jax.ShapeDtypeStruct((B, Wx), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((n_x, tb, TS), jnp.float32)],
-        interpret=interpret,
-    )(t, g_all)
+    ex = _call_extras_only(t, gps_t, gp0_t, V, A, interpret, a0_sep,
+                           expand, tb=tb, halves=halves)
 
     # XLA reassembly: gather the tiled channels into (B, V, V, nA) via a
     # host-precomputed position map (mirror fills the lower triangle when

@@ -813,39 +813,40 @@ def _call_pair_kernel_df_tiled(prod, gall, mskf, V, A, interpret, gsel,
     nA = len(ac_list)
     n_s = S // TS
     n_ab = V * V * A
-    Wt = -(-(Jt * Kt * nA) // 128) * 128
-    tile_j = jnp.asarray([jt for jt, _ in tiles], jnp.int32)
-    tile_k = jnp.asarray([kt for _, kt in tiles], jnp.int32)
 
-    kernel = functools.partial(
-        _pair_kernel_df_tiled, Jt=Jt, Kt=Kt, ac_list=tuple(ac_list),
-        n_s=n_s, fence=bool(interpret), n_tch=n_tch, expand=tuple(expand),
-        cmask=cmask, A=A,
-    )
-    in3 = lambda C: pl.BlockSpec(
-        (C, TB, TS), lambda ib, jk, is_, tj, tk: (ib * 0, ib, is_))
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(B // TB, len(tiles), n_s),
-        in_specs=[
-            in3(n_tch), in3(n_tch), in3(n_tch),
-            pl.BlockSpec((Jt * 6, TB, TS),
-                         lambda ib, jk, is_, tj, tk: (tj[jk], ib, is_)),
-            pl.BlockSpec((Kt * 6, TB, TS),
-                         lambda ib, jk, is_, tj, tk: (tk[jk], ib, is_)),
-        ],
-        out_specs=[pl.BlockSpec(
-            (TB, Wt), lambda ib, jk, is_, tj, tk: (ib, jk))] * 3,
-        scratch_shapes=[
-            pltpu.VMEM((Jt * Kt * nA, TB, TS), jnp.float32)] * 3,
-    )
-    outh, outl, oute = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((B, len(tiles) * Wt),
-                                        jnp.float32)] * 3,
-        interpret=interpret,
-    )(tile_j, tile_k, ph, plm, pe, gall, gall)
+    if nA > 0:
+        Wt = -(-(Jt * Kt * nA) // 128) * 128
+        tile_j = jnp.asarray([jt for jt, _ in tiles], jnp.int32)
+        tile_k = jnp.asarray([kt for _, kt in tiles], jnp.int32)
+        kernel = functools.partial(
+            _pair_kernel_df_tiled, Jt=Jt, Kt=Kt, ac_list=tuple(ac_list),
+            n_s=n_s, fence=bool(interpret), n_tch=n_tch,
+            expand=tuple(expand), cmask=cmask, A=A,
+        )
+        in3 = lambda C: pl.BlockSpec(
+            (C, TB, TS), lambda ib, jk, is_, tj, tk: (ib * 0, ib, is_))
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(B // TB, len(tiles), n_s),
+            in_specs=[
+                in3(n_tch), in3(n_tch), in3(n_tch),
+                pl.BlockSpec((Jt * 6, TB, TS),
+                             lambda ib, jk, is_, tj, tk: (tj[jk], ib, is_)),
+                pl.BlockSpec((Kt * 6, TB, TS),
+                             lambda ib, jk, is_, tj, tk: (tk[jk], ib, is_)),
+            ],
+            out_specs=[pl.BlockSpec(
+                (TB, Wt), lambda ib, jk, is_, tj, tk: (ib, jk))] * 3,
+            scratch_shapes=[
+                pltpu.VMEM((Jt * Kt * nA, TB, TS), jnp.float32)] * 3,
+        )
+        outh, outl, oute = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=[jax.ShapeDtypeStruct((B, len(tiles) * Wt),
+                                            jnp.float32)] * 3,
+            interpret=interpret,
+        )(tile_j, tile_k, ph, plm, pe, gall, gall)
 
     keys, _slot = _extras_slots(V, A, a0_zero)
     n_x = len(keys)
@@ -873,26 +874,30 @@ def _call_pair_kernel_df_tiled(prod, gall, mskf, V, A, interpret, gsel,
     # reassembly: host position map into the tiled channel layout, lower
     # triangle mirrored when only upper tiles ran (df triples identical
     # to the unrolled kernel's sym_a mirror)
-    pos = np.full((V, V, nA), -1, dtype=np.int64)
-    for tix, (jt, kt) in enumerate(tiles):
-        for dj in range(Jt):
-            j = jt * Jt + dj
-            if j >= V:
-                continue
-            for dk in range(Kt):
-                k = kt * Kt + dk
-                if k >= V:
+    if nA > 0:
+        pos = np.full((V, V, nA), -1, dtype=np.int64)
+        for tix, (jt, kt) in enumerate(tiles):
+            for dj in range(Jt):
+                j = jt * Jt + dj
+                if j >= V:
                     continue
-                base = tix * Wt + (dj * Kt + dk) * nA
-                pos[j, k, :] = np.arange(base, base + nA)
-    if triangular:
-        miss = pos < 0
-        pos = np.where(miss, np.transpose(pos, (1, 0, 2)), pos)
-    assert (pos >= 0).all()
-    pidx = jnp.asarray(pos.reshape(-1))
-    abt = _log_mantissa(jnp.take(outh, pidx, axis=1),
-                        jnp.take(outl, pidx, axis=1),
-                        jnp.take(oute, pidx, axis=1))
+                for dk in range(Kt):
+                    k = kt * Kt + dk
+                    if k >= V:
+                        continue
+                    base = tix * Wt + (dj * Kt + dk) * nA
+                    pos[j, k, :] = np.arange(base, base + nA)
+        if triangular:
+            miss = pos < 0
+            pos = np.where(miss, np.transpose(pos, (1, 0, 2)), pos)
+        assert (pos >= 0).all()
+        pidx = jnp.asarray(pos.reshape(-1))
+        abt = _log_mantissa(jnp.take(outh, pidx, axis=1),
+                            jnp.take(outl, pidx, axis=1),
+                            jnp.take(oute, pidx, axis=1))
+    else:
+        z = jnp.zeros((B, V, V, 0), jnp.float32)
+        abt = (z, z)
 
     def xs(a, b):
         return ex[0][:, a:b], ex[1][:, a:b]

@@ -39,6 +39,9 @@ def _case(B, S, V, A, seed=0):
         (4, 64, 16, 2, False),
         (4, 200, 17, 3, True),
         (4, 64, 32, 2, True),
+        # single-point alpha=0 grid past the unroll cap: no tiled
+        # channels at all — the extras-only path carries the result
+        (4, 64, 20, 1, True),
     ],
 )
 def test_pallas_matches_exact(B, S, V, A, opt):
@@ -50,7 +53,8 @@ def test_pallas_matches_exact(B, S, V, A, opt):
     cnt_t, gps_t, wt = pack_block(cnt, msk, gps, w)
     ab, z0 = pair_llks_pallas(
         jnp.asarray(cnt_t), jnp.asarray(gps_t), jnp.asarray(wt), A, V,
-        interpret=True, a0_sep=opt, sym_a=A - 1 if opt else None,
+        interpret=True, a0_sep=opt,
+        sym_a=A - 1 if opt and A > 1 else None,
     )
     scale = np.maximum(1.0, np.abs(np.asarray(ref_ab)))
     err = np.abs(np.asarray(ab)[:B] - np.asarray(ref_ab)) / scale
