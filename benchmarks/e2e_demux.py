@@ -91,20 +91,33 @@ def main():
     # the round-3 "exact-only engine overhead" to be exactly this fixed
     # cost: fast ~10 s, exact ~20 s incl. a 20 MB executable).
     t0 = time.time()
-    warm_ids = list(range(min(2048, N_CELLS)))
     from demuxlet_tpu.host.csr import CsrPileup
 
-    warm_csr = CsrPileup.from_arrays(
-        csr.sample_ids, csr.nsnps, [csr.barcodes[i] for i in warm_ids],
-        csr.cell_totl[warm_ids], csr.cell_pass[warm_ids],
-        csr.cell_uniq[warm_ids],
-        np.repeat(np.arange(len(warm_ids), dtype=np.int64),
-                  np.diff(csr.cell_ptr)[warm_ids]),
-        csr.obs_snp[: int(csr.cell_ptr[len(warm_ids)])].astype(np.int64),
-        csr.obs_allele[: int(csr.cell_ptr[len(warm_ids)])],
-        csr.obs_bq[: int(csr.cell_ptr[len(warm_ids)])],
-    )
-    eng.run_compact(warm_csr, doublet_prior=0.5)
+    def sub_csr(ids):
+        ids = np.asarray(list(ids), dtype=np.int64)
+        obs_idx = np.concatenate([
+            np.arange(csr.cell_ptr[i], csr.cell_ptr[i + 1]) for i in ids
+        ]) if len(ids) else np.zeros(0, np.int64)
+        lens = np.diff(csr.cell_ptr)[ids]
+        return CsrPileup.from_arrays(
+            csr.sample_ids, csr.nsnps, [csr.barcodes[i] for i in ids],
+            csr.cell_totl[ids], csr.cell_pass[ids], csr.cell_uniq[ids],
+            np.repeat(np.arange(len(ids), dtype=np.int64), lens),
+            csr.obs_snp[obs_idx].astype(np.int64),
+            csr.obs_allele[obs_idx], csr.obs_bq[obs_idx],
+        )
+
+    # warm ONE block per distinct slot-pad bucket (coverage-sorted
+    # blocking can produce several compiled shapes; warming only the
+    # first block would leave later buckets' trace+load charged to the
+    # timed marginal phase)
+    blocks, pads = eng._blocks(csr.nbcs, csr)
+    pads = pads or [None] * len(blocks)
+    seen = {}
+    for cells, pad in zip(blocks, pads):
+        seen.setdefault(pad, cells)
+    for cells in seen.values():
+        eng.run_compact(sub_csr(cells), doublet_prior=0.5)
     t_fixed = time.time() - t0
     print(f"# fixed (trace+executable load, one-block warmup): "
           f"{t_fixed:.1f}s", flush=True)

@@ -706,8 +706,13 @@ class CramReader:
                     elif fc == "P":
                         opt["PD"].read_int()
                     elif fc == "B":
-                        opt["BA"].read_byte()
+                        # base + qual at one position: consumes a read
+                        # base AND a ref position — semantically a
+                        # 1-length 'b' run (dropping the stored base
+                        # would silently resolve to the ref base)
+                        bb = opt["BA"].read_byte()
                         opt["QS"].read_byte()
+                        feats.append(Feature("b", fpos, bytes([bb])))
                     else:
                         error("CRAM: feature code %r unsupported", fc)
                 mq = opt["MQ"].read_int() if "MQ" in opt else 0

@@ -18,10 +18,14 @@ OUT = os.path.join(HERE, "_ingest.so")
 
 
 def build(force: bool = False) -> str:
+    # staleness check covers every source the TU includes (#include
+    # "cram_reader.inc"), not just the .cpp — a stale .so from an .inc
+    # edit silently shipped old decode semantics (round-4 fuzz catch)
+    deps = [SRC, os.path.join(HERE, "cram_reader.inc")]
     if (
         not force
         and os.path.exists(OUT)
-        and os.path.getmtime(OUT) >= os.path.getmtime(SRC)
+        and os.path.getmtime(OUT) >= max(os.path.getmtime(d) for d in deps)
     ):
         return OUT
     # temp + rename: concurrent builders (distributed shards) must never

@@ -9,8 +9,14 @@
 // slots/cell) and was the warm end-to-end bottleneck
 // (benchmarks/probe_block_marginal.py: prep 279 ms vs H2D+step 167 ms).
 //
-// Semantics mirror the Python path bit-for-bit (pinned by
-// tests/test_native.py::test_native_prep_matches_python):
+// Semantics mirror the Python path BIT-FOR-BIT (pinned by
+// tests/test_native.py::test_native_prep_matches_python), including
+// code placement: a code lands at its observation's index within the
+// slot counted over ALL observations, so dropped allele==2 entries
+// leave 255 holes exactly like build_codes_block. Identical arrays in
+// guarantee identical device results in BOTH modes on any host, with
+// or without the native library (the exact pair-LUT front pairs codes
+// two-at-a-time, so even hole-position changes would shift df ulps).
 //   * slots = runs of equal snp id within a (cell,snp)-sorted CSR slice
 //     (sc_drop_seq.cpp:62-65's dual map, flattened)
 //   * allele==2 observations are dropped; a valid slot left with no
@@ -50,7 +56,10 @@ int dmx_prep_dims(const int64_t* cell_ptr, const int32_t* obs_snp,
                 run = 0;
                 prev = s;
             }
-            if (obs_allele[i] < 2) ++run;
+            /* UMI width counts ALL slot observations (incl. dropped
+             * allele==2) — matches build_codes_block's occ, keeping the
+             * U bucket and code placement bit-identical to Python */
+            ++run;
         }
         if (run > runmax) runmax = run;
         if (nslots > smax) smax = nslots;
@@ -114,9 +123,9 @@ int dmx_prep_fill(const int64_t* cell_ptr, const int32_t* obs_snp,
             if (al < 2) {
                 const uint8_t q = obs_bq[i] > cap ? cap : obs_bq[i];
                 crow[s * U + occ] = (uint8_t)(al * nq + q);
-                ++occ;
                 has_code = true;
             }
+            ++occ; /* every observation advances the lane (255 holes) */
         }
         if (s >= 0 && !has_code) crow[s * U] = 254;
     }

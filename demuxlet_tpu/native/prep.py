@@ -9,11 +9,12 @@ H2D+step 167 ms). Falls back to the Python path when the library can't
 build/load, input is unsorted (negative slot delta), or the fix list
 outgrows the delta encoding (same conditions as _shrink_codes_blk).
 
-Code placement differs benignly from the Python path: C compacts each
-slot's codes to the leading lanes while Python leaves 255 holes at
-dropped allele==2 positions. Both kernel fronts are hole/order-invariant
-(fast counts codes; the exact pair-LUT's none row multiplies by exactly
-1.0), pinned by tests/test_native.py.
+Output arrays are BIT-IDENTICAL to the Python path — including 255
+holes at dropped allele==2 lane positions and the resulting U bucket —
+so device results match exactly in both modes whether or not the
+library is present (the exact pair-LUT front pairs codes two-at-a-time;
+even hole-position changes would shift df ulps across hosts). Pinned by
+tests/test_native.py::test_native_prep_matches_python.
 """
 
 from __future__ import annotations

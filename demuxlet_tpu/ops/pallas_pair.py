@@ -394,6 +394,30 @@ def _call_pair_kernel(t, gps_t, V, A, interpret, a0_sep=False, sym_a=None,
 _UNROLL_CAP = 384  # max V*V*A accumulator channels for the unrolled kernel
 
 
+def tile_pos_map(V, nA, tiles, Jt, Kt, Wt, triangular):
+    """Host position map (V, V, nA) -> channel index into the tiled
+    kernel's (n_tiles * Wt)-wide output, dropping padded-sample channels
+    and mirroring the lower triangle from the transpose when only upper
+    tiles ran. Shared by the f32 and df32 tiled reassemblies."""
+    pos = np.full((V, V, nA), -1, dtype=np.int64)
+    for tix, (jt, kt) in enumerate(tiles):
+        for dj in range(Jt):
+            j = jt * Jt + dj
+            if j >= V:
+                continue
+            for dk in range(Kt):
+                k = kt * Kt + dk
+                if k >= V:
+                    continue
+                base = tix * Wt + (dj * Kt + dk) * nA
+                pos[j, k, :] = np.arange(base, base + nA)
+    if triangular:
+        miss = pos < 0
+        pos = np.where(miss, np.transpose(pos, (1, 0, 2)), pos)
+    assert (pos >= 0).all()
+    return pos
+
+
 def plan_pair_tiles(V, A, a0_sep, sym_a):
     """Tile plan for the pair axis, or None to run the unrolled kernel.
 
@@ -560,32 +584,34 @@ def _extras_kernel(t_ref, g_ref, out_ref, acc_ref, *, V, A, n_g, halves,
         out_ref[:] = jnp.stack(cols, axis=1)
 
 
-def _call_extras_only(t, gps_t, gp0_t, V, A, interpret, a0_sep, expand,
-                      tb=None, halves=None):
+def _call_extras_only(t, gps_t, gp0_t, V, A, interpret, a0_sep, expand):
     """Invoke just the O(V)-channel extras kernel (separable alpha=0
     factors + llks00); used by the tiled path and standalone when a
-    single-point alpha=0 grid leaves no tiled channels. Returns the raw
-    (B, Wx) output (see _extras_kernel's channel order)."""
+    single-point alpha=0 grid leaves no tiled channels. Fits its own
+    (tb, halves) — its input block ((V*3+3) g-planes) outgrows the pair
+    kernel's ((Jt+Kt)*3) for big V, so reusing the pair fit could blow
+    VMEM (round-4 review #1). Returns the raw (B, Wx) output (see
+    _extras_kernel's channel order)."""
     n_t_ch, B, S = t.shape
     n_s = S // TS
-    if tb is None:
-        tb, halves = TB, 1
-        for cand_h in (4, 2, 1):
-            if n_s % cand_h:
+    tb, halves, done = TB, 1, False
+    for cand_h in (4, 2, 1):
+        if n_s % cand_h:
+            continue
+        for cand_tb in (TB, TB // 2, TB // 4):
+            if B % cand_tb:
                 continue
-            for cand_tb in (TB, TB // 2, TB // 4):
-                if B % cand_tb:
-                    continue
-                n_x0 = (2 * V + 2 if a0_sep else 0) + (
-                    A - 1 if a0_sep else A)
-                scratch = n_x0 * cand_tb * TS * 4
-                blocks = 2 * (n_t_ch + V * 3 + 3) * cand_tb * TS * cand_h * 4
-                if blocks + scratch <= _VMEM_BUDGET:
-                    tb, halves = cand_tb, cand_h
-                    break
-            else:
-                continue
+            n_x0 = (2 * V + 2 if a0_sep else 0) + (
+                A - 1 if a0_sep else A)
+            scratch = n_x0 * cand_tb * TS * 4
+            blocks = 2 * (n_t_ch + V * 3 + 3) * cand_tb * TS * cand_h * 4
+            if blocks + scratch <= _VMEM_BUDGET:
+                tb, halves = cand_tb, cand_h
+                done = True
+                break
+        if done:
             break
+    assert done, (V, A, n_t_ch, "extras kernel does not fit VMEM")
     n_g = n_s // halves
     TSW = TS * halves
     n_x = (2 * V + 2 if a0_sep else 0) + (A - 1 if a0_sep else A)
@@ -700,29 +726,14 @@ def _call_pair_kernel_tiled(t, gps_t, gp0_t, V, A, interpret, plan,
         interpret=interpret,
     )(tile_j, tile_k, t, gps_p, gps_p)
 
-    # extras: separable alpha=0 factors + llks00
+    # extras: separable alpha=0 factors + llks00 (self-fitted tb/halves)
     ex = _call_extras_only(t, gps_t, gp0_t, V, A, interpret, a0_sep,
-                           expand, tb=tb, halves=halves)
+                           expand)
 
     # XLA reassembly: gather the tiled channels into (B, V, V, nA) via a
     # host-precomputed position map (mirror fills the lower triangle when
     # only upper tiles ran), then prepend the separable alpha=0 plane
-    pos = np.full((V, V, nA), -1, dtype=np.int64)
-    for tix, (jt, kt) in enumerate(tiles):
-        for dj in range(Jt):
-            j = jt * Jt + dj
-            if j >= V:
-                continue
-            for dk in range(Kt):
-                k = kt * Kt + dk
-                if k >= V:
-                    continue
-                base = tix * Wt + (dj * Kt + dk) * nA
-                pos[j, k, :] = np.arange(base, base + nA)
-    if triangular:
-        miss = pos < 0
-        pos = np.where(miss, np.transpose(pos, (1, 0, 2)), pos)
-    assert (pos >= 0).all()
+    pos = tile_pos_map(V, nA, tiles, Jt, Kt, Wt, triangular)
     ab_part = jnp.take(out_t, jnp.asarray(pos.reshape(-1)), axis=1)
     ab_part = ab_part.reshape(B, V, V, nA)
     if a0_sep:

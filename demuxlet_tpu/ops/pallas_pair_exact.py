@@ -260,16 +260,8 @@ def _pair_kernel_df(
     ph = ph_ref[:]
     plm = pl_ref[:]
     pe = pe_ref[:]
-    cmask_arr = None
-    if cmask is not None:
-        # pallas_call rejects captured constant ARRAYS — build the static
-        # channel mask from an iota comparison instead
-        ch = jax.lax.broadcasted_iota(jnp.int32, (n_tch, 1, 1), 0)
-        sel = [i for i, b in enumerate(cmask) if b]
-        cmask_arr = ch == np.int32(sel[0])
-        for i in sel[1:]:
-            cmask_arr = cmask_arr | (ch == np.int32(i))
-    t_h, t_l = _mixture_table_df(ph, plm, pe, axis=0, chan_mask=cmask_arr)
+    t_h, t_l = _mixture_table_df(ph, plm, pe, axis=0,
+                                 chan_mask=_cmask_arr(cmask, n_tch))
     # deduped mixture channels: quad/presplit once per UNIQUE column, then
     # expand to the logical a*9 + l*3 + m order via the static map
     t_u = [_quad(t_h[x], t_l[x]) for x in range(n_tch)]
@@ -393,23 +385,7 @@ def _pair_kernel_df(
     do_rn = (jax.lax.rem(s_step, np.int32(3)) == np.int32(2)) | (
         s_step == np.int32(n_s - 1)
     )
-    for c0 in range(0, n_acc, chunk):
-        c1 = min(c0 + chunk, n_acc)
-        ih = jnp.stack([inners[i][0] for i in range(c0, c1)], axis=0)
-        il = jnp.stack([inners[i][1] for i in range(c0, c1)], axis=0)
-        nh, nl = _mul2(mh_ref[c0:c1], ml_ref[c0:c1], ih, il, fence)
-
-        @pl.when(do_rn)
-        def _(c0=c0, c1=c1, nh=nh, nl=nl):
-            h2, l2, e2 = _renorm(nh, nl, me_ref[c0:c1])
-            mh_ref[c0:c1] = h2
-            ml_ref[c0:c1] = l2
-            me_ref[c0:c1] = e2
-
-        @pl.when(jnp.logical_not(do_rn))
-        def _(c0=c0, c1=c1, nh=nh, nl=nl):
-            mh_ref[c0:c1] = nh
-            ml_ref[c0:c1] = nl
+    _fold_acc(inners, mh_ref, ml_ref, me_ref, do_rn, chunk, fence)
 
     @pl.when(s_step == n_s - 1)
     def _():
@@ -420,14 +396,7 @@ def _pair_kernel_df(
         # there). Channels skipped by a0_sep emit the neutral (1, 0, 0)
         # triple (log == 0; the caller overwrites them from the separable
         # accumulators); sym_a mirror channels reuse the (k, j) slot.
-        rows = []
-        for c0 in range(0, n_acc, chunk):
-            c1 = min(c0 + chunk, n_acc)
-            rh, rl, re = _lane_prod_df(
-                mh_ref[c0:c1], ml_ref[c0:c1], me_ref[c0:c1], fence, axis=2
-            )
-            rows += [(rh[i, :, 0], rl[i, :, 0], re[i, :, 0])
-                     for i in range(c1 - c0)]
+        rows = _butterfly_rows(mh_ref, ml_ref, me_ref, n_acc, chunk, fence)
 
         def write(refs, picks):
             one = jnp.ones_like(rows[0][0])
@@ -566,9 +535,17 @@ def plan_pair_tiles_df(V, A, a0_zero, sym_a):
         return None
     ac_list = [a for a in range(A) if not (a0_zero and a == 0)]
     nA = len(ac_list)
-    Jt = 16 if V % 16 == 0 else 8
-    if 3 * (Jt * Jt * nA) * TB * TS * 4 > _VMEM_BUDGET - 3 * 2**20:
-        Jt = 8
+    budget = _VMEM_BUDGET - 3 * 2**20  # input-block + transient headroom
+    for Jt in (16, 8, 4):
+        if Jt == 16 and V % 16:
+            continue  # 16-tiles only when they pad nothing
+        if max(1, nA) * 3 * (Jt * Jt) * TB * TS * 4 <= budget:
+            break
+    else:
+        raise AssertionError(
+            f"exact pair tile does not fit VMEM even at Jt=4 "
+            f"(V={V}, A={A}, nA={nA}); shrink the alpha grid"
+        )
     Vp = -(-V // Jt) * Jt
     n_t = Vp // Jt
     triangular = a0_zero and ac_list == [sym_a]
@@ -875,22 +852,9 @@ def _call_pair_kernel_df_tiled(prod, gall, mskf, V, A, interpret, gsel,
     # triangle mirrored when only upper tiles ran (df triples identical
     # to the unrolled kernel's sym_a mirror)
     if nA > 0:
-        pos = np.full((V, V, nA), -1, dtype=np.int64)
-        for tix, (jt, kt) in enumerate(tiles):
-            for dj in range(Jt):
-                j = jt * Jt + dj
-                if j >= V:
-                    continue
-                for dk in range(Kt):
-                    k = kt * Kt + dk
-                    if k >= V:
-                        continue
-                    base = tix * Wt + (dj * Kt + dk) * nA
-                    pos[j, k, :] = np.arange(base, base + nA)
-        if triangular:
-            miss = pos < 0
-            pos = np.where(miss, np.transpose(pos, (1, 0, 2)), pos)
-        assert (pos >= 0).all()
+        from demuxlet_tpu.ops.pallas_pair import tile_pos_map
+
+        pos = tile_pos_map(V, nA, tiles, Jt, Kt, Wt, triangular)
         pidx = jnp.asarray(pos.reshape(-1))
         abt = _log_mantissa(jnp.take(outh, pidx, axis=1),
                             jnp.take(outl, pidx, axis=1),

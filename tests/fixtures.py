@@ -731,10 +731,13 @@ def write_cram(
     core_codecs: bool = False,
     slices: int = 1,
     index: bool = False,
+    b_features: bool = False,
 ) -> str:
     """Spec-structured CRAM 3.0 writer for testing io/cram.py.
 
-    ref_seqs: chrom -> str genome (reads encode as substitution features).
+    ref_seqs: chrom -> str genome (reads encode as substitution features;
+    with b_features every third mismatch encodes as a 'B' base+qual
+    feature instead of an 'X' substitution code).
     method: block compression (0 raw, 1 gzip, 2 bzip2, 4 rANS).
     core_codecs: encode the integer data series with core-bitstream codecs
     (BETA/GAMMA/SUBEXP/multi-symbol canonical HUFFMAN) in a CORE data
@@ -810,7 +813,12 @@ def write_cram(
                         rb = genome[gpos + o]
                         sb = r.seq[rpos + o]
                         if sb != rb:
-                            feats.append(("X", rpos + o + 1, sub_code(rb, sb)))
+                            if b_features and len(feats) % 3 == 2:
+                                feats.append(("B", rpos + o + 1,
+                                              (sb, r.quals[rpos + o])))
+                            else:
+                                feats.append(
+                                    ("X", rpos + o + 1, sub_code(rb, sb)))
                     gpos += ln
                     rpos += ln
                 elif ch == "S":
@@ -849,6 +857,9 @@ def write_cram(
                     events.append(("HC", payload))
                 elif code == "P":
                     events.append(("PD", payload))
+                elif code == "B":
+                    S[_CRAM_IDS["BA"]] += payload[0].encode()
+                    S[_CRAM_IDS["QS"]] += bytes([payload[1]])
             events.append(("MQ", r.mapq))
             S[_CRAM_IDS["QS"]] += bytes(r.quals)
         return events, streams
@@ -930,6 +941,7 @@ def write_cram(
         (b"IN", _enc_bas(0, _CRAM_IDS["IN"])),
         (b"SC", _enc_bas(0, _CRAM_IDS["SC"])),
         (b"QS", _enc_external(_CRAM_IDS["QS"])),
+        (b"BA", _enc_external(_CRAM_IDS["BA"])),
     ]
     ds = _itf8(len(ds_entries))
     for k, e in ds_entries:

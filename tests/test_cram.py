@@ -190,3 +190,22 @@ def test_cram_core_codecs_and_slices_match_bam(tmp_path, kw):
     bb, bc2 = build_slots(cb, cells), build_slots(cc, cells)
     np.testing.assert_array_equal(bb.idx, bc2.idx)
     np.testing.assert_array_equal(bb.cnt, bc2.cnt)
+
+
+def test_cram_b_feature_pileup_matches_bam(tmp_path):
+    """'B' (base + quality) features must carry their STORED base — a
+    decoder that discards it resolves the position to the reference base
+    and silently corrupts the pileup (round-4 review #4). The fixture
+    encodes every third mismatch as 'B'; the CRAM pileup must equal the
+    BAM twin's exactly."""
+    vcf, bam, cram = _workload(tmp_path, seed=53, b_features=True)
+    table = load_snp_table(vcf, field_name="GT")
+    scl_b, ctr_b = build_pileup(AlignmentReader(bam), table)
+    scl_c, ctr_c = build_pileup(CramReader(cram), table)
+    assert ctr_c == ctr_b
+    cb = CsrPileup.from_pileup(scl_b)
+    cc = CsrPileup.from_pileup(scl_c)
+    cells = list(range(cb.nbcs))
+    bb, bc2 = build_slots(cb, cells), build_slots(cc, cells)
+    np.testing.assert_array_equal(bb.idx, bc2.idx)
+    np.testing.assert_array_equal(bb.cnt, bc2.cnt)

@@ -102,6 +102,7 @@ def _fuzz_files(tmp_path, seed):
         core_codecs=rng.random() < 0.5,
         slices=rng.choice([1, 2, 3]),
         index=rng.random() < 0.3,
+        b_features=rng.random() < 0.4,
     )
     cram = write_cram(str(tmp_path / f"f{seed}.cram"), contigs, reads,
                       ref_seqs, **kw)

@@ -339,8 +339,9 @@ def test_golden_tutorial_vcf(tmp_path, ref_binary):
         {"method": 0},
         {"method": 1, "slices": 2},
         {"method": 4, "core_codecs": True},
+        {"method": 1, "b_features": True},
     ],
-    ids=["raw", "gzip-multislice", "rans-core"],
+    ids=["raw", "gzip-multislice", "rans-core", "b-features"],
 )
 def test_golden_cram_input(tmp_path, ref_binary, cram_kw):
     """CRAM through BOTH binaries (round-3 verdict missing #2, closing

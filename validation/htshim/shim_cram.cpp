@@ -827,9 +827,12 @@ FILE *shim_cram_to_sam_text(FILE *in, const char *fn) {
                         } else if (fc == 'P') {
                             f.ival = S("PD").read_int(sl);
                         } else if (fc == 'B') {
-                            S("BA").read_byte(sl);
+                            /* base + qual at one position: a 1-length
+                             * 'b' run (stored base overrides ref) */
+                            f.code = 'b';
+                            f.bv.assign(
+                                1, (uint8_t)S("BA").read_byte(sl));
                             S("QS").read_byte(sl);
-                            continue;
                         } else {
                             cdie("feature code unsupported");
                         }
