@@ -394,24 +394,29 @@ def _call_pair_kernel(t, gps_t, V, A, interpret, a0_sep=False, sym_a=None,
 _UNROLL_CAP = 384  # max V*V*A accumulator channels for the unrolled kernel
 
 
-def tile_pos_map(V, nA, tiles, Jt, Kt, Wt, triangular):
-    """Host position map (V, V, nA) -> channel index into the tiled
-    kernel's (n_tiles * Wt)-wide output, dropping padded-sample channels
-    and mirroring the lower triangle from the transpose when only upper
-    tiles ran. Shared by the f32 and df32 tiled reassemblies."""
+def tile_pos_map(V, nA, parts, mirror):
+    """Host position map (V, V, nA) -> channel index into the
+    concatenated tiled-kernel outputs. parts: (tiles, Jt, Kt, Wt, tri,
+    offset) per kernel invocation (tri = packed upper-triangle channel
+    layout, tri_index). mirror: fill missing (j, k) from the (k, j)
+    transpose (the symmetric-plane lower triangle). Shared by the f32
+    and df32 tiled reassemblies."""
     pos = np.full((V, V, nA), -1, dtype=np.int64)
-    for tix, (jt, kt) in enumerate(tiles):
-        for dj in range(Jt):
-            j = jt * Jt + dj
-            if j >= V:
-                continue
-            for dk in range(Kt):
-                k = kt * Kt + dk
-                if k >= V:
+    for tiles, Jt, Kt, Wt, tri, off in parts:
+        t_idx = tri_index(Jt, Kt)[0] if tri else None
+        for tix, (jt, kt) in enumerate(tiles):
+            for dj in range(Jt):
+                j = jt * Jt + dj
+                if j >= V:
                     continue
-                base = tix * Wt + (dj * Kt + dk) * nA
-                pos[j, k, :] = np.arange(base, base + nA)
-    if triangular:
+                for dk in range(dj if tri else 0, Kt):
+                    k = kt * Kt + dk
+                    if k >= V:
+                        continue
+                    ch = (t_idx[(dj, dk)] if tri else dj * Kt + dk) * nA
+                    base = off + tix * Wt + ch
+                    pos[j, k, :] = np.arange(base, base + nA)
+    if mirror:
         miss = pos < 0
         pos = np.where(miss, np.transpose(pos, (1, 0, 2)), pos)
     assert (pos >= 0).all()
@@ -448,13 +453,29 @@ def plan_pair_tiles(V, A, a0_sep, sym_a):
     return Jt, Jt, Vp, tiles, ac_list, triangular
 
 
+def tri_index(Jt, Kt):
+    """Packed channel index for the upper triangle of a (Jt, Kt) tile:
+    (dj, dk) with dk >= dj -> dense [0, Jt*(Jt+1)/2). Shared by the f32
+    and df32 diagonal-tile kernels and the reassembly pos maps."""
+    idx, n = {}, 0
+    for dj in range(Jt):
+        for dk in range(dj, Kt):
+            idx[(dj, dk)] = n
+            n += 1
+    return idx, n
+
+
 def _pair_kernel_tiled(tj_ref, tk_ref, t_ref, gj_ref, gk_ref, out_ref,
-                       acc_ref, *, Jt, Kt, ac_list, n_g, halves, expand):
+                       acc_ref, *, Jt, Kt, ac_list, n_g, halves, expand,
+                       tri=False):
     """One (Jt x Kt) pair tile per grid step; s (slot groups) innermost so
     each tile's accumulator sweep is contiguous and its output block
     flushes once. Same math per channel as _pair_kernel; U[j, a, m] is
     recomputed per tile (3/Kt of the inner FMAs — the price of a flat-in-V
-    scratch)."""
+    scratch). tri: DIAGONAL tiles of a symmetric plane — only dk >= dj
+    channels computed (packed by tri_index; the dj > dk half mirrors at
+    reassembly), recovering the ~47%%/tile the dynamic tile index cannot
+    skip."""
     s_step = pl.program_id(2)
 
     @pl.when(s_step == 0)
@@ -481,6 +502,7 @@ def _pair_kernel_tiled(tj_ref, tk_ref, t_ref, gj_ref, gk_ref, out_ref,
         return jnp.log(p)
 
     nA = len(ac_list)
+    t_idx = tri_index(Jt, Kt)[0] if tri else None
     for dj in range(Jt):
         u = [[] for _ in range(halves)]
         for h in range(halves):
@@ -491,7 +513,7 @@ def _pair_kernel_tiled(tj_ref, tk_ref, t_ref, gj_ref, gk_ref, out_ref,
                         + gj[h][dj * 3 + 1] * t[h][a * 9 + 3 + m]
                         + gj[h][dj * 3 + 2] * t[h][a * 9 + 6 + m]
                     )
-        for dk in range(Kt):
+        for dk in range(dj if tri else 0, Kt):
             for ai in range(nA):
                 inner = [
                     gk[h][dk * 3] * u[h][ai * 3]
@@ -499,12 +521,13 @@ def _pair_kernel_tiled(tj_ref, tk_ref, t_ref, gj_ref, gk_ref, out_ref,
                     + gk[h][dk * 3 + 2] * u[h][ai * 3 + 2]
                     for h in range(halves)
                 ]
-                ch = (dj * Kt + dk) * nA + ai
+                ch = (t_idx[(dj, dk)] if tri else dj * Kt + dk) * nA + ai
                 acc_ref[ch] = acc_ref[ch] + logprod(inner)
 
     @pl.when(s_step == n_g - 1)
     def _():
-        cols = [jnp.sum(acc_ref[c], axis=1) for c in range(Jt * Kt * nA)]
+        cols = [jnp.sum(acc_ref[c], axis=1)
+                for c in range(acc_ref.shape[0])]
         while len(cols) < out_ref.shape[1]:
             cols.append(jnp.zeros_like(cols[0]))
         out_ref[:] = jnp.stack(cols, axis=1)
@@ -695,36 +718,60 @@ def _call_pair_kernel_tiled(t, gps_t, gp0_t, V, A, interpret, plan,
     )
     n_g = n_s // halves
     TSW = TS * halves
-    Wt = -(-(Jt * Kt * nA) // 128) * 128
-    tile_j = jnp.asarray([jt for jt, _ in tiles], jnp.int32)
-    tile_k = jnp.asarray([kt for _, kt in tiles], jnp.int32)
 
-    kernel = functools.partial(
-        _pair_kernel_tiled, Jt=Jt, Kt=Kt, ac_list=tuple(ac_list), n_g=n_g,
-        halves=halves, expand=tuple(expand),
-    )
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(B // tb, len(tiles), n_g),
-        in_specs=[
-            pl.BlockSpec((n_t_ch, tb, TSW),
-                         lambda ib, jk, is_, tj, tk: (ib * 0, ib, is_)),
-            pl.BlockSpec((Jt * 3, tb, TSW),
-                         lambda ib, jk, is_, tj, tk: (tj[jk], ib, is_)),
-            pl.BlockSpec((Kt * 3, tb, TSW),
-                         lambda ib, jk, is_, tj, tk: (tk[jk], ib, is_)),
-        ],
-        out_specs=pl.BlockSpec(
-            (tb, Wt), lambda ib, jk, is_, tj, tk: (ib, jk)
-        ),
-        scratch_shapes=[pltpu.VMEM((Jt * Kt * nA, tb, TS), jnp.float32)],
-    )
-    out_t = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B, len(tiles) * Wt), jnp.float32),
-        interpret=interpret,
-    )(tile_j, tile_k, t, gps_p, gps_p)
+    def run_part(part_tiles, tri):
+        """One pallas_call over a tile subset; tri = the statically
+        triangular diagonal-tile body (packed channels)."""
+        n_ch = (tri_index(Jt, Kt)[1] if tri else Jt * Kt) * nA
+        Wp = -(-n_ch // 128) * 128
+        tile_j = jnp.asarray([jt for jt, _ in part_tiles], jnp.int32)
+        tile_k = jnp.asarray([kt for _, kt in part_tiles], jnp.int32)
+        kernel = functools.partial(
+            _pair_kernel_tiled, Jt=Jt, Kt=Kt, ac_list=tuple(ac_list),
+            n_g=n_g, halves=halves, expand=tuple(expand), tri=tri,
+        )
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(B // tb, len(part_tiles), n_g),
+            in_specs=[
+                pl.BlockSpec((n_t_ch, tb, TSW),
+                             lambda ib, jk, is_, tj, tk: (ib * 0, ib, is_)),
+                pl.BlockSpec((Jt * 3, tb, TSW),
+                             lambda ib, jk, is_, tj, tk: (tj[jk], ib, is_)),
+                pl.BlockSpec((Kt * 3, tb, TSW),
+                             lambda ib, jk, is_, tj, tk: (tk[jk], ib, is_)),
+            ],
+            out_specs=pl.BlockSpec(
+                (tb, Wp), lambda ib, jk, is_, tj, tk: (ib, jk)
+            ),
+            scratch_shapes=[pltpu.VMEM((n_ch, tb, TS), jnp.float32)],
+        )
+        out = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct(
+                (B, len(part_tiles) * Wp), jnp.float32),
+            interpret=interpret,
+        )(tile_j, tile_k, t, gps_p, gps_p)
+        return out, Wp
+
+    # diagonal tiles of the symmetric plane run a statically triangular
+    # body (the dynamic tile index cannot skip dj > dk; ~47% of each
+    # diagonal tile's dot work otherwise recomputes the mirror)
+    tiles_diag = [tt for tt in tiles if triangular and tt[0] == tt[1]]
+    tiles_full = [tt for tt in tiles if tt not in tiles_diag]
+    outs, parts, off = [], [], 0
+    if tiles_full:
+        o, Wp = run_part(tiles_full, False)
+        outs.append(o)
+        parts.append((tiles_full, Jt, Kt, Wp, False, off))
+        off += o.shape[1]
+    if tiles_diag:
+        o, Wp = run_part(tiles_diag, True)
+        outs.append(o)
+        parts.append((tiles_diag, Jt, Kt, Wp, True, off))
+        off += o.shape[1]
+    out_t = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=1)
 
     # extras: separable alpha=0 factors + llks00 (self-fitted tb/halves)
     ex = _call_extras_only(t, gps_t, gp0_t, V, A, interpret, a0_sep,
@@ -733,7 +780,7 @@ def _call_pair_kernel_tiled(t, gps_t, gp0_t, V, A, interpret, plan,
     # XLA reassembly: gather the tiled channels into (B, V, V, nA) via a
     # host-precomputed position map (mirror fills the lower triangle when
     # only upper tiles ran), then prepend the separable alpha=0 plane
-    pos = tile_pos_map(V, nA, tiles, Jt, Kt, Wt, triangular)
+    pos = tile_pos_map(V, nA, parts, triangular)
     ab_part = jnp.take(out_t, jnp.asarray(pos.reshape(-1)), axis=1)
     ab_part = ab_part.reshape(B, V, V, nA)
     if a0_sep:

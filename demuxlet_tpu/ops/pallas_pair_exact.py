@@ -633,15 +633,20 @@ def _write_rows(refs, rows_cols):
 def _pair_kernel_df_tiled(
     tj_ref, tk_ref, ph_ref, pl_ref, pe_ref, gj_ref, gk_ref,
     outh_ref, outl_ref, oute_ref, mh_ref, ml_ref, me_ref,
-    *, Jt, Kt, ac_list, n_s, fence, n_tch, expand, cmask, A,
+    *, Jt, Kt, ac_list, n_s, fence, n_tch, expand, cmask, A, tri=False,
 ):
     """One (Jt x Kt) pair tile of 'ab' df accumulators per grid step.
     Same per-channel math as _pair_kernel_df's ab path; U[dj, a, m] is
     recomputed per tile (3/Kt of the inner dot3s). gj/gk blocks carry the
-    tile's samples in the interleaved (hi0 hi1 hi2 lo0 lo1 lo2) layout."""
+    tile's samples in the interleaved (hi0 hi1 hi2 lo0 lo1 lo2) layout.
+    tri: diagonal tiles of the symmetric plane — only dk >= dj channels,
+    packed by pallas_pair.tri_index (mirror at reassembly)."""
+    from demuxlet_tpu.ops.pallas_pair import tri_index
+
     s_step = pl.program_id(2)
     nA = len(ac_list)
-    n_acc = Jt * Kt * nA
+    t_idx, n_tri = tri_index(Jt, Kt)
+    n_acc = (n_tri if tri else Jt * Kt) * nA
     chunk = n_acc if fence else _ACC_CHUNK
 
     @pl.when(s_step == 0)
@@ -671,9 +676,10 @@ def _pair_kernel_df_tiled(
                     t[a * 9 + m], t[a * 9 + 3 + m], t[a * 9 + 6 + m],
                     fence,
                 )))
-        for dk in range(Kt):
+        for dk in range(dj if tri else 0, Kt):
             for ai in range(nA):
-                inners[(dj * Kt + dk) * nA + ai] = _dot3(
+                ch = (t_idx[(dj, dk)] if tri else dj * Kt + dk) * nA + ai
+                inners[ch] = _dot3(
                     gk[dk][0], gk[dk][1], gk[dk][2],
                     u[ai * 3], u[ai * 3 + 1], u[ai * 3 + 2], fence,
                 )
@@ -791,20 +797,23 @@ def _call_pair_kernel_df_tiled(prod, gall, mskf, V, A, interpret, gsel,
     n_s = S // TS
     n_ab = V * V * A
 
-    if nA > 0:
-        Wt = -(-(Jt * Kt * nA) // 128) * 128
-        tile_j = jnp.asarray([jt for jt, _ in tiles], jnp.int32)
-        tile_k = jnp.asarray([kt for _, kt in tiles], jnp.int32)
+    from demuxlet_tpu.ops.pallas_pair import tile_pos_map, tri_index
+
+    def run_part(part_tiles, tri):
+        n_ch = (tri_index(Jt, Kt)[1] if tri else Jt * Kt) * nA
+        Wp = -(-n_ch // 128) * 128
+        tile_j = jnp.asarray([jt for jt, _ in part_tiles], jnp.int32)
+        tile_k = jnp.asarray([kt for _, kt in part_tiles], jnp.int32)
         kernel = functools.partial(
             _pair_kernel_df_tiled, Jt=Jt, Kt=Kt, ac_list=tuple(ac_list),
             n_s=n_s, fence=bool(interpret), n_tch=n_tch,
-            expand=tuple(expand), cmask=cmask, A=A,
+            expand=tuple(expand), cmask=cmask, A=A, tri=tri,
         )
         in3 = lambda C: pl.BlockSpec(
             (C, TB, TS), lambda ib, jk, is_, tj, tk: (ib * 0, ib, is_))
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
-            grid=(B // TB, len(tiles), n_s),
+            grid=(B // TB, len(part_tiles), n_s),
             in_specs=[
                 in3(n_tch), in3(n_tch), in3(n_tch),
                 pl.BlockSpec((Jt * 6, TB, TS),
@@ -813,17 +822,39 @@ def _call_pair_kernel_df_tiled(prod, gall, mskf, V, A, interpret, gsel,
                              lambda ib, jk, is_, tj, tk: (tk[jk], ib, is_)),
             ],
             out_specs=[pl.BlockSpec(
-                (TB, Wt), lambda ib, jk, is_, tj, tk: (ib, jk))] * 3,
+                (TB, Wp), lambda ib, jk, is_, tj, tk: (ib, jk))] * 3,
             scratch_shapes=[
-                pltpu.VMEM((Jt * Kt * nA, TB, TS), jnp.float32)] * 3,
+                pltpu.VMEM((n_ch, TB, TS), jnp.float32)] * 3,
         )
-        outh, outl, oute = pl.pallas_call(
+        return pl.pallas_call(
             kernel,
             grid_spec=grid_spec,
-            out_shape=[jax.ShapeDtypeStruct((B, len(tiles) * Wt),
+            out_shape=[jax.ShapeDtypeStruct((B, len(part_tiles) * Wp),
                                             jnp.float32)] * 3,
             interpret=interpret,
-        )(tile_j, tile_k, ph, plm, pe, gall, gall)
+        )(tile_j, tile_k, ph, plm, pe, gall, gall), Wp
+
+    if nA > 0:
+        tiles_diag = [tt for tt in tiles if triangular and tt[0] == tt[1]]
+        tiles_full = [tt for tt in tiles if tt not in tiles_diag]
+        outs, parts, off = [], [], 0
+        if tiles_full:
+            o, Wp = run_part(tiles_full, False)
+            outs.append(o)
+            parts.append((tiles_full, Jt, Kt, Wp, False, off))
+            off += o[0].shape[1]
+        if tiles_diag:
+            o, Wp = run_part(tiles_diag, True)
+            outs.append(o)
+            parts.append((tiles_diag, Jt, Kt, Wp, True, off))
+            off += o[0].shape[1]
+        if len(outs) == 1:
+            outh, outl, oute = outs[0]
+        else:
+            outh, outl, oute = (
+                jnp.concatenate([o[i] for o in outs], axis=1)
+                for i in range(3)
+            )
 
     keys, _slot = _extras_slots(V, A, a0_zero)
     n_x = len(keys)
@@ -852,9 +883,7 @@ def _call_pair_kernel_df_tiled(prod, gall, mskf, V, A, interpret, gsel,
     # triangle mirrored when only upper tiles ran (df triples identical
     # to the unrolled kernel's sym_a mirror)
     if nA > 0:
-        from demuxlet_tpu.ops.pallas_pair import tile_pos_map
-
-        pos = tile_pos_map(V, nA, tiles, Jt, Kt, Wt, triangular)
+        pos = tile_pos_map(V, nA, parts, triangular)
         pidx = jnp.asarray(pos.reshape(-1))
         abt = _log_mantissa(jnp.take(outh, pidx, axis=1),
                             jnp.take(outl, pidx, axis=1),
