@@ -37,7 +37,7 @@ CAP_BQ = 40
 # extra workload rows (fast + exact-df only): the tutorial jurkat/293T
 # shape (V=2, default [0, .5] grid) and the large-pool shapes the tiled
 # kernels unlock. Each costs ~2 compiles + short runs on the real chip.
-EXTRA_SHAPES = [(2, 2), (16, 5), (32, 5), (64, 2)]
+EXTRA_SHAPES = [(2, 2), (16, 5), (32, 2), (32, 5), (64, 2)]
 
 BASE_CELLS = int(os.environ.get("BENCH_BASE_CELLS", "256"))
 TPU_BLOCK = int(os.environ.get("BENCH_TPU_BLOCK", "2048"))

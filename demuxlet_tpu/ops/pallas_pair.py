@@ -916,16 +916,23 @@ def demux_block_fast_impl(
 
     # per-slot genotype posteriors + gp0, ONE fused 2D take (the transpose
     # fuses into the gather; a 3D (NS, V, 3) table lowers ~5.6x slower —
-    # benchmarks/probe_gather_variants.py); masked slots -> neutral rows
+    # benchmarks/probe_gather_variants.py). Masked slots gather a NEUTRAL
+    # ROW appended at index NS: redirecting the (B, S) i32 index costs
+    # ~8 MB/2048-block vs the ~450 MB read+write of masking the gathered
+    # (V*3+3) planes — the gather stage was the largest piece of the
+    # step's non-kernel time (benchmarks/probe_fast_front.py: 5.1 ms of
+    # 12.9 at V=8).
     NS = gps_table.shape[0]
+    neutral_g = np.zeros((1, V * 3 + 3), dtype=np.float32)
+    neutral_g[0, 0 : V * 3 : 3] = 1.0
+    neutral_g[0, V * 3] = 1.0
     gps_all = jnp.concatenate(
-        [gps_table.reshape(NS, V * 3), gp0_table], axis=1
+        [jnp.concatenate([gps_table.reshape(NS, V * 3), gp0_table],
+                         axis=1),
+         jnp.asarray(neutral_g)], axis=0
     )
-    g_all = jnp.transpose(jnp.take(gps_all, idx, axis=0), (2, 0, 1))
-    neutral_g = np.zeros((V * 3 + 3, 1, 1), dtype=np.float32)
-    neutral_g[0 : V * 3 : 3] = 1.0
-    neutral_g[V * 3] = 1.0
-    g_all = jnp.where(msk[None], g_all, neutral_g)
+    idx_n = jnp.where(msk, idx, jnp.int32(NS))
+    g_all = jnp.transpose(jnp.take(gps_all, idx_n, axis=0), (2, 0, 1))
     gps_t = g_all[: V * 3]
     gp0_t = g_all[V * 3 :]
 

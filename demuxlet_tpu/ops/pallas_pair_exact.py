@@ -1275,13 +1275,16 @@ def demux_block_exact_impl(
                 [gint,
                  jnp.broadcast_to(jnp.asarray(neu), (NS, (Vp - V) * 6))],
                 axis=1)
+        # masked slots gather the NEUTRAL ROW at index NS (index redirect
+        # instead of masking the gathered planes — see the fast path)
+        neutral_r = np.zeros((1, Vp * 6 + 6), dtype=np.float32)
+        neutral_r[0, 0 : Vp * 6 : 6] = 1.0
+        neutral_r[0, Vp * 6] = 1.0
         fused_g = jnp.concatenate(
-            [gint, gp0_pair[0], gp0_pair[1]], axis=1)
-        gall = jnp.transpose(jnp.take(fused_g, idx, axis=0), (2, 0, 1))
-        neutral_c = np.zeros((Vp * 6 + 6, 1, 1), dtype=np.float32)
-        neutral_c[0 : Vp * 6 : 6] = 1.0
-        neutral_c[Vp * 6] = 1.0
-        gall = jnp.where(msk[None], gall, neutral_c)
+            [jnp.concatenate([gint, gp0_pair[0], gp0_pair[1]], axis=1),
+             jnp.asarray(neutral_r)], axis=0)
+        idx_n = jnp.where(msk, idx, jnp.int32(NS))
+        gall = jnp.transpose(jnp.take(fused_g, idx_n, axis=0), (2, 0, 1))
         ab, z0, sing = _call_pair_kernel_df_tiled(
             (mh, ml, ef), gall, mskf, V, A, interpret, expand_gl,
             plan, a0_zero, expand_w, sym_a, cmask,
@@ -1298,16 +1301,18 @@ def demux_block_exact_impl(
     # still); the row-major V*3 reshape preserves the kernel's j*3+l
     # channel order and the concat of the small host tables fuses away.
     W3 = V * 3 + 3
+    # masked slots -> the appended NEUTRAL ROW (exact (1,0,0) identity;
+    # index redirect instead of masking the gathered planes)
+    neutral_r = np.zeros((1, 2 * W3), dtype=np.float32)
+    neutral_r[0, 0 : V * 3 : 3] = 1.0
+    neutral_r[0, V * 3] = 1.0
     fused_g = jnp.concatenate(
-        [gps_pair[0].reshape(NS, V * 3), gp0_pair[0],
-         gps_pair[1].reshape(NS, V * 3), gp0_pair[1]], axis=1)
-    gall = jnp.transpose(jnp.take(fused_g, idx, axis=0), (2, 0, 1))
-    # masked slots -> neutral (1,0,0) rows so the kernel's accumulators
-    # see an exact identity
-    neutral_c = np.zeros((2 * W3, 1, 1), dtype=np.float32)
-    neutral_c[0 : V * 3 : 3] = 1.0
-    neutral_c[V * 3] = 1.0
-    gall = jnp.where(msk[None], gall, neutral_c)
+        [jnp.concatenate(
+            [gps_pair[0].reshape(NS, V * 3), gp0_pair[0],
+             gps_pair[1].reshape(NS, V * 3), gp0_pair[1]], axis=1),
+         jnp.asarray(neutral_r)], axis=0)
+    idx_n = jnp.where(msk, idx, jnp.int32(NS))
+    gall = jnp.transpose(jnp.take(fused_g, idx_n, axis=0), (2, 0, 1))
 
     # The mixture-table normalization and the pass-1 GL table (with its
     # masked-slot neutral substitution) are computed INSIDE the kernel
