@@ -381,3 +381,22 @@ def test_golden_cram_input(tmp_path, ref_binary, cram_kw):
     _run_ours(vcf, cram, str(tmp_path / "ours"),
               ["--field", "GT", "--write-pair"])
     _diff(str(tmp_path / "refc"), str(tmp_path / "ours"))
+
+
+@pytest.mark.parametrize("nv", [16, 32])
+def test_golden_large_pool(tmp_path, ref_binary, nv):
+    """Large sample pools (the round-3 'operating envelope' gap): byte
+    parity against the reference binary at V=16 and V=32 with
+    --write-pair — the reference's arbitrary-nv pair search
+    (cmd_cram_demuxlet.cpp:671-709, nv^2 gpAB precompute) vs our engine
+    (CPU: XLA f64; the TPU tiled kernels are pinned to this same engine
+    path by the kernel/engine parity tests)."""
+    vcf, sam = _workload(tmp_path, 419 + nv, n_cells=16, n_samples=nv)
+    args = ["--field", "GT", "--write-pair"]
+    _run_ref(ref_binary, vcf, sam, str(tmp_path / "ref"), args)
+    _run_ours(vcf, sam, str(tmp_path / "ours"), args)
+    _diff(str(tmp_path / "ref"), str(tmp_path / "ours"))
+    # exact engine mode too (device decision path at the pool size)
+    _run_ours(vcf, sam, str(tmp_path / "ourse"), args, mode="exact")
+    _diff(str(tmp_path / "ref"), str(tmp_path / "ourse"),
+          exts=(".single", ".sing2", ".best"), canonicalize=True)
