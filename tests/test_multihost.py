@@ -555,3 +555,45 @@ def test_two_process_genome_sharded_cli_indexed_vcf(tmp_path):
             want = canonicalize_best(want.splitlines())
             got = canonicalize_best(got.splitlines())
         assert got == want, f"{ext} differs"
+
+
+@pytest.mark.slow
+def test_two_process_distributed_tiled_pool(tmp_path):
+    """2-process jax.distributed run at a TILED pool size (V=16 > the
+    unroll cap): the scalar-prefetch pair-tiled kernels must compose with
+    the multi-host barcode-stripe path; exact-mode outputs byte-identical
+    to the single-process run."""
+    import socket
+    import subprocess
+    import sys
+
+    rng = random.Random(33)
+    contigs, names, variants, reads, truth = random_workload(
+        rng, n_cells=16, n_snps=30, n_samples=16, reads_per_cell=50
+    )
+    vcf = write_vcf(str(tmp_path / "d.vcf"), names, variants,
+                    contigs=contigs)
+    bam = write_bam(str(tmp_path / "d.bam"), contigs, reads)
+    env = _cli_env()
+    common = ["--sam", bam, "--vcf", vcf, "--field", "GT",
+              "--mode", "exact", "--device", "cpu", "--mesh", "none",
+              "--cell-block", "16"]
+    _run_cli(common + ["--out", str(tmp_path / "ref")], env)
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    coord = f"127.0.0.1:{port}"
+    procs = [subprocess.Popen(
+        [sys.executable, "-m", "demuxlet_tpu.cli"] + common +
+        ["--out", str(tmp_path / "dist"), "--num-shards", "2",
+         "--shard-id", str(k), "--dist-coordinator", coord],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+    ) for k in range(2)]
+    for p in procs:
+        out, err = p.communicate(timeout=900)
+        assert p.returncode == 0, err[-4000:]
+    for ext in (".single", ".sing2", ".best"):
+        want = open(str(tmp_path / "ref") + ext).read()
+        got = open(str(tmp_path / "dist") + ext).read()
+        assert got == want, f"{ext} differs at V=16 distributed"
