@@ -6,7 +6,6 @@ stage in isolation on device-resident inputs. Decides whether a
 standalone one-hot Pallas front (the exact path's trick) is worth
 porting to fast mode — the PCIe-host e2e bound is the FULL step.
 """
-import functools
 import json
 import os
 import sys

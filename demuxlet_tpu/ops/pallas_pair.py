@@ -695,7 +695,10 @@ def _call_pair_kernel_tiled(t, gps_t, gp0_t, V, A, interpret, plan,
         gps_p = gps_t
 
     # fit: halves (batched logs) then tb, under the double-buffered
-    # input blocks + per-tile scratch budget
+    # input blocks + the LARGEST part's scratch (all-diagonal tile sets
+    # only allocate the packed-triangle channel count)
+    has_full = any(not (triangular and jt == kt) for jt, kt in tiles)
+    max_ch = (Jt * Kt if has_full else tri_index(Jt, Kt)[1]) * nA
     tb, halves = TB, 1
     done = False
     for cand_h in (4, 2, 1):
@@ -704,7 +707,7 @@ def _call_pair_kernel_tiled(t, gps_t, gp0_t, V, A, interpret, plan,
         for cand_tb in (TB, TB // 2, TB // 4):
             if B % cand_tb:
                 continue
-            scratch = Jt * Kt * nA * cand_tb * TS * 4
+            scratch = max_ch * cand_tb * TS * 4
             blocks = 2 * (n_t_ch + (Jt + Kt) * 3) * cand_tb * TS * cand_h * 4
             if blocks + scratch <= _VMEM_BUDGET:
                 tb, halves = cand_tb, cand_h

@@ -559,10 +559,20 @@ def test_two_process_genome_sharded_cli_indexed_vcf(tmp_path):
 
 @pytest.mark.slow
 def test_two_process_distributed_tiled_pool(tmp_path):
-    """2-process jax.distributed run at a TILED pool size (V=16 > the
-    unroll cap): the scalar-prefetch pair-tiled kernels must compose with
-    the multi-host barcode-stripe path; exact-mode outputs byte-identical
-    to the single-process run."""
+    """Multi-host at a TILED pool size (V=16 > the unroll cap), two ways:
+
+    1. Single-process runs with --exact-kernel pallas restricted to each
+       crc32 stripe (--group-list of mh.owns_barcode, reproducing a
+       distributed shard's exact block composition) must be
+       byte-identical to the unsharded XLA-f64 reference rows — the
+       tiled df32 kernels on per-shard blocks.
+    2. A real 2-process jax.distributed run (default kernel: XLA f64 on
+       CPU — the pallas interpret compile under jax.distributed cannot
+       be pre-cached, its compile key differs per topology, and a shard
+       compiling past the shutdown-barrier timeout is killed mid-compile)
+       must be byte-identical to the reference. On TPU the same
+       distributed path auto-selects the pallas kernels; their per-shard
+       block behavior is what part 1 pins."""
     import socket
     import subprocess
     import sys
@@ -578,7 +588,39 @@ def test_two_process_distributed_tiled_pool(tmp_path):
     common = ["--sam", bam, "--vcf", vcf, "--field", "GT",
               "--mode", "exact", "--device", "cpu", "--mesh", "none",
               "--cell-block", "16"]
-    _run_cli(common + ["--out", str(tmp_path / "ref")], env)
+    _run_cli(common + ["--out", str(tmp_path / "ref")], env, timeout=1200)
+
+    def rows_by_bc(path):
+        return {ln.split("\t", 1)[0]: ln
+                for ln in open(path).read().splitlines()
+                if not ln.startswith("BARCODE")}
+
+    ref_rows = {ext: rows_by_bc(str(tmp_path / "ref") + ext)
+                for ext in (".single", ".sing2", ".best")}
+    bcs = sorted(ref_rows[".single"])
+    for k in range(2):
+        stripe = [b for b in bcs if mh.owns_barcode(b, k, 2)]
+        assert stripe, "degenerate stripe - pick another seed"
+        glist = str(tmp_path / f"stripe{k}.txt")
+        with open(glist, "w") as fh:
+            fh.write("\n".join(stripe) + "\n")
+        _run_cli(common + ["--exact-kernel", "pallas",
+                           "--out", str(tmp_path / f"solo{k}"),
+                           "--group-list", glist], env, timeout=1800)
+        from parity_utils import canonicalize_best
+
+        for ext in (".single", ".sing2", ".best"):
+            solo = rows_by_bc(str(tmp_path / f"solo{k}") + ext)
+            assert sorted(solo) == stripe
+            for bc in stripe:
+                want, got = ref_rows[ext][bc], solo[bc]
+                if ext == ".best":
+                    # symmetric alpha=0.5 doublet pair order is an exact
+                    # real-arithmetic tie; df32 and f64 kernels may
+                    # resolve to mirrored pairs (documented contract)
+                    want = canonicalize_best([want])[0]
+                    got = canonicalize_best([got])[0]
+                assert got == want, (k, ext, bc)
 
     with socket.socket() as s:
         s.bind(("127.0.0.1", 0))
@@ -588,10 +630,11 @@ def test_two_process_distributed_tiled_pool(tmp_path):
         [sys.executable, "-m", "demuxlet_tpu.cli"] + common +
         ["--out", str(tmp_path / "dist"), "--num-shards", "2",
          "--shard-id", str(k), "--dist-coordinator", coord],
-        env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        text=True,
     ) for k in range(2)]
     for p in procs:
-        out, err = p.communicate(timeout=900)
+        out, err = p.communicate(timeout=1200)
         assert p.returncode == 0, err[-4000:]
     for ext in (".single", ".sing2", ".best"):
         want = open(str(tmp_path / "ref") + ext).read()
