@@ -286,6 +286,11 @@ class Feature:
     code: str
     pos: int  # 1-based position in the read
     data: object = None
+    qv: Optional[bytes] = None  # per-base quals carried by the feature
+    # ('B' base+qual): used only when the read's quals are not preserved
+    # wholesale — preserved QS arrays overwrite feature quals, matching
+    # htslib's decode order (cram_decode.c applies feature quals first,
+    # then the CF_PRESERVE_QS array over the top)
 
 
 @dataclass
@@ -375,11 +380,12 @@ class CramRead:
                 run = len(f.data)
                 if cpos <= gpos < cpos + run:
                     off = gpos - cpos
-                    q = (
-                        self.quals[rpos + off]
-                        if rpos + off < len(self.quals)
-                        else 0
-                    )
+                    if rpos + off < len(self.quals):
+                        q = self.quals[rpos + off]  # preserved QS wins
+                    elif f.qv is not None and off < len(f.qv):
+                        q = f.qv[off]  # 'B' feature's stored qual
+                    else:
+                        q = 0
                     return (chr(f.data[off]), q, rpos + off)
                 cpos += run
                 rpos += run
@@ -470,6 +476,18 @@ class CramReader:
             from demuxlet_tpu.io import rans
 
             data = rans.decompress(payload)
+        elif method in (5, 6, 7, 8):
+            # CRAM 3.1 codec ids (5 rANS-Nx16, 6 adaptive arithmetic,
+            # 7 fqzcomp, 8 name tokeniser): a 3.1 file is structurally a
+            # 3.x container stream, so it dies HERE, not at the version
+            # gate — name the version so the user re-encodes instead of
+            # suspecting corruption
+            error(
+                "%s: CRAM 3.1 codec unsupported (method %d: "
+                "rANS-Nx16/arith/fqzcomp/tok3); re-encode as CRAM 3.0 "
+                "(e.g. samtools view -O cram,version=3.0)", self.path,
+                method,
+            )
         else:
             error("CRAM: block compression method %d not supported", method)
         if len(data) != rsize:
@@ -709,10 +727,15 @@ class CramReader:
                         # base + qual at one position: consumes a read
                         # base AND a ref position — semantically a
                         # 1-length 'b' run (dropping the stored base
-                        # would silently resolve to the ref base)
+                        # would silently resolve to the ref base). The
+                        # qual byte rides on the feature: when quals are
+                        # not preserved wholesale (no CF 0x1), it is the
+                        # only source of BQ at this position.
                         bb = opt["BA"].read_byte()
-                        opt["QS"].read_byte()
-                        feats.append(Feature("b", fpos, bytes([bb])))
+                        qb = opt["QS"].read_byte()
+                        feats.append(
+                            Feature("b", fpos, bytes([bb]), bytes([qb]))
+                        )
                     else:
                         error("CRAM: feature code %r unsupported", fc)
                 mq = opt["MQ"].read_int() if "MQ" in opt else 0

@@ -34,10 +34,16 @@ OUT = os.path.join(HERE, "_prep.so")
 
 
 def build(force: bool = False) -> str:
+    # staleness check over ALL sources the TU includes, mirroring
+    # native/build.py — an added #include must not silently ship a stale
+    # _prep.so (the exact failure mode the round-4 fuzz catch fixed for
+    # _ingest.so). prep.cpp currently has no local includes; list any
+    # future .inc here.
+    deps = [SRC]
     if (
         not force
         and os.path.exists(OUT)
-        and os.path.getmtime(OUT) >= os.path.getmtime(SRC)
+        and os.path.getmtime(OUT) >= max(os.path.getmtime(d) for d in deps)
     ):
         return OUT
     tmp = OUT + ".tmp%d" % os.getpid()

@@ -732,12 +732,16 @@ def write_cram(
     slices: int = 1,
     index: bool = False,
     b_features: bool = False,
+    preserve_quals: bool = True,
 ) -> str:
     """Spec-structured CRAM 3.0 writer for testing io/cram.py.
 
     ref_seqs: chrom -> str genome (reads encode as substitution features;
     with b_features every third mismatch encodes as a 'B' base+qual
     feature instead of an 'X' substitution code).
+    preserve_quals=False drops CF bit 0x1 and the wholesale QS array —
+    feature-carried quals ('B') become the only BQ source, the htslib
+    semantics the decoders must honor (advisor r4 #1).
     method: block compression (0 raw, 1 gzip, 2 bzip2, 4 rANS).
     core_codecs: encode the integer data series with core-bitstream codecs
     (BETA/GAMMA/SUBEXP/multi-symbol canonical HUFFMAN) in a CORE data
@@ -786,7 +790,7 @@ def write_cram(
         for i, r in enumerate(slice_reads):
             S = streams
             events.append(("BF", r.flag))
-            events.append(("CF", 0x1 | 0x2))
+            events.append(("CF", (0x1 if preserve_quals else 0) | 0x2))
             # RI (record reference id): consumed by decoders ONLY in
             # multi-ref (ref_id == -2) slices; always emitted (external
             # stream, trailing unread bytes are legal)
@@ -861,7 +865,8 @@ def write_cram(
                     S[_CRAM_IDS["BA"]] += payload[0].encode()
                     S[_CRAM_IDS["QS"]] += bytes([payload[1]])
             events.append(("MQ", r.mapq))
-            S[_CRAM_IDS["QS"]] += bytes(r.quals)
+            if preserve_quals:
+                S[_CRAM_IDS["QS"]] += bytes(r.quals)
         return events, streams
 
     if index:

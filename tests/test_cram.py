@@ -209,3 +209,74 @@ def test_cram_b_feature_pileup_matches_bam(tmp_path):
     bb, bc2 = build_slots(cb, cells), build_slots(cc, cells)
     np.testing.assert_array_equal(bb.idx, bc2.idx)
     np.testing.assert_array_equal(bb.cnt, bc2.cnt)
+
+
+def test_cram_b_feature_qual_without_preserved_quals(tmp_path):
+    """CRAMs without wholesale qual preservation (no CF 0x1): the 'B'
+    feature's stored qual byte is the ONLY BQ source at its position.
+    A decoder that reads-and-drops it returned BQ 0 there, silently
+    failing the min-BQ filter (advisor r4 #1). Both the Python and the
+    native reader must surface the feature qual; preserved-quals CRAMs
+    keep letting the QS array win (htslib decode order)."""
+    import os
+
+    os.makedirs(str(tmp_path), exist_ok=True)
+    rng = random.Random(7)
+    genome = _genome(rng, 240)
+    snp_pos = 100
+    ref = genome[snp_pos]
+    alt = next(b for b in "ACGT" if b != ref)
+    vcf = write_vcf(
+        str(tmp_path / "v.vcf"), ["S0"],
+        [SimVariant("chr1", snp_pos, ref, alt, [{"GT": "0/1"}])],
+        contigs=[("chr1", 240)],
+    )
+    # one 50bp read at pos0=80; mismatches at read offsets 5, 12, 20 —
+    # the third becomes the 'B' feature and sits ON the SNP (offset 20
+    # -> genomic 100), planted with the ALT allele and BQ 37
+    pos0, off_b, bq_b = 80, snp_pos - 80, 37
+    seq = list(genome[pos0 : pos0 + 50])
+    for off in (5, 12):
+        seq[off] = next(b for b in "ACGT" if b != seq[off])
+    seq[off_b] = alt
+    quals = [30] * 50
+    quals[off_b] = bq_b
+    read = SimRead("chr1", pos0, "".join(seq), quals, cb="CB0001",
+                   ub="U1")
+    cram = write_cram(
+        str(tmp_path / "r.cram"), [("chr1", 240)], [read],
+        {"chr1": genome}, b_features=True, preserve_quals=False,
+    )
+    table = load_snp_table(vcf, field_name="GT")
+    scl, _ = build_pileup(CramReader(cram), table)
+    # the SNP observation survives min-BQ with the feature's qual
+    assert (0, 0) in scl.umis, "B-feature obs dropped (BQ lost)"
+    (al, bq), = scl.umis[(0, 0)].values()
+    assert (al, bq) == (1, bq_b)
+
+    native = pytest.importorskip("demuxlet_tpu.native.ingest")
+    if not native.available():
+        pytest.skip("native ingest not built")
+    csr_n, _ = native.build_pileup(cram, table)
+    a, b = csr_n.cell_ptr[0], csr_n.cell_ptr[1]
+    assert b - a == 1
+    assert csr_n.obs_allele[a] == 1 and csr_n.obs_bq[a] == bq_b
+
+
+def test_cram_31_codec_loud_error():
+    """A CRAM 3.1-codec block (method ids 5-8) must fail with a message
+    naming CRAM 3.1 and the re-encode remedy, not a generic
+    'method not supported' that reads like corruption (VERDICT r4 #8).
+    3.1 files are structurally 3.x containers, so the failure surfaces
+    at block decode, not at the version gate."""
+    from types import SimpleNamespace
+
+    from demuxlet_tpu.io.cram import CramReader, _Buf
+    from demuxlet_tpu.utils.logging_utils import DemuxError
+
+    # minimal block: method=5 (rANS-Nx16), ctype=4, cid=0, csize=1,
+    # rsize=1, 1 payload byte, 4 CRC bytes
+    raw = bytes([5, 4, 0, 1, 1, 0xAB, 0, 0, 0, 0])
+    fake = SimpleNamespace(path="x.cram")
+    with pytest.raises(DemuxError, match="CRAM 3.1 codec unsupported"):
+        CramReader._block(fake, _Buf(raw))
