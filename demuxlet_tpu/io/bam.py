@@ -288,6 +288,7 @@ def _decode_bam_record(data: bytes) -> AlignedRead:
     qual = data[off : off + l_seq]
     off += l_seq
     tags = {}
+    cg_ops = None
     n = len(data)
     while off + 3 <= n:
         tag = data[off : off + 2].decode("ascii", "replace")
@@ -310,9 +311,24 @@ def _decode_bam_record(data: bytes) -> AlignedRead:
             sub = chr(data[off])
             (cnt,) = struct.unpack_from("<I", data, off + 1)
             size = {"c": 1, "C": 1, "s": 2, "S": 2, "i": 4, "I": 4, "f": 4}[sub]
+            if tag == "CG" and sub == "I" and cnt:
+                cg_ops = struct.unpack_from("<%dI" % cnt, data, off + 5)
             off += 5 + cnt * size
         else:
             break
+    # long-CIGAR records (>65535 ops): BAM stores a dummy `l_seqS spanN`
+    # CIGAR and ships the real one in a CG:B,I aux tag; htslib (the
+    # reference's reader) restores it transparently (sam.c), so must we —
+    # the dummy soft-clip would otherwise silently mis-pile every SNP the
+    # read covers. Trigger condition mirrors htslib exactly.
+    if (
+        cg_ops is not None
+        and n_cigar == 2
+        and len(cigar) == 2
+        and cigar[0] == (4, l_seq)  # S of l_qseq
+        and cigar[1][0] == 3  # N
+    ):
+        cigar = [(c & 0xF, c >> 4) for c in cg_ops]
     return AlignedRead(
         tid=tid,
         pos=pos,

@@ -718,13 +718,13 @@ class Ingest {
     active_head_ = 0;
   }
 
-  static bool base_at(const uint8_t* cig, uint16_t n_cigar, int64_t read_pos,
+  static bool base_at(const uint8_t* cig, uint32_t n_cigar, int64_t read_pos,
                       int64_t gpos, int32_t l_qseq, const uint8_t* seq4,
                       const uint8_t* qual, char* base, int* bq,
                       int32_t* rpos) {
     int64_t cpos = read_pos;
     int64_t rp = 0;
-    for (uint16_t i = 0; i < n_cigar; ++i) {
+    for (uint32_t i = 0; i < n_cigar; ++i) {
       uint32_t c;
       memcpy(&c, cig + 4 * i, 4);
       const uint32_t op = c & 0xF, ln = c >> 4;
@@ -785,25 +785,45 @@ class Ingest {
     const uint8_t* tags = qual + l_seq;
     const uint8_t* end = r + len;
 
+    const uint8_t* cb = nullptr;
+    size_t cb_len = 0;
+    const uint8_t* ub = nullptr;
+    size_t ub_len = 0;
+    const uint8_t* cg = nullptr;
+    uint32_t cg_n = 0;
+    scan_tags(tags, end, &cb, &cb_len, &ub, &ub_len, &cg, &cg_n);
+
+    // long-CIGAR records (>65535 ops): BAM stores a dummy `l_seqS spanN`
+    // CIGAR and the real one in a CG:B,I aux tag; htslib (the
+    // reference's reader) restores it transparently (sam.c) — the dummy
+    // soft-clip would otherwise silently mis-pile every covered SNP.
+    // Trigger condition mirrors htslib exactly.
+    const uint8_t* cig_eff = cig;
+    uint32_t n_cigar_eff = n_cigar;
+    if (cg && cg_n && n_cigar == 2) {
+      uint32_t c0, c1;
+      memcpy(&c0, cig, 4);
+      memcpy(&c1, cig + 4, 4);
+      if ((c0 & 0xF) == 4 && (int32_t)(c0 >> 4) == l_seq &&
+          (c1 & 0xF) == 3) {
+        cig_eff = cg;
+        n_cigar_eff = cg_n;
+      }
+    }
+
     int64_t rlen = 0;
-    for (uint16_t i = 0; i < n_cigar; ++i) {
+    for (uint32_t i = 0; i < n_cigar_eff; ++i) {
       uint32_t c;
-      memcpy(&c, cig + 4 * i, 4);
+      memcpy(&c, cig_eff + 4 * i, 4);
       const uint32_t op = c & 0xF;
       if (op == 0 || op == 2 || op == 3 || op == 7 || op == 8) rlen += c >> 4;
     }
     const int64_t endpos = pos + (rlen ? rlen : 1);
 
-    const uint8_t* cb = nullptr;
-    size_t cb_len = 0;
-    const uint8_t* ub = nullptr;
-    size_t ub_len = 0;
-    scan_tags(tags, end, &cb, &cb_len, &ub, &ub_len);
-
     auto resolver = [&](int64_t gpos, char /*ref_c*/, char* base, int* bq,
                         int32_t* rpos) {
-      return base_at(cig, n_cigar, pos, gpos, l_seq, seq4, qual, base, bq,
-                     rpos);
+      return base_at(cig_eff, n_cigar_eff, pos, gpos, l_seq, seq4, qual,
+                     base, bq, rpos);
     };
     process_generic(tid, pos, endpos, mapq, flag, l_seq, cb, cb_len, ub,
                     ub_len, resolver);
@@ -962,7 +982,8 @@ class Ingest {
   }
 
   void scan_tags(const uint8_t* p, const uint8_t* end, const uint8_t** cb,
-                 size_t* cb_len, const uint8_t** ub, size_t* ub_len) {
+                 size_t* cb_len, const uint8_t** ub, size_t* ub_len,
+                 const uint8_t** cg = nullptr, uint32_t* cg_n = nullptr) {
     while (p + 3 <= end) {
       const uint8_t t0 = p[0], t1 = p[1];
       const char typ = (char)p[2];
@@ -1009,6 +1030,11 @@ class Ingest {
                        : (sub == 's' || sub == 'S') ? 2
                                                     : 4;
           vlen = 5 + (size_t)cnt * esz;
+          if (cg && t0 == 'C' && t1 == 'G' && sub == 'I' &&
+              p + vlen <= end) {
+            *cg = p + 5;  // long-CIGAR restore array (see process_record)
+            *cg_n = cnt;
+          }
           break;
         }
         default:

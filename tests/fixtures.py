@@ -198,8 +198,14 @@ def write_bam(
     contigs: List[Tuple[str, int]],
     reads: List[SimRead],
     index=True,
+    cg_tags: bool = False,
 ) -> str:
     """Minimal spec-compliant BAM writer (BGZF-compressed).
+
+    cg_tags=True emits every record in the long-CIGAR form: the CIGAR
+    field holds the dummy `l_seqS spanN` pair and the real CIGAR rides in
+    a CG:B,I aux tag (the BAM encoding for >65535 ops, restored
+    transparently by htslib — and by this repo's readers).
 
     Sorts records by (tid, pos) and, with index=True (or "bai"), writes a
     minimal .bai (no bins, one linear-index entry per covered reference)
@@ -227,6 +233,13 @@ def write_bam(
         name = f"{r.name}{i}".encode() + b"\x00"
         cig = _encode_cigar(r.cigar_str())
         l_seq = len(r.seq)
+        cg_payload = None
+        if cg_tags:
+            span = sum(
+                c >> 4 for c in cig if (c & 0xF) in (0, 2, 3, 7, 8)
+            )
+            cg_payload = cig
+            cig = [(l_seq << 4) | 4, (span << 4) | 3]  # l_seqS spanN
         rec += struct.pack(
             "<iiBBHHHiiii",
             ref_index[r.chrom],
@@ -258,6 +271,10 @@ def write_bam(
             rec += b"CBZ" + r.cb.encode() + b"\x00"
         if r.ub is not None:
             rec += b"UBZ" + r.ub.encode() + b"\x00"
+        if cg_payload is not None:
+            rec += b"CGBI" + struct.pack("<I", len(cg_payload))
+            for c in cg_payload:
+                rec += struct.pack("<I", c)
         buf += struct.pack("<i", len(rec)) + bytes(rec)
     from demuxlet_tpu.io.bgzf import BGZF_EOF, compress_block
 

@@ -203,3 +203,66 @@ class TestIngest:
         scl, ctr = _setup(tmp_path, reads, variants)
         assert len(scl.umis) == 2
         assert ctr.n_multi_snps == 1
+
+
+class TestLongCigarCG:
+    """Long-CIGAR BAM records: >65535-op CIGARs store a dummy `l_seqS
+    spanN` pair in the CIGAR field and the real ops in a CG:B,I aux tag;
+    htslib restores them transparently (sam.c), so both ingest paths
+    must too — the dummy soft-clip would otherwise silently drop every
+    observation the read carries (VERDICT r4 #6)."""
+
+    def _workload(self, tmp_path, cg):
+        import random
+
+        rng = random.Random(11)
+        variants, reads = [], []
+        # adversarial CIGAR shapes spanning the SNPs: indels, skips, clips
+        shapes = ["20M", "5M2D15M", "4S8M3N8M", "6M3I11M", "2S5M1D5M2N8M"]
+        for i in range(12):
+            p = 100 + 40 * i
+            ref, alt = rng.sample("ACGT", 2)
+            variants.append(
+                SimVariant("chr1", p + 7, ref, alt,
+                           [{"GT": "0/1"}, {"GT": "0/0"}])
+            )
+            cig = shapes[i % len(shapes)]
+            ln = sum(
+                int(n) for n, ch in __import__("re").findall(
+                    r"(\d+)([MIDNSHP=X])", cig) if ch in "MIS"
+            )
+            seq = "".join(rng.choice("ACGT") for _ in range(ln))
+            reads.append(
+                SimRead("chr1", p, seq, [30] * ln, cigar=cig,
+                        cb="BC%02d" % (i % 4), ub="U%d" % i)
+            )
+        vcf = write_vcf(str(tmp_path / "v.vcf"), ["S0", "S1"], variants,
+                        contigs=[("chr1", 4000)])
+        bam = write_bam(str(tmp_path / ("cg.bam" if cg else "plain.bam")),
+                        [("chr1", 4000)], reads, cg_tags=cg)
+        return vcf, bam
+
+    def test_python_reader_restores_cg(self, tmp_path):
+        vcf, plain = self._workload(tmp_path, cg=False)
+        _, cgbam = self._workload(tmp_path, cg=True)
+        table = load_snp_table(vcf, field_name="GT")
+        scl_p, ctr_p = build_pileup(AlignmentReader(plain), table)
+        scl_c, ctr_c = build_pileup(AlignmentReader(cgbam), table)
+        assert scl_p.umis == scl_c.umis
+        assert ctr_p == ctr_c
+        assert len(scl_p.umis) > 0  # the workload actually covers SNPs
+
+    def test_native_reader_restores_cg(self, tmp_path):
+        native = pytest.importorskip("demuxlet_tpu.native.ingest")
+        if not native.available():
+            pytest.skip("native ingest not built")
+        vcf, plain = self._workload(tmp_path, cg=False)
+        _, cgbam = self._workload(tmp_path, cg=True)
+        table = load_snp_table(vcf, field_name="GT")
+        csr_p, ctr_p = native.build_pileup(plain, table)
+        csr_c, ctr_c = native.build_pileup(cgbam, table)
+        np.testing.assert_array_equal(csr_p.obs_snp, csr_c.obs_snp)
+        np.testing.assert_array_equal(csr_p.obs_allele, csr_c.obs_allele)
+        np.testing.assert_array_equal(csr_p.obs_bq, csr_c.obs_bq)
+        assert ctr_p == ctr_c
+        assert len(csr_p.obs_snp) > 0
