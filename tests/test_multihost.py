@@ -640,3 +640,124 @@ def test_two_process_distributed_tiled_pool(tmp_path):
         want = open(str(tmp_path / "ref") + ext).read()
         got = open(str(tmp_path / "dist") + ext).read()
         assert got == want, f"{ext} differs at V=16 distributed"
+
+
+def _dist_procs(common, out, coord_n, env, extra=None):
+    """Launch coord_n CLI processes joined via a fresh localhost
+    coordinator; returns after all exit 0."""
+    import socket
+    import subprocess
+    import sys
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    coord = f"127.0.0.1:{port}"
+    procs = [subprocess.Popen(
+        [sys.executable, "-m", "demuxlet_tpu.cli"] + common +
+        ["--out", out, "--num-shards", str(coord_n), "--shard-id", str(k),
+         "--dist-coordinator", coord] + (extra or []),
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+    ) for k in range(coord_n)]
+    errs = []
+    for p in procs:
+        _, err = p.communicate(timeout=900)
+        errs.append(err)
+        assert p.returncode == 0, err[-4000:]
+    return errs
+
+
+def test_three_process_barcode_sharded_cli(tmp_path):
+    """P=3 barcode sharding (exact): every multi-process test so far ran
+    P=2, where the compact gather's reordering happens to be
+    fp-symmetric; barcode-sharded rows are computed whole by their owner
+    at any P, so process 0's outputs must stay BYTE-identical to the
+    single-process run (VERDICT r4 #4)."""
+    vcf, bam = _write_workload(tmp_path, seed=43, n_cells=27)
+    env = _cli_env()
+    common = ["--sam", bam, "--vcf", vcf, "--field", "GT",
+              "--mode", "exact", "--device", "cpu", "--mesh", "none"]
+    _run_cli(common + ["--out", str(tmp_path / "ref")], env)
+    errs = _dist_procs(common, str(tmp_path / "dist"), 3, env)
+    for ext in (".single", ".sing2", ".best"):
+        want = open(str(tmp_path / "ref") + ext).read()
+        got = open(str(tmp_path / "dist") + ext).read()
+        assert got == want, f"P=3 {ext} differs\n{errs[0][-1500:]}"
+
+
+def _render_quantum(s: str) -> float:
+    """Smallest rendered step of a printf-formatted number: one unit in
+    the last printed decimal (fixed) or significant (e-notation) digit."""
+    s = s.strip()
+    if "e" in s or "E" in s:
+        mant, _, exp = s.lower().partition("e")
+        dec = len(mant.split(".")[1]) if "." in mant else 0
+        return 10.0 ** (int(exp) - dec)
+    dec = len(s.split(".")[1]) if "." in s else 0
+    return 10.0 ** (-dec)
+
+
+def _assert_rows_close(want_line: str, got_line: str, ctx):
+    """Rendered rows equal up to ONE rendering quantum per float field —
+    tolerates the documented P>2 psum-reorder ulp, catches any real
+    merge bug (which shifts values by many quanta)."""
+    cw, cg = want_line.split("\t"), got_line.split("\t")
+    assert len(cw) == len(cg), ctx
+    for a, b in zip(cw, cg):
+        if a == b:
+            continue
+        fa, fb = float(a), float(b)  # non-float mismatch raises -> fail
+        tol = 1.5 * max(_render_quantum(a), _render_quantum(b))
+        assert abs(fa - fb) <= tol, (ctx, a, b, tol)
+
+
+def test_four_process_genome_sharded_cli(tmp_path):
+    """P=4 genome sharding: the SUM-merge (psum_scatter) adds per-shard
+    LLK contributions in device order, which is documented ~1-ulp
+    nondeterministic beyond P=2 (parallel/multihost.py) — and was never
+    exercised past P=2. Calls and ids must match the single-process run
+    exactly; every rendered float must agree to one rendering quantum,
+    so a real merge bug (wrong/missing shard contribution) cannot hide
+    behind the ulp caveat (VERDICT r4 #4)."""
+    parts = []
+    contigs = []
+    names = None
+    for c in range(2):
+        cg, names, variants, reads, truth = random_workload(
+            random.Random(87 + c), n_cells=15, n_snps=24, n_samples=3,
+            reads_per_cell=40, chrom=f"chr{c + 1}",
+        )
+        contigs.append((f"chr{c + 1}", cg[0][1]))
+        parts.append((variants, reads))
+    variants = [v for vs, _ in parts for v in vs]
+    reads = [r for _, rs in parts for r in rs]
+    vcf = write_vcf(str(tmp_path / "g4.vcf"), names, variants,
+                    contigs=contigs)
+    bam = write_bam(str(tmp_path / "g4.bam"), contigs, reads)
+
+    env = _cli_env()
+    common = ["--sam", bam, "--vcf", vcf, "--field", "GT",
+              "--mode", "exact", "--device", "cpu", "--mesh", "none"]
+    _run_cli(common + ["--out", str(tmp_path / "ref")], env)
+    errs = _dist_procs(common, str(tmp_path / "dist"), 4, env,
+                       extra=["--shard-by", "genome"])
+
+    from parity_utils import canonicalize_best
+
+    for ext in (".single", ".sing2", ".best"):
+        want = open(str(tmp_path / "ref") + ext).read().splitlines()
+        got = open(str(tmp_path / "dist") + ext).read().splitlines()
+        if ext == ".best":
+            want = canonicalize_best(want)
+            got = canonicalize_best(got)
+        assert len(want) == len(got), (ext, errs[0][-1500:])
+        for lw, lg in zip(want, got):
+            if lw == lg:
+                continue
+            if ext == ".best":
+                # call string + ids must be exact; only LLK/posterior
+                # columns may move by a quantum
+                cw, cg = lw.split("\t"), lg.split("\t")
+                for col in (0, 5, 6, 8, 11, 12):  # BARCODE..BEST..ids
+                    assert cw[col] == cg[col], (ext, lw, lg)
+            _assert_rows_close(lw, lg, (ext, lw[:60]))
