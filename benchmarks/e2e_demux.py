@@ -13,7 +13,22 @@ bandwidth -> the e2e rate ceiling on THIS host, plus the projection on a
 standard PCIe host (VERDICT r2 #2/#8 evidence). Set E2E_ARTIFACT=path to
 also write the full summary JSON artifact.
 
-Usage: python benchmarks/e2e_demux.py [n_cells] [snps_per_cell] [nv] [nalpha] [mode]
+Usage: python benchmarks/e2e_demux.py [n_cells] [snps_per_cell] [nv]
+           [nalpha] [mode] [profile]
+
+profile (default "uniform"):
+  uniform    every cell covers snps_per_cell SNPs at exactly 2 UMIs each,
+             BQ uniform over [13, 40] — the round-1..4 workload (kept
+             for cross-round comparability; its wide BQ alphabet and
+             full-lane slots are the wire format's WORST case).
+  realistic  what actual droplet data looks like, each property sourced:
+             BQ binned to {23, 37} (NovaSeq RTA3 emits 4 quality bins;
+             after the default min-BQ 13 filter two survive), per-cell
+             coverage lognormal around snps_per_cell (library-size
+             skew), SNPs drawn as per-gene runs with zipf gene
+             popularity (expression concentrates on few genes; covered
+             SNPs cluster inside genes), UMIs/slot 1 + Poisson(0.15)
+             with rare PCR-hot slots (deep-lane tail).
 """
 
 from __future__ import annotations
@@ -32,6 +47,7 @@ S_PER_CELL = int(sys.argv[2]) if len(sys.argv) > 2 else 1000
 NV = int(sys.argv[3]) if len(sys.argv) > 3 else 8
 NA = int(sys.argv[4]) if len(sys.argv) > 4 else 5
 MODE = sys.argv[5] if len(sys.argv) > 5 else "fast"
+PROFILE = sys.argv[6] if len(sys.argv) > 6 else "uniform"
 NSNPS = 50_000
 UMIS = 2
 
@@ -58,6 +74,77 @@ def synth_csr(rng):
     )
 
 
+def synth_csr_realistic(rng):
+    """Droplet-realistic pileup (see module docstring for sources).
+    Exercises the paths the uniform profile cannot: coverage-sorted
+    blocking (engine._blocks), the wire-v2 4-bit dict + deep-lane tail,
+    and narrow deltas over gene-run SNP clusters."""
+    from demuxlet_tpu.host.csr import CsrPileup
+
+    gene_len = 25  # SNPs per gene cluster
+    n_genes = NSNPS // gene_len
+    pop = 1.0 / np.arange(1, n_genes + 1) ** 0.9  # zipf popularity
+    pop /= pop.sum()
+    gene_perm = rng.permutation(n_genes)  # popular genes spread genomewide
+    cdf = np.cumsum(pop)
+
+    # per-cell coverage: lognormal around S_PER_CELL, sd ~0.6 dex
+    s_c = np.clip(
+        rng.lognormal(np.log(S_PER_CELL), 0.6, size=N_CELLS),
+        40, 6 * S_PER_CELL,
+    ).astype(np.int64)
+    genes_per_cell = np.maximum(s_c // 12, 1)  # ~12 covered SNPs/gene
+
+    cell_parts, snp_parts = [], []
+    step = 4096
+    for lo in range(0, N_CELLS, step):
+        hi = min(lo + step, N_CELLS)
+        ng = genes_per_cell[lo:hi]
+        tot = int(ng.sum())
+        g = gene_perm[
+            np.searchsorted(cdf, rng.random(tot)).clip(0, n_genes - 1)
+        ]
+        cell_of_gene = np.repeat(np.arange(lo, hi), ng)
+        # covered run inside the gene: random start + length ~12
+        run = rng.integers(6, 19, size=tot)
+        start = rng.integers(0, gene_len - 5, size=tot)
+        run = np.minimum(run, gene_len - start)
+        snp0 = g * gene_len + start
+        snps = np.repeat(snp0, run) + _ranges(run)
+        cells = np.repeat(cell_of_gene, run)
+        cell_parts.append(cells)
+        snp_parts.append(snps)
+    obs_cell1 = np.concatenate(cell_parts)
+    obs_snp1 = np.concatenate(snp_parts).astype(np.int64)
+
+    # UMIs per covered slot: 1 + Poisson(0.15), plus rare PCR-hot slots
+    occ = 1 + rng.poisson(0.15, size=len(obs_snp1))
+    hot = rng.random(len(obs_snp1)) < 5e-4
+    occ[hot] += rng.integers(4, 20, size=int(hot.sum()))
+    obs_cell = np.repeat(obs_cell1, occ)
+    obs_snp = np.repeat(obs_snp1, occ)
+    nobs = len(obs_snp)
+    obs_allele = rng.integers(0, 2, size=nobs).astype(np.uint8)
+    # post-min-BQ NovaSeq bins
+    obs_bq = np.where(rng.random(nobs) < 0.85, 37, 23).astype(np.uint8)
+    barcodes = ["BC%06d" % i for i in range(N_CELLS)]
+    totl = np.bincount(obs_cell, minlength=N_CELLS).astype(np.int64)
+    return CsrPileup.from_arrays(
+        [f"S{i}" for i in range(NV)], NSNPS, barcodes, totl, totl, totl,
+        obs_cell, obs_snp, obs_allele, obs_bq,
+    )
+
+
+def _ranges(lengths):
+    """concatenate([arange(n) for n in lengths]) without the loop."""
+    tot = int(lengths.sum())
+    out = np.ones(tot, dtype=np.int64)
+    out[0] = 0
+    ends = np.cumsum(lengths)[:-1]
+    out[ends] = 1 - lengths[:-1]
+    return np.cumsum(out)
+
+
 def main():
     import jax
 
@@ -72,11 +159,14 @@ def main():
     threading.Thread(target=jax.devices, daemon=True).start()
     t0 = time.time()
     rng = np.random.default_rng(0)
-    csr = synth_csr(rng)
+    csr = synth_csr_realistic(rng) if PROFILE == "realistic" else (
+        synth_csr(rng))
     gps = rng.dirichlet(np.ones(3), size=(NSNPS, NV))
     t_gen = time.time() - t0
-    print(f"# workload: {N_CELLS} cells x {S_PER_CELL} SNPs x {UMIS} umis, "
-          f"V={NV} A={NA} (gen {t_gen:.1f}s)", flush=True)
+    mean_cov = len(csr.obs_snp) / N_CELLS
+    print(f"# workload[{PROFILE}]: {N_CELLS} cells, "
+          f"{mean_cov:.0f} obs/cell mean, V={NV} A={NA} "
+          f"(gen {t_gen:.1f}s)", flush=True)
 
     from demuxlet_tpu.models.engine import DemuxEngine, cell_stats
     from demuxlet_tpu.models import outputs as out_mod
@@ -170,6 +260,13 @@ def main():
     row = {
         "metric": "e2e_demux_barcodes_per_s",
         "mode": MODE,
+        "profile": PROFILE,
+        "wire_cfg": None if eng._wire_cfg is None else {
+            "n_dict": eng._wire_cfg.n_real,
+            "code_w": eng._wire_cfg.code_w,
+            "delta_w": eng._wire_cfg.delta_w,
+            "u_cap": eng._wire_cfg.u_cap,
+        },
         "value": round(rate, 1),
         "unit": "barcodes/s",
         "vs_baseline": round(rate / base_bps, 1),

@@ -1,0 +1,354 @@
+"""Wire format v2: the packed H2D block encoding (round-5 top item).
+
+The v1 wire (engine._to_wire) ships 8-bit observation codes and 8-bit
+slot-id deltas — 3,151 B/barcode at the 100K e2e shape, THE binding
+constraint on the tunneled link (E2E_r04.json: ~80 MB/s H2D = 25K
+barcodes/s ceiling). v2 cuts the two dominant sections:
+
+* codes: a per-RUN sorted dictionary of the distinct observation codes
+  actually present (real droplet data has few: modern sequencers bin
+  base qualities to ~4 values, so dict sizes of 8-16 are typical; the
+  tutorial data has ~#distinct-BQ x 2 alleles). Wire codes are dict
+  indices packed at 4/6/8 bits. The dictionary never ships per block:
+  the engine gathers the LUT row subset once (sorted order keeps f32
+  reduction order stable and the exact path's selection bit-exact), so
+  the device kernels consume dict indices directly — the one-hot fronts
+  get NARROWER (fewer rows), a speedup on top of the byte cut.
+  Wire code space: [0, n) real codes, n = the empty-valid marker
+  (v1's 254: a covered slot whose observations were all allele==2,
+  cmd_cram_demuxlet.cpp:435), n+1 = none (v1's 255).
+* slot-id deltas: 4/6/8-bit with the v1 escape mechanism generalized —
+  stored min(d, E), E = 2^w - 1, excess restored from the sparse
+  (fix_pos, fix_val) list the device already scatter-adds before the
+  cumsum (pallas_pair.unpack_block_inputs).
+* UMI lanes: the v1 plane count U is the BLOCK MAX per-slot observation
+  count — one PCR-hot slot forces U=8 dense planes shipping ~85%
+  255-sentinels on realistic (mean ~1.1 UMIs/slot) data. v2 caps the
+  dense planes at a per-run U0 and ships the rare deeper lanes as a
+  sparse (u16 position, u8 code) tail list the device scatters into
+  place. probe_wire_v2.py killed the alternatives: a per-row
+  take_along_axis stream reconstruction costs 40-47 ms/block on v5e,
+  while .at[].set scatter scales ~10 us/entry-row — fine for the
+  realistic tail counts (<=128/cell -> ~1.2 ms), so U0 is chosen to
+  keep the expected tail small.
+
+Layout per row (all sections i32-lane aligned; one buffer per block —
+the tunneled transport charges ~30 ms fixed per H2D array):
+
+  [codes S*U0*cw/8 B] [tail_pos 2*K2 B] [tail_code K2 B (4-pad)]
+  [deltas S*dw/8 B] [base 4B] [fix_pos 4K B] [fix_val 4K B]
+
+The bit packers here are the host reference implementation (numpy) and
+the fallback when the native prep is absent; device decode lives in
+pallas_pair.unpack_block_inputs (probe_wire_v2.py: nibble 0.14 ms,
+6-bit 0.25 ms per 2048x1024x2 block — as cheap as the v1 bitcast).
+
+Measured dead end (probe_wire_v2.py, round 5): per-block unique-SNP
+compaction of the gps gather table — gathering (B, S) rows from a
+compacted (4K, 28) table costs the SAME 5.3-5.5 ms as from the full
+(50K, 28) table on v5e; the gather is output-materialization/row-
+transaction-bound, not table-residency-bound, so local-id remapping
+buys no device time (only marginally smaller deltas).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional, Tuple
+
+import numpy as np
+
+
+@dataclass(frozen=True)
+class WireCfg:
+    """Per-RUN wire configuration (static: one compiled variant per
+    slot-shape bucket, like v1 — per-block adaptivity would multiply
+    the remote-compile cost by the config count)."""
+
+    dict_codes: Tuple[int, ...]  # sorted distinct global codes present
+    code_w: int  # bits per wire code: 4, 6, or 8
+    delta_w: int  # bits per slot-id delta: 4, 6, or 8
+    u_cap: int = 8  # dense UMI lanes; deeper lanes ride the sparse tail
+
+    @property
+    def n_real(self) -> int:
+        return len(self.dict_codes)
+
+    @property
+    def marker(self) -> int:  # the v1-254 empty-valid marker
+        return self.n_real
+
+    @property
+    def none(self) -> int:  # the v1-255 no-observation value
+        return self.n_real + 1
+
+    def code_lut(self) -> np.ndarray:
+        """(256,) u8 map: v1 code byte -> wire code."""
+        lut = np.full(256, self.none, dtype=np.uint8)
+        lut[list(self.dict_codes)] = np.arange(self.n_real, dtype=np.uint8)
+        lut[254] = self.marker
+        return lut
+
+
+def _width_for(n_values: int) -> int:
+    if n_values <= 16:
+        return 4
+    if n_values <= 64:
+        return 6
+    return 8
+
+
+def choose_cfg(csr, cap_bq: int, sample_cells: int = 1024) -> WireCfg:
+    """Pick the run's wire config from the pileup's own statistics.
+
+    dict: exact distinct-code set (a chunked bincount pass over all
+    observations — the dict MUST cover every code, there is no escape
+    for codes). delta width: sampled escape fraction <= 1/16 (escapes
+    cost an 8-byte fix entry; past that the narrow width loses).
+    u_cap: minimizes wire-bytes + scatter-cost over the sampled per-slot
+    occupancy histogram (tail entries cost 3 wire B + ~10 us/entry of
+    device scatter ~ 0.8 equivalent link B at 80 MB/s -> weight 5.4),
+    with the expected tail kept small enough that the scatter stays in
+    the ~1 ms class (probe_wire_v2.py c4 arms).
+    """
+    nq = cap_bq + 1
+    counts = np.zeros(3 * nq + 1, dtype=np.int64)
+    n = len(csr.obs_snp)
+    step = 16 << 20
+    b16 = np.empty(min(step, n), dtype=np.uint16)
+    b8 = np.empty(min(step, n), dtype=np.uint8)
+    for lo in range(0, n, step):
+        al = csr.obs_allele[lo : lo + step]
+        bq = csr.obs_bq[lo : lo + step]
+        m = len(al)
+        # narrow-int arithmetic into reused buffers (the chunked pass
+        # runs over up to ~2e8 observations; fancy-index copies and
+        # int64 temps measured ~10x slower on this first-touch-bound
+        # host): code = al*nq + min(bq, cap); al == 2 rows land in
+        # [2nq, 3nq) and are dropped by the final < 2nq slice
+        np.multiply(al, np.uint16(nq), out=b16[:m], casting="unsafe")
+        np.minimum(bq, np.uint8(cap_bq), out=b8[:m])
+        np.add(b16[:m], b8[:m], out=b16[:m], casting="unsafe")
+        counts += np.bincount(b16[:m], minlength=len(counts))
+    dict_codes = tuple(int(c) for c in np.flatnonzero(counts[: 2 * nq]))
+    code_w = _width_for(len(dict_codes) + 2)
+
+    # sampled per-cell run structure over the first `sample_cells` cells
+    ncells = min(csr.nbcs, sample_cells)
+    hi = int(csr.cell_ptr[ncells])
+    snp = csr.obs_snp[:hi]
+    if len(snp) > 1:
+        new_cell = np.zeros(len(snp), dtype=bool)
+        starts = csr.cell_ptr[:ncells][np.diff(csr.cell_ptr[: ncells + 1]) > 0]
+        new_cell[starts] = True
+        d = np.diff(snp.astype(np.int64))
+        keep = (~new_cell[1:]) & (d > 0)  # in-cell slot transitions
+        dsamp = d[keep]
+        run_start = np.ones(len(snp), dtype=bool)
+        run_start[1:] = (d != 0) | new_cell[1:]
+        starts_idx = np.flatnonzero(run_start)
+        occ = np.diff(np.append(starts_idx, len(snp)))
+    else:
+        dsamp = np.zeros(0, np.int64)
+        occ = np.ones(1, np.int64)
+    delta_w = 8
+    if len(dsamp):
+        for w in (4, 6):
+            if (dsamp >= (1 << w) - 1).mean() <= 1.0 / 16:
+                delta_w = w
+                break
+
+    # u_cap: per sampled slot, dense lanes cost u_cap*code_w/8 bytes;
+    # lanes beyond it cost ~5.4 equivalent bytes each (3 wire + scatter)
+    nslots = max(len(occ), 1)
+    best, u_cap = None, 8
+    for cand in (1, 2, 4, 8):
+        dense = nslots * cand * code_w / 8.0
+        tail = float(np.maximum(occ - cand, 0).sum()) * 5.4
+        cost = dense + tail
+        if best is None or cost < best:
+            best, u_cap = cost, cand
+    return WireCfg(dict_codes=dict_codes, code_w=code_w, delta_w=delta_w,
+                   u_cap=u_cap)
+
+
+# ---------------------------------------------------------- bit packing
+
+
+def pack_bits(a: np.ndarray, width: int) -> np.ndarray:
+    """(B, N) small-int u8 -> (B, N*width/8) u8. width in {4, 6, 8};
+    N % 16 == 0 (block slot axes are 128-multiples)."""
+    B, N = a.shape
+    if width == 8:
+        return np.ascontiguousarray(a)
+    if width == 4:
+        a2 = a.reshape(B, N // 2, 2).astype(np.uint8)
+        return np.ascontiguousarray(a2[:, :, 0] | (a2[:, :, 1] << 4))
+    if width == 6:
+        a4 = a.reshape(B, N // 4, 4).astype(np.uint16)
+        b0 = (a4[:, :, 0] | (a4[:, :, 1] << 6)) & 0xFF
+        b1 = ((a4[:, :, 1] >> 2) | (a4[:, :, 2] << 4)) & 0xFF
+        b2 = ((a4[:, :, 2] >> 4) | (a4[:, :, 3] << 2)) & 0xFF
+        return np.ascontiguousarray(
+            np.stack([b0, b1, b2], axis=-1).reshape(B, -1).astype(np.uint8)
+        )
+    raise ValueError(width)
+
+
+def unpack_bits(p: np.ndarray, width: int, n: int) -> np.ndarray:
+    """Host-side inverse of pack_bits (tests + oracle use)."""
+    B = p.shape[0]
+    if width == 8:
+        return p[:, :n]
+    if width == 4:
+        lo = p & 0x0F
+        hi = p >> 4
+        return np.stack([lo, hi], axis=-1).reshape(B, -1)[:, :n]
+    if width == 6:
+        b = p.reshape(B, -1, 3).astype(np.uint16)
+        q0 = b[:, :, 0] & 63
+        q1 = ((b[:, :, 0] >> 6) | (b[:, :, 1] << 2)) & 63
+        q2 = ((b[:, :, 1] >> 4) | (b[:, :, 2] << 4)) & 63
+        q3 = b[:, :, 2] >> 2
+        return (
+            np.stack([q0, q1, q2, q3], axis=-1)
+            .reshape(B, -1)[:, :n]
+            .astype(np.uint8)
+        )
+    raise ValueError(width)
+
+
+# ------------------------------------------------------------- packing
+
+
+def _ragged_fill(mask_rows: np.ndarray):
+    """(B, N) bool -> (rows, within-row rank, per-row counts): the fix-
+    list fill pattern shared by delta escapes and the UMI tail."""
+    counts = mask_rows.sum(axis=1)
+    rows, cols = np.nonzero(mask_rows)
+    rank = np.concatenate(
+        [np.arange(k) for k in counts if k]
+    ).astype(np.int64) if counts.sum() else np.zeros(0, np.int64)
+    return rows, cols, rank, counts
+
+
+def _split_tail(wc: np.ndarray, cfg: WireCfg):
+    """(B, S, U) wire codes -> (dense (B,S,U0), U0, K2p, tail_pos,
+    tail_code): the dense-lane cap + sparse deep tail."""
+    B, S, U = wc.shape
+    U0 = min(cfg.u_cap, U)
+    if U > U0 and S * (U - U0) > 0xFFFF:
+        U0 = U  # u16 tail positions can't address the tail plane
+    if U == U0:
+        return wc, U0, 0, None, None
+    deep = wc[:, :, U0:]  # (B, S, U-U0)
+    tmask = (deep != cfg.none).reshape(B, -1)
+    rows, cols, rank, counts = _ragged_fill(tmask)
+    K2 = int(counts.max()) if B else 0
+    K2p = 8
+    while K2p < K2:
+        K2p *= 2
+    # pad entries point past the tail plane: the device scatter drops
+    # out-of-bounds rows (mode="drop"); 0xFFFF stays OOB because
+    # S*(U-U0) <= 0xFFFF was checked above
+    tail_pos = np.full((B, K2p), 0xFFFF, dtype=np.uint16)
+    tail_code = np.full((B, K2p), cfg.none, dtype=np.uint8)
+    if K2:
+        tail_pos[rows, rank] = cols.astype(np.uint16)
+        tail_code[rows, rank] = deep.reshape(B, -1)[rows, cols]
+    dense = wc[:, :, :U0].copy()
+    # marker rule: a slot whose real codes live ONLY in deep lanes
+    # (dense lanes all holes) gets the marker in lane 0, so the device
+    # mask derives from the dense lanes alone (the fast front never
+    # reconstructs deep lanes — it scatter-adds the tail into the count
+    # tensor). The marker maps to the zero/none LUT row, contributing
+    # nothing, exactly like the hole it replaces.
+    only_deep = (dense == cfg.none).all(axis=-1) & (
+        deep != cfg.none).any(axis=-1)
+    if only_deep.any():
+        b, s = np.nonzero(only_deep)
+        dense[b, s, 0] = cfg.marker
+    return dense, U0, K2p, tail_pos, tail_code
+
+
+def _pack_deltas(d: np.ndarray, cfg: WireCfg):
+    """Full (B, S) i64 deltas -> (dsm u8, Kp, fix_pos, fix_val) with
+    the generalized escape: stored min(d, E), E = 2^delta_w - 1."""
+    B = d.shape[0]
+    E = (1 << cfg.delta_w) - 1
+    rows, cols, rank, n_over = _ragged_fill(d > E)
+    K = int(n_over.max()) if B else 0
+    Kp = 8
+    while Kp < K:
+        Kp *= 2
+    fix_pos = np.zeros((B, Kp), dtype=np.int32)
+    fix_val = np.zeros((B, Kp), dtype=np.int32)
+    if K:
+        fix_pos[rows, rank] = cols.astype(np.int32)
+        fix_val[rows, rank] = (d[rows, cols] - E).astype(np.int32)
+    return np.minimum(d, E).astype(np.uint8), Kp, fix_pos, fix_val
+
+
+def _assemble(wc, base, d, cfg: WireCfg):
+    """Wire codes (with markers placed) + full deltas -> (wire, meta)."""
+    B, S, U = wc.shape
+    assert int(wc.max(initial=0)) < (1 << cfg.code_w), (
+        "dict does not cover the block's codes"
+    )
+    dense, U0, K2p, tail_pos, tail_code = _split_tail(wc, cfg)
+    dsm, Kp, fix_pos, fix_val = _pack_deltas(d, cfg)
+    parts = [pack_bits(dense.reshape(B, S * U0), cfg.code_w).view(np.int32)]
+    if K2p:
+        parts.append(np.ascontiguousarray(tail_pos).view(np.int32))
+        parts.append(np.ascontiguousarray(tail_code).view(np.int32))
+    parts += [
+        pack_bits(dsm, cfg.delta_w).view(np.int32),
+        base[:, None],
+        fix_pos,
+        fix_val,
+    ]
+    wire = np.concatenate(parts, axis=1)
+    meta = ("w2", S, U, U0, K2p, Kp, cfg.code_w, cfg.delta_w, cfg.n_real)
+    return wire, meta
+
+
+def pack_wire_block(codes: np.ndarray, idx: np.ndarray, msk: np.ndarray,
+                    cfg: WireCfg):
+    """build_codes_block output -> (wire (B, W) i32, meta) in v2 form.
+
+    Python reference packer (the native-prep path routes through
+    pack_from_shrunk). meta = ("w2", S, U, U0, K2p, Kp, code_w,
+    delta_w, n_real) — the static half of the jit key; see
+    pallas_pair.unpack_block_inputs for the device decode. U is the
+    block's full lane count (reconstruction shape), U0 the dense lanes;
+    lanes >= U0 with a real code ship as (u16 pos, u8 code) tail
+    entries (255 holes in deep lanes need no entry — the tail plane
+    fills with none). Reconstruction is lane-position-exact, so device
+    results are bit-identical to the v1 dense form in both modes.
+    """
+    B, S, U = codes.shape
+    wc = cfg.code_lut()[codes]
+    # empty-valid slots: all observations dropped (allele==2) -> marker
+    # in lane 0 (engine._shrink_codes_blk semantics)
+    empty = msk & (wc == cfg.none).all(axis=-1)
+    if empty.any():
+        b, s = np.nonzero(empty)
+        wc[b, s, 0] = cfg.marker
+    d = np.zeros_like(idx, dtype=np.int64)
+    d[:, 1:] = np.diff(idx.astype(np.int64), axis=1)
+    d[~msk] = 0
+    d[:, 1:][~msk[:, 1:]] = 0
+    assert (d >= 0).all(), "slot ids must be per-cell sorted"
+    return _assemble(wc, idx[:, 0].astype(np.int32), d, cfg)
+
+
+def pack_from_shrunk(codes: np.ndarray, d8: np.ndarray, base: np.ndarray,
+                     fix_pos: np.ndarray, fix_val: np.ndarray,
+                     cfg: WireCfg):
+    """Native-prep (v1 shrunk) output -> v2 wire: codes already carry
+    the 254 markers (cfg.code_lut maps 254 -> marker), the full deltas
+    reconstruct from the u8 stream + its 255-escape fixes, then repack
+    at the configured width."""
+    d = d8.astype(np.int64)
+    np.add.at(d, (np.arange(d.shape[0])[:, None], fix_pos), fix_val)
+    return _assemble(cfg.code_lut()[codes], base.astype(np.int32), d, cfg)

@@ -149,6 +149,13 @@ class DemuxEngine:
         self._sharded_compact = None  # (doublet_prior, fn) cache
         self._df_tables = None
         self._sharded_exact_pallas = None
+        # wire v2 (host/wire.py): per-run packed H2D format — dict codes
+        # + capped UMI lanes + narrow deltas. Chosen once per pileup
+        # (static per run -> one compiled variant per shape bucket).
+        self._wire_cfg = None
+        self._wire_key = None
+        self._fast_luts_v2 = None
+        self._df_tables_v2 = None
         # exact mode kernel choice: the df32 (double-single f32) Pallas
         # kernel replaces the XLA f64 kernels on TPU, where f64 is
         # software-emulated ~50x slower; both agree to ~1e-10 absolute
@@ -232,16 +239,44 @@ class DemuxEngine:
         return (self.grid_alpha.index(0.5)
                 if 0.5 in self.grid_alpha else None)
 
+    def _wire_cfg_for(self, scl):
+        """The run's wire-v2 config, or None when the packed wire does
+        not apply (mesh paths keep explicit codes; cap-BQ > 126 breaks
+        the u8 code bytes; dict-based pileups lack the CSR arrays).
+        Cached per pileup; recomputing invalidates the dict LUT caches.
+        DEMUX_TPU_WIRE=v1 forces the round-4 format (A/B probes)."""
+        import os
+
+        if (
+            self.mesh is not None
+            or self.cap_bq > 126
+            or not hasattr(scl, "cell_ptr")
+            or os.environ.get("DEMUX_TPU_WIRE", "v2") == "v1"
+        ):
+            return None
+        key = (id(scl), len(scl.obs_snp))
+        if self._wire_key != key:
+            from demuxlet_tpu.host.wire import choose_cfg
+
+            self._wire_cfg = choose_cfg(scl, self.cap_bq)
+            self._wire_key = key
+            self._fast_luts_v2 = None
+            self._df_tables_v2 = None
+        return self._wire_cfg
+
     def _prep_codes_blk(self, scl, cells, pad=None):
         """Host block prep for the wire path: native C single pass
         (native/prep.py — build + shrink fused; the numpy pipeline was
         the warm e2e bottleneck, benchmarks/probe_block_marginal.py) with
-        the Python build_codes_block + _shrink_codes_blk fallback. The
-        native form only serves the single-device shrunk-wire contract;
-        mesh / cap-BQ > 126 paths keep the explicit (codes, idx, msk)."""
+        the Python build_codes_block + _shrink_codes_blk fallback, then
+        (default) the v2 repack: dict codes at 4/6/8 bits, dense UMI
+        lanes capped with a sparse deep tail, narrow deltas
+        (host/wire.py). Mesh / cap-BQ > 126 paths keep the explicit
+        (codes, idx, msk)."""
         from demuxlet_tpu.host.csr import build_codes_block
 
         kw = {} if pad is None else {"pad_slots_to": pad}
+        cfg = self._wire_cfg_for(scl)
         if (
             self.mesh is None
             and self.cap_bq <= 126
@@ -254,11 +289,24 @@ class DemuxEngine:
                 pad_cells_to=self.cell_block, **kw,
             ) if nprep.available() else None
             if blk is not None:
+                if cfg is not None:
+                    from demuxlet_tpu.host import wire as W
+
+                    codes, (d8, base, fix_pos, fix_val), _ = blk
+                    buf, meta = W.pack_from_shrunk(
+                        codes, d8, base, fix_pos, fix_val, cfg)
+                    return buf, meta, None
                 return blk
-        return self._shrink_codes_blk(build_codes_block(
+        codes_blk = build_codes_block(
             scl, cells, cap_bq=self.cap_bq,
             pad_cells_to=self.cell_block, **kw,
-        ))
+        )
+        if cfg is not None:
+            from demuxlet_tpu.host import wire as W
+
+            buf, meta = W.pack_wire_block(*codes_blk, cfg)
+            return buf, meta, None
+        return self._shrink_codes_blk(codes_blk)
 
     def _shrink_codes_blk(self, codes_blk):
         """Cut fast-path H2D bytes (the tunneled-backend bottleneck at 100K
@@ -313,13 +361,28 @@ class DemuxEngine:
             idx = (u[:, 0::2] | (u[:, 1::2] << 16)).view(np.int32)
         return codes, idx, None
 
-    def _fast_tables(self):
+    def _fast_tables(self, cfg=None):
         """Deduped fast-path LUTs: the A*9 mixture columns collapse to the
         unique p-value columns (pallas_pair.dedup_channels) — the kernel
         expands via the static map, cutting front gathers and HBM t-traffic
-        ~2.5x. Returns (w_ext, logf_ext, expand)."""
+        ~2.5x. With a wire-v2 cfg, the LUT rows additionally shrink to
+        the run's code dictionary (sorted, so the f32 einsum reduction
+        order over rows is a subsequence of the full-table order) — the
+        one-hot front narrows from 2*(cap_bq+1)+1 rows to n_dict+1.
+        Returns (w_ext, logf_ext, expand)."""
         from demuxlet_tpu.ops.pallas_pair import dedup_channels, extend_luts
 
+        if cfg is not None:
+            if self._fast_luts_v2 is None:
+                cols, expand = dedup_channels(self.grid_alpha)
+                rows = list(cfg.dict_codes)
+                w_ext, logf_ext = extend_luts(
+                    self.w[rows][:, list(cols)], self.logf[rows]
+                )
+                self._fast_luts_v2 = (
+                    jnp.asarray(w_ext), jnp.asarray(logf_ext), expand
+                )
+            return self._fast_luts_v2
         if self._fast_luts is None:
             cols, expand = dedup_channels(self.grid_alpha)
             w_ext, logf_ext = extend_luts(self.w[:, list(cols)], self.logf)
@@ -333,8 +396,12 @@ class DemuxEngine:
 
         codes, idx, msk = codes_blk
         interpret = jax.default_backend() != "tpu"
-        w_ext, logf_ext, expand = self._fast_tables()
         wire = None
+        if msk is None and isinstance(idx, tuple) and isinstance(idx[0], str):
+            wire, idx = idx, None  # v2 packed wire: codes IS the buffer
+        w_ext, logf_ext, expand = self._fast_tables(
+            self._wire_cfg if wire is not None else None
+        )
         if msk is None and isinstance(idx, tuple):
             codes, wire = _to_wire(codes, idx)
             idx = None
@@ -368,10 +435,27 @@ class DemuxEngine:
             wire=wire,
         )
 
-    def _exact_tables(self):
-        """Device-resident df tables for the exact Pallas path (cached)."""
+    def _exact_tables(self, cfg=None):
+        """Device-resident df tables for the exact Pallas path (cached).
+        With a wire-v2 cfg the LUT row axis shrinks to the run's code
+        dictionary (split_tables rows=): pair products stay host-f64
+        exact and the one-hot selection stays bit-exact, so exact-mode
+        outputs are byte-identical under either wire format."""
         from demuxlet_tpu.ops import pallas_pair_exact as PE
 
+        if cfg is not None:
+            if self._df_tables_v2 is None:
+                gps_pair, gp0_pair, tabs, meta = PE.split_tables(
+                    self.gps, self.gp0, self.w, self.logf,
+                    rows=cfg.dict_codes,
+                )
+                self._df_tables_v2 = (
+                    tuple(jnp.asarray(p) for p in gps_pair),
+                    tuple(jnp.asarray(p) for p in gp0_pair),
+                    tuple(jnp.asarray(p) for p in tabs),
+                    meta,
+                )
+            return self._df_tables_v2
         if self._df_tables is None:
             gps_pair, gp0_pair, tabs, meta = PE.split_tables(
                 self.gps, self.gp0, self.w, self.logf
@@ -388,11 +472,15 @@ class DemuxEngine:
         """Exact-mode df32 Pallas block step (codes path, like fast)."""
         from demuxlet_tpu.ops import pallas_pair_exact as PE
 
-        gps_pair, gp0_pair, tabs, meta = self._exact_tables()
         codes, idx, msk = codes_blk
         interpret = jax.default_backend() != "tpu"
         sym_a = self._sym_a()
         wire = None
+        if msk is None and isinstance(idx, tuple) and isinstance(idx[0], str):
+            wire, idx = idx, None  # v2 packed wire: codes IS the buffer
+        gps_pair, gp0_pair, tabs, meta = self._exact_tables(
+            self._wire_cfg if wire is not None else None
+        )
         if msk is None and isinstance(idx, tuple):
             codes, wire = _to_wire(codes, idx)
             idx = None
@@ -499,8 +587,9 @@ class DemuxEngine:
         )
         if not hasattr(scl, "cell_ptr"):
             scl = CsrPileup.from_pileup(scl)
+        cfg = self._wire_cfg_for(scl)  # None on mesh / forced-v1 paths
         if not exact:
-            w_ext, logf_ext, expand = self._fast_tables()
+            w_ext, logf_ext, expand = self._fast_tables(cfg)
         dbl_w = jnp.asarray(
             D.doublet_weights(self.nv, self.grid_alpha, doublet_prior)
         )
@@ -586,7 +675,9 @@ class DemuxEngine:
                     w_ext, logf_ext, dbl_w, dbl_msk,
                 )
             wire = None
-            if msk is None and isinstance(idx, tuple):
+            if msk is None and isinstance(idx, tuple) and isinstance(idx[0], str):
+                wire, idx = idx, None  # v2 packed wire
+            elif msk is None and isinstance(idx, tuple):
                 codes, wire = _to_wire(codes, idx)  # codes IS the buffer now
                 idx = None
             self.h2d_bytes += codes.nbytes + sum(
@@ -601,7 +692,10 @@ class DemuxEngine:
                 None if msk is None else jnp.asarray(msk),
             )
             if exact:
-                gps_pair, gp0_pair, tabs, meta = self._exact_tables()
+                gps_pair, gp0_pair, tabs, meta = self._exact_tables(
+                    self._wire_cfg if wire is not None
+                    and wire[0] == "w2" else None
+                )
                 return D.demux_block_exact_compact(
                     *args, gps_pair, gp0_pair, tabs, dbl_w, dbl_msk,
                     meta, self.n_alpha, self.nv, doublet_prior,

@@ -436,6 +436,15 @@ def plan_pair_tiles(V, A, a0_sep, sym_a):
               tiled plane is the symmetric alpha=0.5 one (default grid);
       ac_list alpha indices the tiled kernel computes (alpha[0] == 0 is
               separable and lives in the extras kernel).
+
+    Bit-symmetry caveat (advisor r4 #2): on MULTI-alpha grids
+    (ac_list != [sym_a]) the tiled path computes the symmetric
+    alpha=0.5 plane's (j,k) and (k,j) channels in independent tiles, so
+    they can differ by ulps — unlike the unrolled kernel, which mirrors
+    them bit-exactly. Doublet pair order on exact ties can therefore
+    flip between tiled and unrolled/oracle modes; covered by the
+    documented canonicalize-on-tie parity contract
+    (parity_utils.canonicalize_best).
     """
     if V * V * A <= _UNROLL_CAP:
         return None
@@ -451,6 +460,41 @@ def plan_pair_tiles(V, A, a0_sep, sym_a):
     else:
         tiles = [(jt, kt) for jt in range(n_t) for kt in range(n_t)]
     return Jt, Jt, Vp, tiles, ac_list, triangular
+
+
+def plan_groups(plan, sym_a, split=None):
+    """Split a tile plan into per-plane execution groups
+    [(ac_sublist, tiles, tri_enum)] (round-5 verdict #3).
+
+    On MULTI-alpha grids the symmetric alpha=0.5 plane's j > k channels
+    previously computed in full tiles (~0.5/nA of the tiled work
+    wasted). With the split, the sym plane runs alone on
+    upper-triangular tile enumeration (diagonal tiles take the
+    statically triangular body) and mirrors at reassembly, while the
+    remaining alphas keep the full square enumeration. Gated by
+    DEMUX_TPU_SPLIT_SYM=0 (on by default; benchmarked on v5e at
+    V=32/A=5 — see BENCH_r05 / CLAUDE.md roadmap #3);
+    single-plane/default-grid plans pass through unchanged.
+    Bit-symmetry: mirrored (k,j) channels become exact copies of (j,k)
+    (previously independently computed, ulp-different) — covered by the
+    documented canonicalize-on-tie contract either way."""
+    import os
+
+    Jt, Kt, Vp, tiles, ac_list, triangular = plan
+    if split is None:
+        split = os.environ.get("DEMUX_TPU_SPLIT_SYM", "1") != "0"
+    if (
+        not split
+        or triangular
+        or sym_a is None
+        or sym_a not in ac_list
+        or len(ac_list) <= 1
+    ):
+        return Jt, Kt, Vp, [(ac_list, tiles, triangular)]
+    n_t = Vp // Jt
+    others = [a for a in ac_list if a != sym_a]
+    tri_tiles = [(jt, kt) for jt in range(n_t) for kt in range(jt, n_t)]
+    return Jt, Kt, Vp, [(others, tiles, False), ([sym_a], tri_tiles, True)]
 
 
 def tri_index(Jt, Kt):
@@ -669,6 +713,7 @@ def _call_pair_kernel_tiled(t, gps_t, gp0_t, V, A, interpret, plan,
     if expand is None:
         expand = tuple(range(A * 9))
     Jt, Kt, Vp, tiles, ac_list, triangular = plan
+    groups = plan_groups(plan, sym_a)[3]
     nA = len(ac_list)
     n_s = S // TS
     if nA == 0:
@@ -695,10 +740,15 @@ def _call_pair_kernel_tiled(t, gps_t, gp0_t, V, A, interpret, plan,
         gps_p = gps_t
 
     # fit: halves (batched logs) then tb, under the double-buffered
-    # input blocks + the LARGEST part's scratch (all-diagonal tile sets
-    # only allocate the packed-triangle channel count)
-    has_full = any(not (triangular and jt == kt) for jt, kt in tiles)
-    max_ch = (Jt * Kt if has_full else tri_index(Jt, Kt)[1]) * nA
+    # input blocks + the LARGEST part's scratch across all groups
+    # (all-diagonal tile sets only allocate the packed-triangle count)
+    max_ch = 0
+    for g_ac, g_tiles, g_tri in groups:
+        diag = [tt for tt in g_tiles if g_tri and tt[0] == tt[1]]
+        if len(diag) < len(g_tiles):
+            max_ch = max(max_ch, Jt * Kt * len(g_ac))
+        if diag:
+            max_ch = max(max_ch, tri_index(Jt, Kt)[1] * len(g_ac))
     tb, halves = TB, 1
     done = False
     for cand_h in (4, 2, 1):
@@ -722,15 +772,16 @@ def _call_pair_kernel_tiled(t, gps_t, gp0_t, V, A, interpret, plan,
     n_g = n_s // halves
     TSW = TS * halves
 
-    def run_part(part_tiles, tri):
+    def run_part(part_tiles, tri, ac):
         """One pallas_call over a tile subset; tri = the statically
-        triangular diagonal-tile body (packed channels)."""
-        n_ch = (tri_index(Jt, Kt)[1] if tri else Jt * Kt) * nA
+        triangular diagonal-tile body (packed channels); ac = the alpha
+        indices this group computes."""
+        n_ch = (tri_index(Jt, Kt)[1] if tri else Jt * Kt) * len(ac)
         Wp = -(-n_ch // 128) * 128
         tile_j = jnp.asarray([jt for jt, _ in part_tiles], jnp.int32)
         tile_k = jnp.asarray([kt for _, kt in part_tiles], jnp.int32)
         kernel = functools.partial(
-            _pair_kernel_tiled, Jt=Jt, Kt=Kt, ac_list=tuple(ac_list),
+            _pair_kernel_tiled, Jt=Jt, Kt=Kt, ac_list=tuple(ac),
             n_g=n_g, halves=halves, expand=tuple(expand), tri=tri,
         )
         grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -758,22 +809,27 @@ def _call_pair_kernel_tiled(t, gps_t, gp0_t, V, A, interpret, plan,
         )(tile_j, tile_k, t, gps_p, gps_p)
         return out, Wp
 
-    # diagonal tiles of the symmetric plane run a statically triangular
-    # body (the dynamic tile index cannot skip dj > dk; ~47% of each
-    # diagonal tile's dot work otherwise recomputes the mirror)
-    tiles_diag = [tt for tt in tiles if triangular and tt[0] == tt[1]]
-    tiles_full = [tt for tt in tiles if tt not in tiles_diag]
-    outs, parts, off = [], [], 0
-    if tiles_full:
-        o, Wp = run_part(tiles_full, False)
-        outs.append(o)
-        parts.append((tiles_full, Jt, Kt, Wp, False, off))
-        off += o.shape[1]
-    if tiles_diag:
-        o, Wp = run_part(tiles_diag, True)
-        outs.append(o)
-        parts.append((tiles_diag, Jt, Kt, Wp, True, off))
-        off += o.shape[1]
+    # per-group execution (plan_groups): diagonal tiles of a symmetric
+    # plane run a statically triangular body (the dynamic tile index
+    # cannot skip dj > dk; ~47% of each diagonal tile's dot work
+    # otherwise recomputes the mirror); with the sym-split, the whole
+    # alpha=0.5 plane enumerates upper tiles only
+    outs, group_maps, off = [], [], 0
+    for g_ac, g_tiles, g_tri in groups:
+        tiles_diag = [tt for tt in g_tiles if g_tri and tt[0] == tt[1]]
+        tiles_full = [tt for tt in g_tiles if tt not in tiles_diag]
+        parts_g = []
+        if tiles_full:
+            o, Wp = run_part(tiles_full, False, g_ac)
+            outs.append(o)
+            parts_g.append((tiles_full, Jt, Kt, Wp, False, off))
+            off += o.shape[1]
+        if tiles_diag:
+            o, Wp = run_part(tiles_diag, True, g_ac)
+            outs.append(o)
+            parts_g.append((tiles_diag, Jt, Kt, Wp, True, off))
+            off += o.shape[1]
+        group_maps.append((g_ac, parts_g, g_tri))
     out_t = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=1)
 
     # extras: separable alpha=0 factors + llks00 (self-fitted tb/halves)
@@ -782,8 +838,14 @@ def _call_pair_kernel_tiled(t, gps_t, gp0_t, V, A, interpret, plan,
 
     # XLA reassembly: gather the tiled channels into (B, V, V, nA) via a
     # host-precomputed position map (mirror fills the lower triangle when
-    # only upper tiles ran), then prepend the separable alpha=0 plane
-    pos = tile_pos_map(V, nA, parts, triangular)
+    # only upper tiles ran), then prepend the separable alpha=0 plane.
+    # Per-group maps merge column-wise in ac_list order.
+    posa = {}
+    for g_ac, parts_g, g_tri in group_maps:
+        pos_g = tile_pos_map(V, len(g_ac), parts_g, g_tri)
+        for i, a in enumerate(g_ac):
+            posa[a] = pos_g[:, :, i]
+    pos = np.stack([posa[a] for a in ac_list], axis=2)
     ab_part = jnp.take(out_t, jnp.asarray(pos.reshape(-1)), axis=1)
     ab_part = ab_part.reshape(B, V, V, nA)
     if a0_sep:
@@ -801,12 +863,103 @@ def _call_pair_kernel_tiled(t, gps_t, gp0_t, V, A, interpret, plan,
     return llk_ab, llk_00
 
 
+def _unpack_bits_dev(by, width, n):
+    """(B, n*width/8) u8 -> (B, n) i32; width in {4, 6, 8}. Device twin
+    of host.wire.unpack_bits (probe_wire_v2.py: 0.14-0.25 ms/2048x2048
+    on v5e — vector shifts, no gathers)."""
+    B = by.shape[0]
+    if width == 8:
+        return by.astype(jnp.int32)[:, :n]
+    if width == 4:
+        b = by.astype(jnp.int32)
+        return jnp.stack([b & 15, b >> 4], axis=-1).reshape(B, -1)[:, :n]
+    b = by.astype(jnp.int32).reshape(B, -1, 3)
+    q0 = b[..., 0] & 63
+    q1 = ((b[..., 0] >> 6) | (b[..., 1] << 2)) & 63
+    q2 = ((b[..., 1] >> 4) | (b[..., 2] << 4)) & 63
+    q3 = b[..., 2] >> 2
+    return jnp.stack([q0, q1, q2, q3], axis=-1).reshape(B, -1)[:, :n]
+
+
+def _unpack_wire_v2(wbuf, meta, parts=False):
+    """Decode the v2 packed wire (host.wire.pack_wire_block) on device:
+    dict-index codes at 4/6/8 bits with the dense planes capped at U0
+    and deeper lanes in the sparse (u16 pos, u8 code) tail;
+    generalized-escape deltas.
+
+    parts=False: returns (codes (B,S,U) i32 in WIRE-code space
+    [0, n_real+1], idx, msk) — deep lanes reconstructed by a .at[].set
+    scatter (the exact front consumes explicit lane pairs).
+    parts=True: returns (dense (B,S,U0) i32, (tpos, tcode) or None,
+    idx, msk) WITHOUT materializing the deep lanes — the fast front
+    scatter-ADDS the tail into its count tensor instead (counts are all
+    the math needs there), keeping its one-hot cost at U0 lanes even on
+    PCR-hot blocks where U is 16+. msk derives from the dense lanes
+    alone: the packer's marker rule guarantees a tail-only-visible slot
+    carries the marker in lane 0.
+
+    Callers map codes into LUT rows with jnp.minimum(codes, n_real) —
+    the marker (n_real) and none (n_real+1) both land on the zero/none
+    row."""
+    _, S, U, U0, K2p, Kp, cw, dw, n_real = meta
+    B = wbuf.shape[0]
+    none = jnp.int32(n_real + 1)
+    off = 0
+    ncb = S * U0 * cw // 8 // 4
+    by = jax.lax.bitcast_convert_type(
+        wbuf[:, :ncb], jnp.uint8).reshape(B, -1)
+    dense = _unpack_bits_dev(by, cw, S * U0).reshape(B, S, U0)
+    off = ncb
+    tail_parts = None
+    if K2p:
+        ntp = K2p * 2 // 4
+        tpos = jax.lax.bitcast_convert_type(
+            wbuf[:, off : off + ntp], jnp.uint16
+        ).reshape(B, K2p).astype(jnp.int32)
+        off += ntp
+        ntc = K2p // 4
+        tcode = jax.lax.bitcast_convert_type(
+            wbuf[:, off : off + ntc], jnp.uint8
+        ).reshape(B, K2p).astype(jnp.int32)
+        off += ntc
+        tail_parts = (tpos, tcode)
+    ndb = S * dw // 8 // 4
+    d = _unpack_bits_dev(
+        jax.lax.bitcast_convert_type(
+            wbuf[:, off : off + ndb], jnp.uint8).reshape(B, -1),
+        dw, S)
+    off += ndb
+    base = wbuf[:, off]
+    fix_pos = wbuf[:, off + 1 : off + 1 + Kp]
+    fix_val = wbuf[:, off + 1 + Kp : off + 1 + 2 * Kp]
+    d = d.at[jnp.arange(B)[:, None], fix_pos].add(fix_val)
+    idx = base[:, None] + jnp.cumsum(d, axis=1)
+    msk = jnp.any(dense != none, axis=-1)
+    if parts:
+        return dense, tail_parts, idx, msk
+    if tail_parts is not None:
+        tpos, tcode = tail_parts
+        tail = jnp.full((B, S * (U - U0)), none, jnp.int32)
+        # pad entries carry pos 0xFFFF > S*(U-U0)-1 (packer invariant)
+        # and drop here
+        tail = tail.at[jnp.arange(B)[:, None], tpos].set(tcode,
+                                                         mode="drop")
+        codes = jnp.concatenate(
+            [dense, tail.reshape(B, S, U - U0)], axis=2)
+    else:
+        codes = dense
+    return codes, idx, msk
+
+
 def unpack_block_inputs(codes, idx, msk, wire):
     """Device-side unpack of the shipped block forms, shared by the fast
     and exact block steps (see demux_block_fast_impl's docstring for the
     wire / delta-idx / packed-idx encodings and the 254-marker msk
-    contract). Returns (codes (B,S,U) u8, idx (B,S) i32, msk (B,S) bool).
+    contract). Returns (codes (B,S,U) u8 — or i32 wire-code space for
+    the v2 packed wire — idx (B,S) i32, msk (B,S) bool).
     """
+    if wire is not None and wire[0] == "w2":
+        return _unpack_wire_v2(codes, wire)
     if wire is not None:
         S, U, K = wire
         B = codes.shape[0]
@@ -878,12 +1031,11 @@ def demux_block_fast_impl(
     contraction) runs on device in one jit — the host ships only the compact
     codes. Transfer: B*S*U bytes vs B*S*NB*4 for dense counts.
     """
-    codes, idx, msk = unpack_block_inputs(codes, idx, msk, wire)
-    B, S, U = codes.shape
     V, A = n_samples, n_alpha
     none_row = w_ext.shape[0] - 1
-    c = jnp.where(codes >= 254, jnp.uint8(none_row), codes).astype(jnp.int32)
     C = w_ext.shape[1]
+    R = w_ext.shape[0]
+    ar = jnp.arange(R, dtype=jnp.int32)
 
     # Front: one-hot observation counts (R, B, S) -> ONE MXU einsum against
     # the fused [pair|singlet] LUT, emitting lograw CHANNEL-LEADING with no
@@ -892,11 +1044,40 @@ def demux_block_fast_impl(
     # vs 0.6 ms for this route (one-hot build + matmul fuse cleanly; the
     # none row is all-zero so padding is exactly neutral: lograw == 0 ->
     # t == 1, gl uniform).
-    R = w_ext.shape[0]
-    ar = jnp.arange(R, dtype=jnp.int32)
-    cnt_t = jnp.sum(
-        (c[None] == ar[:, None, None, None]).astype(jnp.float32), axis=-1
-    )  # (R, B, S)
+    if wire is not None and wire[0] == "w2":
+        # v2 packed wire, PARTS decode: the one-hot runs over the U0
+        # dense lanes only; deep-lane tail entries scatter-ADD straight
+        # into the count tensor (f32 adds of small integers are exact,
+        # so cnt_t is bit-identical to the dense reconstruction) — on
+        # PCR-hot blocks (U 16+) this keeps the front cost flat.
+        dense, tail, idx, msk = _unpack_wire_v2(codes, wire, parts=True)
+        B, S, _U0 = dense.shape
+        c = jnp.minimum(dense, jnp.int32(none_row))
+        cnt_t = jnp.sum(
+            (c[None] == ar[:, None, None, None]).astype(jnp.float32),
+            axis=-1,
+        )  # (R, B, S)
+        if tail is not None:
+            tpos, tcode = tail
+            tslot = tpos // jnp.int32(wire[2] - wire[3])  # pos -> slot
+            # pad entries drop twice over: tcode == none (row R, OOB on
+            # axis 0) and tslot >= S (packer u16 invariant)
+            cnt_t = cnt_t.at[
+                tcode, jnp.arange(B)[:, None], tslot
+            ].add(jnp.float32(1.0), mode="drop")
+    else:
+        codes, idx, msk = unpack_block_inputs(codes, idx, msk, wire)
+        B, S, U = codes.shape
+        # LUT-row mapping, shared by the u8 (v1) and dict-i32 (v2) code
+        # spaces: real codes sit below none_row in both, and the
+        # marker/none values (254/255 v1; n_real/n_real+1 v2) clamp onto
+        # the zero none row. Equivalent to the old where(codes >= 254)
+        # for v1 since real codes < 2*(cap_bq+1) == none_row.
+        c = jnp.minimum(codes.astype(jnp.int32), jnp.int32(none_row))
+        cnt_t = jnp.sum(
+            (c[None] == ar[:, None, None, None]).astype(jnp.float32),
+            axis=-1,
+        )  # (R, B, S)
     wl = jnp.concatenate([w_ext, logf_ext], axis=1)  # (R, C+3)
     # HIGHEST: the TPU f32-matmul default rounds inputs to bf16 (~1.6e-3
     # relative error on lograw); with one-hot counts HIGHEST reproduces

@@ -793,19 +793,21 @@ def _call_pair_kernel_df_tiled(prod, gall, mskf, V, A, interpret, gsel,
     ph, plm, pe = prod
     n_tch, B, S = ph.shape
     Jt, Kt, Vp, tiles, ac_list, triangular = plan
+    from demuxlet_tpu.ops.pallas_pair import (plan_groups, tile_pos_map,
+                                              tri_index)
+
+    groups = plan_groups(plan, sym_a)[3]
     nA = len(ac_list)
     n_s = S // TS
     n_ab = V * V * A
 
-    from demuxlet_tpu.ops.pallas_pair import tile_pos_map, tri_index
-
-    def run_part(part_tiles, tri):
-        n_ch = (tri_index(Jt, Kt)[1] if tri else Jt * Kt) * nA
+    def run_part(part_tiles, tri, ac):
+        n_ch = (tri_index(Jt, Kt)[1] if tri else Jt * Kt) * len(ac)
         Wp = -(-n_ch // 128) * 128
         tile_j = jnp.asarray([jt for jt, _ in part_tiles], jnp.int32)
         tile_k = jnp.asarray([kt for _, kt in part_tiles], jnp.int32)
         kernel = functools.partial(
-            _pair_kernel_df_tiled, Jt=Jt, Kt=Kt, ac_list=tuple(ac_list),
+            _pair_kernel_df_tiled, Jt=Jt, Kt=Kt, ac_list=tuple(ac),
             n_s=n_s, fence=bool(interpret), n_tch=n_tch,
             expand=tuple(expand), cmask=cmask, A=A, tri=tri,
         )
@@ -835,19 +837,23 @@ def _call_pair_kernel_df_tiled(prod, gall, mskf, V, A, interpret, gsel,
         )(tile_j, tile_k, ph, plm, pe, gall, gall), Wp
 
     if nA > 0:
-        tiles_diag = [tt for tt in tiles if triangular and tt[0] == tt[1]]
-        tiles_full = [tt for tt in tiles if tt not in tiles_diag]
-        outs, parts, off = [], [], 0
-        if tiles_full:
-            o, Wp = run_part(tiles_full, False)
-            outs.append(o)
-            parts.append((tiles_full, Jt, Kt, Wp, False, off))
-            off += o[0].shape[1]
-        if tiles_diag:
-            o, Wp = run_part(tiles_diag, True)
-            outs.append(o)
-            parts.append((tiles_diag, Jt, Kt, Wp, True, off))
-            off += o[0].shape[1]
+        outs, group_maps, off = [], [], 0
+        for g_ac, g_tiles, g_tri in groups:
+            tiles_diag = [tt for tt in g_tiles
+                          if g_tri and tt[0] == tt[1]]
+            tiles_full = [tt for tt in g_tiles if tt not in tiles_diag]
+            parts_g = []
+            if tiles_full:
+                o, Wp = run_part(tiles_full, False, g_ac)
+                outs.append(o)
+                parts_g.append((tiles_full, Jt, Kt, Wp, False, off))
+                off += o[0].shape[1]
+            if tiles_diag:
+                o, Wp = run_part(tiles_diag, True, g_ac)
+                outs.append(o)
+                parts_g.append((tiles_diag, Jt, Kt, Wp, True, off))
+                off += o[0].shape[1]
+            group_maps.append((g_ac, parts_g, g_tri))
         if len(outs) == 1:
             outh, outl, oute = outs[0]
         else:
@@ -881,9 +887,15 @@ def _call_pair_kernel_df_tiled(prod, gall, mskf, V, A, interpret, gsel,
 
     # reassembly: host position map into the tiled channel layout, lower
     # triangle mirrored when only upper tiles ran (df triples identical
-    # to the unrolled kernel's sym_a mirror)
+    # to the unrolled kernel's sym_a mirror); per-group maps merge
+    # column-wise in ac_list order
     if nA > 0:
-        pos = tile_pos_map(V, nA, parts, triangular)
+        posa = {}
+        for g_ac, parts_g, g_tri in group_maps:
+            pos_g = tile_pos_map(V, len(g_ac), parts_g, g_tri)
+            for i, a in enumerate(g_ac):
+                posa[a] = pos_g[:, :, i]
+        pos = np.stack([posa[a] for a in ac_list], axis=2)
         pidx = jnp.asarray(pos.reshape(-1))
         abt = _log_mantissa(jnp.take(outh, pidx, axis=1),
                             jnp.take(outl, pidx, axis=1),
@@ -1151,7 +1163,7 @@ def _gl_table_df(mh, ml, ef):
     return glh, gll
 
 
-def split_tables(gps, gp0, w, logf):
+def split_tables(gps, gp0, w, logf, rows=None):
     """Host-side: build the df gps/gp0 planes plus the PAIR-code product
     LUT for the device front.
 
@@ -1187,6 +1199,12 @@ def split_tables(gps, gp0, w, logf):
     allc = np.ones((w.shape[0] + 1, nw + 3), dtype=np.float64)
     allc[:-1, :nw] = np.exp(w)
     allc[:-1, nw:] = np.exp(logf)
+    if rows is not None:
+        # wire-v2 dictionary: keep only the LUT rows whose codes occur
+        # in the run (host.wire.WireCfg, sorted) + the none row — wire
+        # codes index this subset directly, the one-hot front narrows,
+        # and selection stays bit-exact (same f64 values, fewer rows)
+        allc = allc[list(rows) + [w.shape[0]]]
     seen, cols, inv = {}, [], []
     for j in range(allc.shape[1]):
         key = allc[:, j].tobytes()
@@ -1243,7 +1261,9 @@ def demux_block_exact_impl(
     C, expand_w, expand_gl = meta
     n_rows = int(round(np.sqrt(tabs[0].shape[0])))
     none_row = n_rows - 1
-    c = jnp.where(codes >= 254, jnp.uint8(none_row), codes).astype(jnp.int32)
+    # shared v1/v2 LUT-row mapping (see demux_block_fast_impl): marker
+    # and none clamp onto the 1.0 none row
+    c = jnp.minimum(codes.astype(jnp.int32), jnp.int32(none_row))
 
     if front is None:
         front = "pair" if interpret else "onehot"

@@ -42,6 +42,11 @@ def _case(B, S, V, A, seed=0):
         # single-point alpha=0 grid past the unroll cap: no tiled
         # channels at all — the extras-only path carries the result
         (4, 64, 20, 1, True),
+        # triangular AND sample-padded (advisor r4 #3): V=20 on the
+        # default [0, 0.5] grid -> Vp=24, upper-triangle tiles whose
+        # diagonal tri tiles contain neutral padded rows; mirror-fill
+        # must interact correctly with the dropped padded channels
+        (4, 64, 20, 2, True),
     ],
 )
 def test_pallas_matches_exact(B, S, V, A, opt):

@@ -124,12 +124,14 @@ def test_exact_pallas_matches_xla_f64(seed):
 
 
 @pytest.mark.slow
-@pytest.mark.parametrize("V,A", [(16, 2), (17, 3)])
+@pytest.mark.parametrize("V,A", [(16, 2), (17, 3), (20, 2)])
 def test_exact_pallas_tiled_matches_xla_f64(V, A):
     """(j,k)-TILED df32 kernel (pools past the unroll cap; round-3 verdict
     #1) vs the XLA f64 kernels: V=16 is the exact-tile default-grid
     triangular case, V=17 pads the sample axis (Vp=24, 8x8 tiles) on a
-    3-alpha grid."""
+    3-alpha grid; V=20 on the default grid combines BOTH — triangular
+    tiles whose diagonal tri tiles hold neutral padded rows (advisor
+    r4 #3)."""
     codes, idx, msk, gps, gp0, w, logf, grid = _workload(
         0, B=8, S=128, U=2, V=V, A=A, NS=60)
     assert PE.plan_pair_tiles_df(V, A, grid[0] == 0.0, A - 1) is not None
