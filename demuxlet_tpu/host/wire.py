@@ -67,8 +67,16 @@ class WireCfg:
 
     dict_codes: Tuple[int, ...]  # sorted distinct global codes present
     code_w: int  # bits per wire code: 4, 6, or 8
-    delta_w: int  # bits per slot-id delta: 4, 6, or 8
+    delta_w: int  # bits per slot-id delta: 4, 6, 8, or 16
     u_cap: int = 8  # dense UMI lanes; deeper lanes ride the sparse tail
+    # adaptive=True (production): the packer picks U0 per (S, U) shape
+    # key from the first such block's occupancy (the run-level sample
+    # misprices heterogeneous blocks — the round-5 realistic e2e found
+    # a top-coverage block paying 2.5x in max-padded tails under the
+    # global choice); the engine's meta registry then pins it so
+    # same-key blocks share one compiled variant. u_cap seeds the
+    # non-adaptive path. Tests pin layouts with adaptive=False.
+    adaptive: bool = True
 
     @property
     def n_real(self) -> int:
@@ -103,13 +111,13 @@ def choose_cfg(csr, cap_bq: int, sample_cells: int = 1024) -> WireCfg:
 
     dict: exact distinct-code set (a chunked bincount pass over all
     observations — the dict MUST cover every code, there is no escape
-    for codes). delta width: sampled escape fraction <= 1/16 (escapes
-    cost an 8-byte fix entry; past that the narrow width loses).
-    u_cap: minimizes wire-bytes + scatter-cost over the sampled per-slot
-    occupancy histogram (tail entries cost 3 wire B + ~10 us/entry of
-    device scatter ~ 0.8 equivalent link B at 80 MB/s -> weight 5.4),
-    with the expected tail kept small enough that the scatter stays in
-    the ~1 ms class (probe_wire_v2.py c4 arms).
+    for codes). delta width: total-cost model over {4, 6, 8, 16} bits
+    (payload + escape fraction x 6-byte fix entry). u_cap: minimizes
+    wire-bytes + scatter-cost over the sampled per-slot occupancy
+    histogram (tail entries cost ~3 wire B + ~10 us/entry of device
+    scatter ~ 0.8 equivalent link B at 80 MB/s -> weight 5.4); with
+    cfg.adaptive the packer refines U0 per block-shape key from the
+    actual block data.
     """
     nq = cap_bq + 1
     counts = np.zeros(3 * nq + 1, dtype=np.int64)
@@ -151,12 +159,19 @@ def choose_cfg(csr, cap_bq: int, sample_cells: int = 1024) -> WireCfg:
     else:
         dsamp = np.zeros(0, np.int64)
         occ = np.ones(1, np.int64)
+    # delta width by TOTAL expected bytes/slot: w/8 payload + escape
+    # fraction x 6-byte fix entry (u16 pos + i32 val). A threshold rule
+    # ("escapes <= 1/16") mispriced clustered real data, where in-gene
+    # deltas are tiny but every gene jump escapes at ANY width <= 8 —
+    # the cost model picks 4-bit there (round-5 e2e diagnosis).
     delta_w = 8
     if len(dsamp):
-        for w in (4, 6):
-            if (dsamp >= (1 << w) - 1).mean() <= 1.0 / 16:
-                delta_w = w
-                break
+        best = None
+        for w in (4, 6, 8, 16):
+            cost = w / 8.0 + float(
+                (dsamp >= (1 << w) - 1).mean()) * 6.0
+            if best is None or cost < best:
+                best, delta_w = cost, w
 
     # u_cap: per sampled slot, dense lanes cost u_cap*code_w/8 bytes;
     # lanes beyond it cost ~5.4 equivalent bytes each (3 wire + scatter)
@@ -232,29 +247,67 @@ def _ragged_fill(mask_rows: np.ndarray):
     return rows, cols, rank, counts
 
 
-def _split_tail(wc: np.ndarray, cfg: WireCfg):
-    """(B, S, U) wire codes -> (dense (B,S,U0), U0, K2p, tail_pos,
-    tail_code): the dense-lane cap + sparse deep tail."""
+def _choose_u0(wc: np.ndarray, cfg: WireCfg) -> int:
+    """Per-block dense-lane cap by wire-byte cost: dense lanes cost
+    S*code_w/8 per lane; each tail entry costs pos+code bytes at the
+    BLOCK-MAX padded count (the real cost — every cell pays the padded
+    lanes). Candidates are powers of two up to U."""
     B, S, U = wc.shape
-    U0 = min(cfg.u_cap, U)
-    if U > U0 and S * (U - U0) > 0xFFFF:
-        U0 = U  # u16 tail positions can't address the tail plane
+    occupied = wc != cfg.none  # (B, S, U)
+    lane_counts = occupied.sum(axis=1)  # (B, U) entries per lane
+    best_u0, best_cost = U, S * U * cfg.code_w / 8.0
+    u0 = 1
+    while u0 < U:
+        tails = lane_counts[:, u0:].sum(axis=1)
+        K2 = int(tails.max()) if B else 0
+        K2p = 8
+        while K2p < K2:
+            K2p *= 2
+        tw = 16 if S * (U - u0) <= 0xFFFF else 32
+        cost = (S * u0 * cfg.code_w / 8.0
+                + K2p * (tw / 8.0 + cfg.code_w / 8.0))
+        if cost < best_cost:
+            best_u0, best_cost = u0, cost
+        u0 *= 2
+    return best_u0
+
+
+def _split_tail(wc: np.ndarray, cfg: WireCfg, u0_pin=None,
+                k2p_floor=16):
+    """(B, S, U) wire codes -> (dense (B,S,U0), U0, K2p, tw, tail_pos,
+    tail_code): the dense-lane cap + sparse deep tail. tw = tail
+    position width (16, or 32 when the tail plane outgrows u16
+    addressing — big-S deep-U blocks; a round-5 e2e diagnosis caught
+    the old fallback-to-dense shipping 128 KB/cell there). Tail codes
+    pack at code_w bits like the dense planes. u0_pin / k2p_floor:
+    the engine's meta registry harmonizes these across same-(S, U)
+    blocks so the run compiles a bounded set of shapes."""
+    B, S, U = wc.shape
+    if u0_pin is not None:
+        U0 = u0_pin
+    else:
+        U0 = _choose_u0(wc, cfg) if cfg.adaptive else min(cfg.u_cap, U)
     if U == U0:
-        return wc, U0, 0, None, None
+        return wc, U0, 0, 16, None, None
+    tw = 16 if S * (U - U0) <= 0xFFFF else 32
     deep = wc[:, :, U0:]  # (B, S, U-U0)
     tmask = (deep != cfg.none).reshape(B, -1)
     rows, cols, rank, counts = _ragged_fill(tmask)
     K2 = int(counts.max()) if B else 0
-    K2p = 8
+    # 16-floor keeps the code_w-packed tail-code bytes lane-aligned
+    K2p = max(16, k2p_floor)
     while K2p < K2:
         K2p *= 2
     # pad entries point past the tail plane: the device scatter drops
-    # out-of-bounds rows (mode="drop"); 0xFFFF stays OOB because
-    # S*(U-U0) <= 0xFFFF was checked above
-    tail_pos = np.full((B, K2p), 0xFFFF, dtype=np.uint16)
+    # out-of-bounds rows (mode="drop"); the pad value stays OOB because
+    # S*(U-U0) <= 0xFFFF was checked for tw == 16
+    if tw == 16:
+        tail_pos = np.full((B, K2p), 0xFFFF, dtype=np.uint16)
+    else:
+        tail_pos = np.full((B, K2p), S * (U - U0), dtype=np.int32)
     tail_code = np.full((B, K2p), cfg.none, dtype=np.uint8)
     if K2:
-        tail_pos[rows, rank] = cols.astype(np.uint16)
+        tail_pos[rows, rank] = cols.astype(tail_pos.dtype)
         tail_code[rows, rank] = deep.reshape(B, -1)[rows, cols]
     dense = wc[:, :, :U0].copy()
     # marker rule: a slot whose real codes live ONLY in deep lanes
@@ -268,52 +321,70 @@ def _split_tail(wc: np.ndarray, cfg: WireCfg):
     if only_deep.any():
         b, s = np.nonzero(only_deep)
         dense[b, s, 0] = cfg.marker
-    return dense, U0, K2p, tail_pos, tail_code
+    return dense, U0, K2p, tw, tail_pos, tail_code
 
 
-def _pack_deltas(d: np.ndarray, cfg: WireCfg):
-    """Full (B, S) i64 deltas -> (dsm u8, Kp, fix_pos, fix_val) with
-    the generalized escape: stored min(d, E), E = 2^delta_w - 1."""
-    B = d.shape[0]
-    E = (1 << cfg.delta_w) - 1
+def _pack_deltas(d: np.ndarray, cfg: WireCfg, kp_floor=8):
+    """Full (B, S) i64 deltas -> (dsm, delta_w, Kp, fix_pos u16,
+    fix_val i32) with the generalized escape: stored min(d, E),
+    E = 2^delta_w - 1. Fix entries cost 6 bytes (slot positions fit
+    u16: S <= 65535)."""
+    B, S = d.shape
+    assert S <= 0xFFFF, "u16 fix positions bound the slot axis at 65535"
+    # width is a PER-RUN choice (choose_cfg's cost model): per-block
+    # width adaptation multiplied the compiled-shape count — every
+    # distinct meta costs a fresh ~5-10 s jit on the remote backend
+    # (round-5 realistic e2e: 50 blocks -> ~50 compiles, 263 s engine)
+    delta_w = cfg.delta_w
+    E = (1 << delta_w) - 1
     rows, cols, rank, n_over = _ragged_fill(d > E)
     K = int(n_over.max()) if B else 0
-    Kp = 8
+    Kp = max(8, kp_floor)
     while Kp < K:
         Kp *= 2
-    fix_pos = np.zeros((B, Kp), dtype=np.int32)
+    fix_pos = np.zeros((B, Kp), dtype=np.uint16)
     fix_val = np.zeros((B, Kp), dtype=np.int32)
     if K:
-        fix_pos[rows, rank] = cols.astype(np.int32)
+        fix_pos[rows, rank] = cols.astype(np.uint16)
         fix_val[rows, rank] = (d[rows, cols] - E).astype(np.int32)
-    return np.minimum(d, E).astype(np.uint8), Kp, fix_pos, fix_val
+    dt = np.uint16 if delta_w == 16 else np.uint8
+    return np.minimum(d, E).astype(dt), delta_w, Kp, fix_pos, fix_val
 
 
-def _assemble(wc, base, d, cfg: WireCfg):
-    """Wire codes (with markers placed) + full deltas -> (wire, meta)."""
+def _assemble(wc, base, d, cfg: WireCfg, floors=None):
+    """Wire codes (with markers placed) + full deltas -> (wire, meta).
+    floors = (u0_pin, k2p_floor, kp_floor) from the engine's meta
+    registry (shape-bucketing: same-(S, U) blocks share one compiled
+    variant unless a block genuinely outgrows it)."""
     B, S, U = wc.shape
     assert int(wc.max(initial=0)) < (1 << cfg.code_w), (
         "dict does not cover the block's codes"
     )
-    dense, U0, K2p, tail_pos, tail_code = _split_tail(wc, cfg)
-    dsm, Kp, fix_pos, fix_val = _pack_deltas(d, cfg)
+    u0_pin, k2p_floor, kp_floor = floors if floors else (None, 16, 8)
+    dense, U0, K2p, tw, tail_pos, tail_code = _split_tail(
+        wc, cfg, u0_pin=u0_pin, k2p_floor=k2p_floor)
+    dsm, dw, Kp, fix_pos, fix_val = _pack_deltas(d, cfg,
+                                                 kp_floor=kp_floor)
     parts = [pack_bits(dense.reshape(B, S * U0), cfg.code_w).view(np.int32)]
     if K2p:
         parts.append(np.ascontiguousarray(tail_pos).view(np.int32))
-        parts.append(np.ascontiguousarray(tail_code).view(np.int32))
+        parts.append(pack_bits(tail_code, cfg.code_w).view(np.int32))
+    if dw == 16:
+        parts.append(np.ascontiguousarray(dsm).view(np.int32))
+    else:
+        parts.append(pack_bits(dsm, dw).view(np.int32))
     parts += [
-        pack_bits(dsm, cfg.delta_w).view(np.int32),
         base[:, None],
-        fix_pos,
+        np.ascontiguousarray(fix_pos).view(np.int32),
         fix_val,
     ]
     wire = np.concatenate(parts, axis=1)
-    meta = ("w2", S, U, U0, K2p, Kp, cfg.code_w, cfg.delta_w, cfg.n_real)
+    meta = ("w2", S, U, U0, K2p, Kp, cfg.code_w, dw, cfg.n_real, tw)
     return wire, meta
 
 
 def pack_wire_block(codes: np.ndarray, idx: np.ndarray, msk: np.ndarray,
-                    cfg: WireCfg):
+                    cfg: WireCfg, floors=None):
     """build_codes_block output -> (wire (B, W) i32, meta) in v2 form.
 
     Python reference packer (the native-prep path routes through
@@ -339,16 +410,17 @@ def pack_wire_block(codes: np.ndarray, idx: np.ndarray, msk: np.ndarray,
     d[~msk] = 0
     d[:, 1:][~msk[:, 1:]] = 0
     assert (d >= 0).all(), "slot ids must be per-cell sorted"
-    return _assemble(wc, idx[:, 0].astype(np.int32), d, cfg)
+    return _assemble(wc, idx[:, 0].astype(np.int32), d, cfg, floors)
 
 
 def pack_from_shrunk(codes: np.ndarray, d8: np.ndarray, base: np.ndarray,
                      fix_pos: np.ndarray, fix_val: np.ndarray,
-                     cfg: WireCfg):
+                     cfg: WireCfg, floors=None):
     """Native-prep (v1 shrunk) output -> v2 wire: codes already carry
     the 254 markers (cfg.code_lut maps 254 -> marker), the full deltas
     reconstruct from the u8 stream + its 255-escape fixes, then repack
     at the configured width."""
     d = d8.astype(np.int64)
     np.add.at(d, (np.arange(d.shape[0])[:, None], fix_pos), fix_val)
-    return _assemble(cfg.code_lut()[codes], base.astype(np.int32), d, cfg)
+    return _assemble(cfg.code_lut()[codes], base.astype(np.int32), d,
+                     cfg, floors)

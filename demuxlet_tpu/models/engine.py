@@ -156,6 +156,15 @@ class DemuxEngine:
         self._wire_key = None
         self._fast_luts_v2 = None
         self._df_tables_v2 = None
+        # wire-v2 meta registry: same-(S, U) blocks share one compiled
+        # (U0, K2p, Kp) variant; a block that outgrows it bumps the
+        # entry (ONE new compile) instead of every block minting its
+        # own meta — per-block metas cost ~5-10 s of remote jit EACH
+        # (round-5 realistic e2e: 50 blocks -> 263 s engine phase).
+        import threading
+
+        self._wire_reg = {}
+        self._wire_reg_lock = threading.Lock()
         # exact mode kernel choice: the df32 (double-single f32) Pallas
         # kernel replaces the XLA f64 kernels on TPU, where f64 is
         # software-emulated ~50x slower; both agree to ~1e-10 absolute
@@ -293,8 +302,11 @@ class DemuxEngine:
                     from demuxlet_tpu.host import wire as W
 
                     codes, (d8, base, fix_pos, fix_val), _ = blk
-                    buf, meta = W.pack_from_shrunk(
-                        codes, d8, base, fix_pos, fix_val, cfg)
+                    buf, meta = self._pack_reg(
+                        cfg, codes,
+                        lambda fl: W.pack_from_shrunk(
+                            codes, d8, base, fix_pos, fix_val, cfg,
+                            floors=fl))
                     return buf, meta, None
                 return blk
         codes_blk = build_codes_block(
@@ -304,9 +316,30 @@ class DemuxEngine:
         if cfg is not None:
             from demuxlet_tpu.host import wire as W
 
-            buf, meta = W.pack_wire_block(*codes_blk, cfg)
+            buf, meta = self._pack_reg(
+                cfg, codes_blk[0],
+                lambda fl: W.pack_wire_block(*codes_blk, cfg, floors=fl))
             return buf, meta, None
         return self._shrink_codes_blk(codes_blk)
+
+    def _pack_reg(self, cfg, codes, pack_fn):
+        """Pack through the shape registry: look up this (S, U) key's
+        harmonized (U0, K2p, Kp) floors, pack, then raise the entry's
+        maxima (prefetch threads race benignly — a stale floor only
+        costs one extra compiled variant, never correctness)."""
+        key = (codes.shape[1], codes.shape[2])
+        with self._wire_reg_lock:
+            fl = self._wire_reg.get(key)
+        buf, meta = pack_fn(fl)
+        u0, k2p, kp = meta[3], meta[4], meta[5]
+        with self._wire_reg_lock:
+            cur = self._wire_reg.get(key)
+            if cur is None:
+                self._wire_reg[key] = (u0, k2p, kp)
+            else:
+                self._wire_reg[key] = (
+                    cur[0], max(cur[1], k2p), max(cur[2], kp))
+        return buf, meta
 
     def _shrink_codes_blk(self, codes_blk):
         """Cut fast-path H2D bytes (the tunneled-backend bottleneck at 100K
@@ -537,7 +570,13 @@ class DemuxEngine:
         ids = np.arange(n, dtype=np.int64)
         if n and scl is not None and hasattr(scl, "n_snps_all"):
             counts = np.asarray(scl.n_snps_all())
-            order = ids[np.argsort(counts, kind="stable")]
+            # secondary key: total observations (UMI depth) within each
+            # coverage level — clusters PCR-deep cells into the same
+            # blocks so the wire-v2 tail padding (block-MAX entry count)
+            # tracks its block's depth, not the whole run's (round 5)
+            depth = (np.diff(np.asarray(scl.cell_ptr))
+                     if hasattr(scl, "cell_ptr") else np.zeros_like(counts))
+            order = ids[np.lexsort((depth, counts))]
 
             def block_maxes(perm):
                 c = counts[perm]
@@ -604,18 +643,27 @@ class DemuxEngine:
         # for the H2D-ceiling artifact): bytes shipped per block, tables
         # excluded (they ship once and are cached on device)
         import threading
+        import time as _time
 
         self.h2d_bytes = 0  # main-thread dispatch only
         self.d2h_bytes = 0  # fetch pool: guard the read-modify-write
+        # phase attribution (seconds, summed across threads where noted):
+        # prep = host packing on the prefetch pool (overlaps device);
+        # prep_wait = main-thread stall waiting on prep results;
+        # dispatch = main-thread H2D + device enqueue; fetch = D2H.
+        self.phase_s = {"prep": 0.0, "prep_wait": 0.0, "dispatch": 0.0,
+                        "fetch": 0.0}
         d2h_lock = threading.Lock()
 
         def fetch(cells, packed):
+            t0 = _time.monotonic()
             m = len(cells)
             a, b, c = D.unpack_block(
                 np.asarray(packed)[:m], self.nv, self.n_alpha
             )
             with d2h_lock:
                 self.d2h_bytes += np.asarray(packed).nbytes
+                self.phase_s["fetch"] += _time.monotonic() - t0
             llks[cells] = a
             llk0s[cells] = b
             return c
@@ -625,7 +673,11 @@ class DemuxEngine:
 
         def prep(job):
             cells, pad = job
-            return cells, self._prep_codes_blk(scl, cells, pad)
+            t0 = _time.monotonic()
+            out = cells, self._prep_codes_blk(scl, cells, pad)
+            with d2h_lock:
+                self.phase_s["prep"] += _time.monotonic() - t0
+            return out
 
         def sharded_step():
             """Build (and cache per doublet_prior) the mesh compact step."""
@@ -722,14 +774,23 @@ class DemuxEngine:
         if self.mesh is None:
             dev_parts = []
             with ThreadPoolExecutor(max_workers=4) as prep_pool:
-                for cells, (codes, idx, msk) in _prefetched(
-                    prep_pool, prep, jobs
-                ):
+                it = _prefetched(prep_pool, prep, jobs)
+                while True:
+                    t0 = _time.monotonic()
+                    try:
+                        cells, (codes, idx, msk) = next(it)
+                    except StopIteration:
+                        break
+                    self.phase_s["prep_wait"] += _time.monotonic() - t0
+                    t0 = _time.monotonic()
                     dev_parts.append((cells, dispatch(codes, idx, msk)))
+                    self.phase_s["dispatch"] += _time.monotonic() - t0
             if dev_parts:
+                t0 = _time.monotonic()
                 host = np.asarray(jnp.concatenate(
                     [p for _, p in dev_parts], axis=0
                 ))
+                self.phase_s["fetch"] += _time.monotonic() - t0
                 off = 0
                 for cells, p in dev_parts:
                     b = p.shape[0]

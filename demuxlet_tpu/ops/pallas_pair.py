@@ -462,7 +462,7 @@ def plan_pair_tiles(V, A, a0_sep, sym_a):
     return Jt, Jt, Vp, tiles, ac_list, triangular
 
 
-def plan_groups(plan, sym_a, split=None):
+def plan_groups(plan, sym_a, default=False):
     """Split a tile plan into per-plane execution groups
     [(ac_sublist, tiles, tri_enum)] (round-5 verdict #3).
 
@@ -471,18 +471,24 @@ def plan_groups(plan, sym_a, split=None):
     wasted). With the split, the sym plane runs alone on
     upper-triangular tile enumeration (diagonal tiles take the
     statically triangular body) and mirrors at reassembly, while the
-    remaining alphas keep the full square enumeration. Gated by
-    DEMUX_TPU_SPLIT_SYM=0 (on by default; benchmarked on v5e at
-    V=32/A=5 — see BENCH_r05 / CLAUDE.md roadmap #3);
-    single-plane/default-grid plans pass through unchanged.
+    remaining alphas keep the full square enumeration.
+
+    MEASURED same-session on v5e at V=32/A=5 (round 5, /tmp A/B via
+    bench.measure_tpu): fast 104,974 -> 101,308 b/s (split 3.5% SLOWER
+    — the second pallas_call re-streams the t/g blocks, which costs the
+    bandwidth-lean f32 kernel more than the saved dots) vs exact
+    6,143 -> 6,558 b/s (+6.8% — the df kernel is ALU-bound, so saved
+    dot3 chains show through). Defaults follow: fast OFF, exact ON
+    (`default` arg per caller); DEMUX_TPU_SPLIT_SYM=0/1 overrides both.
+    Single-plane/default-grid plans pass through unchanged.
     Bit-symmetry: mirrored (k,j) channels become exact copies of (j,k)
     (previously independently computed, ulp-different) — covered by the
     documented canonicalize-on-tie contract either way."""
     import os
 
     Jt, Kt, Vp, tiles, ac_list, triangular = plan
-    if split is None:
-        split = os.environ.get("DEMUX_TPU_SPLIT_SYM", "1") != "0"
+    env = os.environ.get("DEMUX_TPU_SPLIT_SYM")
+    split = default if env is None else env != "0"
     if (
         not split
         or triangular
@@ -713,7 +719,7 @@ def _call_pair_kernel_tiled(t, gps_t, gp0_t, V, A, interpret, plan,
     if expand is None:
         expand = tuple(range(A * 9))
     Jt, Kt, Vp, tiles, ac_list, triangular = plan
-    groups = plan_groups(plan, sym_a)[3]
+    groups = plan_groups(plan, sym_a, default=False)[3]
     nA = len(ac_list)
     n_s = S // TS
     if nA == 0:
@@ -901,7 +907,7 @@ def _unpack_wire_v2(wbuf, meta, parts=False):
     Callers map codes into LUT rows with jnp.minimum(codes, n_real) —
     the marker (n_real) and none (n_real+1) both land on the zero/none
     row."""
-    _, S, U, U0, K2p, Kp, cw, dw, n_real = meta
+    _, S, U, U0, K2p, Kp, cw, dw, n_real, tw = meta
     B = wbuf.shape[0]
     none = jnp.int32(n_real + 1)
     off = 0
@@ -912,26 +918,39 @@ def _unpack_wire_v2(wbuf, meta, parts=False):
     off = ncb
     tail_parts = None
     if K2p:
-        ntp = K2p * 2 // 4
-        tpos = jax.lax.bitcast_convert_type(
-            wbuf[:, off : off + ntp], jnp.uint16
-        ).reshape(B, K2p).astype(jnp.int32)
+        if tw == 16:
+            ntp = K2p * 2 // 4
+            tpos = jax.lax.bitcast_convert_type(
+                wbuf[:, off : off + ntp], jnp.uint16
+            ).reshape(B, K2p).astype(jnp.int32)
+        else:  # i32 positions: tail plane outgrew u16 addressing
+            ntp = K2p
+            tpos = wbuf[:, off : off + ntp]
         off += ntp
-        ntc = K2p // 4
-        tcode = jax.lax.bitcast_convert_type(
-            wbuf[:, off : off + ntc], jnp.uint8
-        ).reshape(B, K2p).astype(jnp.int32)
+        ntc = K2p * cw // 8 // 4
+        tcode = _unpack_bits_dev(
+            jax.lax.bitcast_convert_type(
+                wbuf[:, off : off + ntc], jnp.uint8).reshape(B, -1),
+            cw, K2p)
         off += ntc
         tail_parts = (tpos, tcode)
-    ndb = S * dw // 8 // 4
-    d = _unpack_bits_dev(
-        jax.lax.bitcast_convert_type(
-            wbuf[:, off : off + ndb], jnp.uint8).reshape(B, -1),
-        dw, S)
+    if dw == 16:
+        ndb = S // 2
+        d = jax.lax.bitcast_convert_type(
+            wbuf[:, off : off + ndb], jnp.uint16
+        ).reshape(B, S).astype(jnp.int32)
+    else:
+        ndb = S * dw // 8 // 4
+        d = _unpack_bits_dev(
+            jax.lax.bitcast_convert_type(
+                wbuf[:, off : off + ndb], jnp.uint8).reshape(B, -1),
+            dw, S)
     off += ndb
     base = wbuf[:, off]
-    fix_pos = wbuf[:, off + 1 : off + 1 + Kp]
-    fix_val = wbuf[:, off + 1 + Kp : off + 1 + 2 * Kp]
+    fix_pos = jax.lax.bitcast_convert_type(
+        wbuf[:, off + 1 : off + 1 + Kp // 2], jnp.uint16
+    ).reshape(B, Kp).astype(jnp.int32)
+    fix_val = wbuf[:, off + 1 + Kp // 2 : off + 1 + Kp // 2 + Kp]
     d = d.at[jnp.arange(B)[:, None], fix_pos].add(fix_val)
     idx = base[:, None] + jnp.cumsum(d, axis=1)
     msk = jnp.any(dense != none, axis=-1)

@@ -796,7 +796,7 @@ def _call_pair_kernel_df_tiled(prod, gall, mskf, V, A, interpret, gsel,
     from demuxlet_tpu.ops.pallas_pair import (plan_groups, tile_pos_map,
                                               tri_index)
 
-    groups = plan_groups(plan, sym_a)[3]
+    groups = plan_groups(plan, sym_a, default=True)[3]
     nA = len(ac_list)
     n_s = S // TS
     n_ab = V * V * A

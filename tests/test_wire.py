@@ -41,6 +41,7 @@ def _cfg(code_vals, code_w=None, delta_w=8, u_cap=2):
         code_w=code_w or W._width_for(len(dc) + 2),
         delta_w=delta_w,
         u_cap=u_cap,
+        adaptive=False,  # tests pin the layout under test
     )
 
 
