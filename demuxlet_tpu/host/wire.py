@@ -260,7 +260,7 @@ def _choose_u0(wc: np.ndarray, cfg: WireCfg) -> int:
     while u0 < U:
         tails = lane_counts[:, u0:].sum(axis=1)
         K2 = int(tails.max()) if B else 0
-        K2p = 8
+        K2p = 16  # same floor as _split_tail / the native wrapper
         while K2p < K2:
             K2p *= 2
         tw = 16 if S * (U - u0) <= 0xFFFF else 32

@@ -293,22 +293,21 @@ class DemuxEngine:
         ):
             from demuxlet_tpu.native import prep as nprep
 
-            blk = nprep.prep_block_shrunk(
-                scl, cells, cap_bq=self.cap_bq,
-                pad_cells_to=self.cell_block, **kw,
-            ) if nprep.available() else None
-            if blk is not None:
-                if cfg is not None:
-                    from demuxlet_tpu.host import wire as W
-
-                    codes, (d8, base, fix_pos, fix_val), _ = blk
-                    buf, meta = self._pack_reg(
-                        cfg, codes,
-                        lambda fl: W.pack_from_shrunk(
-                            codes, d8, base, fix_pos, fix_val, cfg,
-                            floors=fl))
+            if cfg is not None and nprep.available():
+                out = self._pack_reg(lambda ff: nprep.pack_block_v2(
+                    scl, cells, cfg, cap_bq=self.cap_bq,
+                    pad_cells_to=self.cell_block, floors_for=ff, **kw,
+                ))
+                if out is not None:
+                    buf, meta = out
                     return buf, meta, None
-                return blk
+            elif cfg is None:
+                blk = nprep.prep_block_shrunk(
+                    scl, cells, cap_bq=self.cap_bq,
+                    pad_cells_to=self.cell_block, **kw,
+                ) if nprep.available() else None
+                if blk is not None:
+                    return blk
         codes_blk = build_codes_block(
             scl, cells, cap_bq=self.cap_bq,
             pad_cells_to=self.cell_block, **kw,
@@ -316,21 +315,29 @@ class DemuxEngine:
         if cfg is not None:
             from demuxlet_tpu.host import wire as W
 
+            key = (codes_blk[0].shape[1], codes_blk[0].shape[2])
             buf, meta = self._pack_reg(
-                cfg, codes_blk[0],
-                lambda fl: W.pack_wire_block(*codes_blk, cfg, floors=fl))
+                lambda ff: W.pack_wire_block(*codes_blk, cfg,
+                                             floors=ff(key)))
             return buf, meta, None
         return self._shrink_codes_blk(codes_blk)
 
-    def _pack_reg(self, cfg, codes, pack_fn):
-        """Pack through the shape registry: look up this (S, U) key's
-        harmonized (U0, K2p, Kp) floors, pack, then raise the entry's
-        maxima (prefetch threads race benignly — a stale floor only
-        costs one extra compiled variant, never correctness)."""
-        key = (codes.shape[1], codes.shape[2])
-        with self._wire_reg_lock:
-            fl = self._wire_reg.get(key)
-        buf, meta = pack_fn(fl)
+    def _pack_reg(self, pack_fn):
+        """Pack through the shape registry: pack_fn receives a
+        floors-lookup callable (key=(S, U) -> harmonized (U0, K2p, Kp)
+        or None); afterwards the produced meta raises its key's maxima.
+        Prefetch threads race benignly — a stale floor only costs one
+        extra compiled variant, never correctness."""
+
+        def floors_for(key):
+            with self._wire_reg_lock:
+                return self._wire_reg.get(key)
+
+        out = pack_fn(floors_for)
+        if out is None:
+            return None
+        buf, meta = out
+        key = (meta[1], meta[2])
         u0, k2p, kp = meta[3], meta[4], meta[5]
         with self._wire_reg_lock:
             cur = self._wire_reg.get(key)

@@ -32,6 +32,7 @@
 
 #include <cstdint>
 #include <cstring>
+#include <vector>
 
 extern "C" {
 
@@ -130,6 +131,197 @@ int dmx_prep_fill(const int64_t* cell_ptr, const int32_t* obs_snp,
         if (s >= 0 && !has_code) crow[s * U] = 254;
     }
     return 0;
+}
+
+}  // extern "C"
+
+/* ---------------------------------------------------------------- v2 pack
+ *
+ * Single-pass emission of the wire-v2 packed block (host/wire.py is the
+ * layout reference and the fallback: dmx_pack2_fill must produce
+ * BYTE-IDENTICAL buffers to pack_wire_block — pinned by
+ * tests/test_native.py). The Python packer materializes the dense
+ * (B, S, U) code tensor and re-walks it ~5 times; on realistic deep-U
+ * blocks that is ~270M u8 elements and 2.4-3.0 s/block of the round-5
+ * e2e's prep phase. Here each cell's observations stream once.
+ *
+ * dmx_pack2_dims: per-block statistics for the Python wrapper's static
+ * choices (slot max, UMI-lane max incl. dropped-obs holes, per-U0
+ * tail-entry maxima over real codes at hole-aware lanes, delta-escape
+ * max at E = 2^delta_w - 1).
+ * dmx_pack2_fill: emit the (Bp, W) i32 wire rows.
+ */
+
+static inline void put_bits(uint8_t* dst, int64_t* bitpos, uint32_t v,
+                            int width) {
+  /* little-endian bit stream, matching host/wire.py pack_bits for
+   * widths 4/6/8/16 (4: lo nibble first; 6: 4 codes -> 3 bytes;
+   * verified by the byte-parity test) */
+  int64_t byte = *bitpos >> 3;
+  int sh = (int)(*bitpos & 7);
+  dst[byte] |= (uint8_t)(v << sh);
+  if (sh + width > 8) {
+    dst[byte + 1] |= (uint8_t)(v >> (8 - sh));
+    if (sh + width > 16) dst[byte + 2] |= (uint8_t)(v >> (16 - sh));
+  }
+  *bitpos += width;
+}
+
+extern "C" {
+
+int dmx_pack2_dims(const int64_t* cell_ptr, const int32_t* obs_snp,
+                   const uint8_t* obs_allele, const int64_t* ids,
+                   int64_t B, int64_t E,
+                   const int64_t* u0_cands, int64_t n_cand,
+                   int64_t* out /* smax, umax, kmax, flags,
+                                   tails_max[n_cand] */) {
+  int64_t smax = 0, umax = 0, kmax = 0, flags = 0;
+  int64_t* tails_max = out + 4;
+  for (int64_t c = 0; c < n_cand; ++c) tails_max[c] = 0;
+  std::vector<int64_t> tails((size_t)n_cand);
+  for (int64_t r = 0; r < B; ++r) {
+    const int64_t a = cell_ptr[ids[r]], b = cell_ptr[ids[r] + 1];
+    int64_t nslots = 0, nesc = 0, occ = 0, occmax = 0;
+    for (int64_t c = 0; c < n_cand; ++c) tails[c] = 0;
+    int32_t prev = 0;
+    for (int64_t i = a; i < b; ++i) {
+      const int32_t s = obs_snp[i];
+      if (i == a || s != prev) {
+        if (nslots > 0) {
+          const int64_t d = (int64_t)s - (int64_t)prev;
+          if (d < 0) flags |= 1;
+          if (d > E) ++nesc;
+        }
+        ++nslots;
+        if (occ > occmax) occmax = occ;
+        occ = 0;
+        prev = s;
+      }
+      if (obs_allele[i] < 2) {
+        /* real code at hole-aware lane `occ` */
+        for (int64_t c = 0; c < n_cand; ++c)
+          if (occ >= u0_cands[c]) ++tails[c];
+      }
+      ++occ;
+    }
+    if (occ > occmax) occmax = occ;
+    if (nslots > smax) smax = nslots;
+    if (occmax > umax) umax = occmax;
+    if (nesc > kmax) kmax = nesc;
+    for (int64_t c = 0; c < n_cand; ++c)
+      if (tails[c] > tails_max[c]) tails_max[c] = tails[c];
+  }
+  out[0] = smax;
+  out[1] = umax;
+  out[2] = kmax;
+  out[3] = flags;
+  return 0;
+}
+
+int dmx_pack2_fill(const int64_t* cell_ptr, const int32_t* obs_snp,
+                   const uint8_t* obs_allele, const uint8_t* obs_bq,
+                   const int64_t* ids, int64_t B,
+                   int64_t cap_bq, const uint8_t* lut /* (256,) */,
+                   int64_t n_real, int64_t cw, int64_t dw,
+                   int64_t Sp, int64_t U, int64_t U0,
+                   int64_t K2p, int64_t Kp, int64_t tw, int64_t Bp,
+                   int32_t* wire /* (Bp, W) */, int64_t W) {
+  const uint8_t cap = (uint8_t)cap_bq;
+  const int64_t nq = cap_bq + 1;
+  const uint32_t none = (uint32_t)(n_real + 1);
+  const uint32_t marker = (uint32_t)n_real;
+  const int64_t E = ((int64_t)1 << dw) - 1;
+  const int64_t codes_b = Sp * U0 * cw / 8;
+  const int64_t tpos_b = K2p * (tw / 8);
+  const int64_t tcode_b = K2p * cw / 8;
+  const int64_t delta_b = Sp * dw / 8;
+  memset(wire, 0, (size_t)(Bp * W * 4));
+  std::vector<uint32_t> lanes((size_t)(U0 > 0 ? U0 : 1));
+  for (int64_t r = 0; r < Bp; ++r) {
+    uint8_t* row = reinterpret_cast<uint8_t*>(wire + r * W);
+    uint8_t* codes8 = row;
+    uint8_t* tpos8 = row + codes_b;
+    uint8_t* tcode8 = tpos8 + tpos_b;
+    uint8_t* delta8 = tcode8 + tcode_b;
+    int32_t* base = reinterpret_cast<int32_t*>(delta8 + delta_b);
+    uint16_t* fixp = reinterpret_cast<uint16_t*>(base + 1);
+    int32_t* fixv = reinterpret_cast<int32_t*>(
+        reinterpret_cast<uint8_t*>(fixp) + Kp * 2);
+    int64_t cbit = 0, dbit = 0, ntail = 0, nfix = 0;
+    const int64_t a = r < B ? cell_ptr[ids[r]] : 0;
+    const int64_t b = r < B ? cell_ptr[ids[r] + 1] : 0;
+    int64_t s = -1, occ = 0;
+    int32_t prev = 0;
+    bool has_dense = false;
+
+    auto flush_slot = [&]() {
+      if (s < 0) return;
+      if (!has_dense) lanes[0] = marker;  /* 254-rule + tail-only rule */
+      for (int64_t u = 0; u < U0; ++u)
+        put_bits(codes8, &cbit, lanes[u], (int)cw);
+    };
+
+    for (int64_t i = a; i < b; ++i) {
+      const int32_t snp = obs_snp[i];
+      if (s < 0 || snp != prev) {
+        flush_slot();
+        if (s >= 0) {
+          const int64_t d = (int64_t)snp - (int64_t)prev;
+          int64_t stored = d > E ? E : d;
+          if (d > E && nfix < Kp) {
+            fixp[nfix] = (uint16_t)(s + 1);
+            fixv[nfix] = (int32_t)(d - E);
+            ++nfix;
+          }
+          put_bits(delta8, &dbit, (uint32_t)stored, (int)dw);
+        } else {
+          *base = snp;
+          put_bits(delta8, &dbit, 0, (int)dw); /* slot 0 delta = 0 */
+        }
+        ++s;
+        occ = 0;
+        has_dense = false;
+        for (int64_t u = 0; u < U0; ++u) lanes[u] = none;
+        prev = snp;
+      }
+      if (obs_allele[i] < 2) {
+        const uint8_t q = obs_bq[i] > cap ? cap : obs_bq[i];
+        const uint32_t wc = lut[obs_allele[i] * nq + q];
+        if (occ < U0) {
+          lanes[occ] = wc;
+          has_dense = true;
+        } else if (ntail < K2p) {
+          const int64_t pos = s * (U - U0) + (occ - U0);
+          if (tw == 16)
+            reinterpret_cast<uint16_t*>(tpos8)[ntail] = (uint16_t)pos;
+          else
+            reinterpret_cast<int32_t*>(tpos8)[ntail] = (int32_t)pos;
+          int64_t tbit = ntail * cw;
+          put_bits(tcode8, &tbit, wc, (int)cw);
+          ++ntail;
+        }
+      }
+      ++occ;
+    }
+    flush_slot();
+    ++s; /* slots written */
+    /* padding: remaining slots' codes = none, deltas = 0 (memset) */
+    for (int64_t sp = s < 0 ? 0 : s; sp < Sp; ++sp)
+      for (int64_t u = 0; u < U0; ++u)
+        put_bits(codes8, &cbit, none, (int)cw);
+    /* delta padding is zeros — already memset */
+    /* tail padding: pos = OOB sentinel, code = none */
+    for (int64_t t = ntail; t < K2p; ++t) {
+      if (tw == 16)
+        reinterpret_cast<uint16_t*>(tpos8)[t] = 0xFFFF;
+      else
+        reinterpret_cast<int32_t*>(tpos8)[t] = (int32_t)(Sp * (U - U0));
+      int64_t tbit = t * cw;
+      put_bits(tcode8, &tbit, none, (int)cw);
+    }
+    /* fix padding is zeros — already memset */
+  }
+  return 0;
 }
 
 }  // extern "C"

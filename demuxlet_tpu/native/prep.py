@@ -80,6 +80,19 @@ def _load():
             C.c_int64, C.c_int64, C.c_int64, C.c_int64, C.c_int64,
             _U8P, _U8P, _I32P, _I32P, _I32P,
         ]
+        d2 = lib.dmx_pack2_dims
+        d2.restype = C.c_int
+        d2.argtypes = [_I64P, _I32P, _U8P, _I64P, C.c_int64, C.c_int64,
+                       _I64P, C.c_int64, _I64P]
+        f2 = lib.dmx_pack2_fill
+        f2.restype = C.c_int
+        f2.argtypes = [
+            _I64P, _I32P, _U8P, _U8P, _I64P, C.c_int64,
+            C.c_int64, _U8P, C.c_int64, C.c_int64, C.c_int64,
+            C.c_int64, C.c_int64, C.c_int64,
+            C.c_int64, C.c_int64, C.c_int64, C.c_int64,
+            _I32P, C.c_int64,
+        ]
         _LIB = lib
     except Exception:
         _LOAD_FAILED = True
@@ -134,3 +147,100 @@ def prep_block_shrunk(csr, cell_ids, cap_bq=40, pad_slots_to=128,
                       cap_bq, Sp, U, Kp, Bp,
                       codes, d8, base, fix_pos, fix_val)
     return codes, (d8, base, fix_pos, fix_val), None
+
+
+def pack_block_v2(csr, cell_ids, cfg, cap_bq=40, pad_slots_to=128,
+                  pad_cells_to=32, floors=None, floors_for=None):
+    """Native single-pass wire-v2 block pack: (wire (Bp, W) i32, meta),
+    byte-identical to host.wire.pack_wire_block (pinned by
+    tests/test_native.py), or None to signal the Python fallback
+    (library unavailable / unsorted slice). The Python route
+    materializes the dense (B, S, U) code tensor (~270M u8 on deep-U
+    realistic blocks, 2.4-3 s/block); here each cell's observations
+    stream once through C.
+
+    floors = (u0_pin, k2p_floor, kp_floor) from the engine's meta
+    registry (host/wire._assemble contract)."""
+    lib = _load()
+    if lib is None:
+        return None
+    ids = np.ascontiguousarray(np.asarray(cell_ids, dtype=np.int64))
+    B = len(ids)
+    cell_ptr, obs_snp = csr.cell_ptr, csr.obs_snp
+    obs_al, obs_bq = csr.obs_allele, csr.obs_bq
+    assert (cell_ptr.dtype == np.int64 and obs_snp.dtype == np.int32
+            and obs_al.dtype == np.uint8 and obs_bq.dtype == np.uint8)
+    cw, dw = cfg.code_w, cfg.delta_w
+    E = (1 << dw) - 1
+
+    cands = []
+    c = 1
+    while c <= 256:
+        cands.append(c)
+        c *= 2
+    cands_a = np.asarray(cands, dtype=np.int64)
+    dims = np.zeros(4 + len(cands), dtype=np.int64)
+    lib.dmx_pack2_dims(cell_ptr, obs_snp, obs_al, ids, B, E,
+                       cands_a, len(cands), dims)
+    smax, umax, kmax, flags = (int(x) for x in dims[:4])
+    tails_max = {c: int(t) for c, t in zip(cands, dims[4:])}
+    if flags & 1:
+        return None  # unsorted -> Python path
+
+    pad_slots_to = max(pad_slots_to, 128)
+    pad_cells_to = max(pad_cells_to, 32)
+    if pad_cells_to % 32:
+        pad_cells_to = -(-pad_cells_to // 32) * 32
+    Sp = max(pad_slots_to, -(-max(smax, 1) // pad_slots_to) * pad_slots_to)
+    Bp = max(pad_cells_to, -(-B // pad_cells_to) * pad_cells_to)
+    U = 1
+    while U < umax:
+        U *= 2
+
+    if floors is None and floors_for is not None:
+        floors = floors_for((Sp, U))  # engine meta-registry lookup
+    u0_pin, k2p_floor, kp_floor = floors if floors else (None, 16, 8)
+
+    def bucket(n, lo):
+        b = lo
+        while b < n:
+            b *= 2
+        return b
+
+    if u0_pin is not None:
+        U0 = min(u0_pin, U)
+    elif not cfg.adaptive:
+        U0 = min(cfg.u_cap, U)
+    else:
+        # mirror host.wire._choose_u0's cost model on the dims stats
+        best_u0, best_cost = U, Sp * U * cw / 8.0
+        c = 1
+        while c < U:
+            K2p_c = bucket(tails_max[c], 16)
+            tw_c = 16 if Sp * (U - c) <= 0xFFFF else 32
+            cost = Sp * c * cw / 8.0 + K2p_c * (tw_c / 8.0 + cw / 8.0)
+            if cost < best_cost:
+                best_u0, best_cost = c, cost
+            c *= 2
+    # (loop variable naming: best_u0 only set in the adaptive branch)
+    if u0_pin is None and cfg.adaptive:
+        U0 = best_u0
+
+    if U == U0:
+        K2p, tw = 0, 16
+    else:
+        tw = 16 if Sp * (U - U0) <= 0xFFFF else 32
+        K2p = bucket(max(tails_max.get(U0, 0), 1), max(16, k2p_floor))
+    Kp = bucket(max(kmax, 1), max(8, kp_floor))
+
+    codes_b = Sp * U0 * cw // 8
+    tpos_b = K2p * (tw // 8)
+    tcode_b = K2p * cw // 8
+    delta_b = Sp * dw // 8
+    W = (codes_b + tpos_b + tcode_b + delta_b + 4 + Kp * 2 + Kp * 4) // 4
+    wire = np.empty((Bp, W), dtype=np.int32)
+    lib.dmx_pack2_fill(cell_ptr, obs_snp, obs_al, obs_bq, ids, B,
+                       cap_bq, cfg.code_lut(), cfg.n_real, cw, dw,
+                       Sp, U, U0, K2p, Kp, tw, Bp, wire, W)
+    meta = ("w2", Sp, U, U0, K2p, Kp, cw, dw, cfg.n_real, tw)
+    return wire, meta

@@ -277,3 +277,55 @@ def test_engine_wire_v2_matches_v1(tmp_path, mode):
         np.testing.assert_array_equal(c1.best_flat, c2.best_flat)
         np.testing.assert_allclose(c1.sing_col, c2.sing_col,
                                    rtol=0, atol=2e-3)
+
+
+def test_native_pack_v2_matches_python():
+    """dmx_pack2_fill emits BYTE-identical wire buffers + identical meta
+    to the Python packer across widths, deep tails, escapes, holes,
+    markers, and padded rows — on CSR data (the production input)."""
+    native = pytest.importorskip("demuxlet_tpu.native.prep")
+    if not native.available():
+        pytest.skip("native prep not built")
+    from demuxlet_tpu.host.csr import CsrPileup, build_codes_block
+
+    rng = np.random.default_rng(23)
+    n_cells, NS = 70, 5000
+    obs = []
+    for c in range(n_cells):
+        # gene-run clusters (tiny deltas + big jumps), deep hot slots,
+        # allele==2 holes
+        pos = 0
+        for _g in range(rng.integers(3, 30)):
+            pos += int(rng.integers(1, 400))
+            for k in range(int(rng.integers(1, 8))):
+                s = pos + k
+                depth = 1 + int(rng.random() < 0.2) + (
+                    int(rng.integers(4, 30)) if rng.random() < 0.01 else 0)
+                for _ in range(depth):
+                    obs.append((c, s, int(rng.integers(0, 3)),
+                                int(rng.integers(13, 41))))
+    obs = np.asarray(obs, dtype=np.int64)
+    obs[:, 1] = np.minimum(obs[:, 1], NS - 1)
+    csr = CsrPileup.from_arrays(
+        ["S0"], NS, ["B%03d" % i for i in range(n_cells)],
+        np.zeros(n_cells), np.zeros(n_cells), np.zeros(n_cells),
+        obs[:, 0], obs[:, 1], obs[:, 2].astype(np.uint8),
+        obs[:, 3].astype(np.uint8),
+    )
+    for cfg in (
+        W.choose_cfg(csr, 40),
+        W.WireCfg(W.choose_cfg(csr, 40).dict_codes, 6, 16, 2, False),
+        W.WireCfg(W.choose_cfg(csr, 40).dict_codes, 8, 6, 1, False),
+    ):
+        for floors in (None, (2, 64, 32)):
+            cells = list(range(n_cells))
+            got = native.pack_block_v2(csr, cells, cfg, cap_bq=40,
+                                       floors=floors)
+            assert got is not None
+            buf_n, meta_n = got
+            codes_blk = build_codes_block(csr, cells, cap_bq=40)
+            buf_p, meta_p = W.pack_wire_block(*codes_blk, cfg,
+                                              floors=floors)
+            assert meta_n == meta_p, (cfg, floors, meta_n, meta_p)
+            np.testing.assert_array_equal(buf_n, buf_p,
+                                          err_msg=str((cfg, floors)))
