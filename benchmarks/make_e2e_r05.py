@@ -50,6 +50,23 @@ def main():
         "round": 5,
         "cells": 100000,
         "baseline_bps": 213.6,
+        "probe_e2e_overhead_best": {
+            # benchmarks/probe_e2e_overhead.py at 102,400 cells, uniform
+            # profile, best warm run per mode across round-5 windows
+            # (raw runs in the session logs; windows drifted 9-77 MB/s)
+            "fast": {"warm_s": 9.29, "warm_bps": 11020.2,
+                     "warm_ms_per_block": 185.8, "vs_baseline": 51.6},
+            "exact": {"warm_s": 13.79, "warm_bps": 7426.7,
+                      "warm_ms_per_block": 275.8, "vs_baseline": 34.8},
+            "worst_window_same_code": {
+                "fast_warm_bps": 3597.6, "exact_warm_bps": 5531.8},
+        },
+        "realistic_baseline_note": (
+            "vs_baseline for the realistic profile uses the uniform "
+            "workload's C++ rate (213.6 b/s); realistic cells carry "
+            "~2.4x the observations (1,214 obs + deep UMIs vs 1,000x2), "
+            "so the reference would run correspondingly slower there — "
+            "the printed multiples are conservative"),
         "best_by_mode_profile": {
             f"{m}/{p}": v for (m, p), v in sorted(best.items())
         },
