@@ -169,7 +169,7 @@ def choose_cfg(csr, cap_bq: int, sample_cells: int = 1024) -> WireCfg:
         best = None
         for w in (4, 6, 8, 16):
             cost = w / 8.0 + float(
-                (dsamp >= (1 << w) - 1).mean()) * 6.0
+                (dsamp > (1 << w) - 1).mean()) * 6.0
             if best is None or cost < best:
                 best, delta_w = cost, w
 
@@ -330,7 +330,9 @@ def _pack_deltas(d: np.ndarray, cfg: WireCfg, kp_floor=8):
     E = 2^delta_w - 1. Fix entries cost 6 bytes (slot positions fit
     u16: S <= 65535)."""
     B, S = d.shape
-    assert S <= 0xFFFF, "u16 fix positions bound the slot axis at 65535"
+    # u16 fix positions bound the slot axis at 65535; pack_wire_block
+    # returns None above this (engine falls back to the v1 wire)
+    assert S <= 0xFFFF
     # width is a PER-RUN choice (choose_cfg's cost model): per-block
     # width adaptation multiplied the compiled-shape count — every
     # distinct meta costs a fresh ~5-10 s jit on the remote backend
@@ -387,9 +389,11 @@ def pack_wire_block(codes: np.ndarray, idx: np.ndarray, msk: np.ndarray,
                     cfg: WireCfg, floors=None):
     """build_codes_block output -> (wire (B, W) i32, meta) in v2 form.
 
-    Python reference packer (the native-prep path routes through
-    pack_from_shrunk). meta = ("w2", S, U, U0, K2p, Kp, code_w,
-    delta_w, n_real) — the static half of the jit key; see
+    Python reference packer (the engine's native path calls
+    native/prep.pack_block_v2, which must emit identical bytes;
+    pack_from_shrunk covers the shrunk-form route in tests).
+    meta = ("w2", S, U, U0, K2p, Kp, code_w, delta_w, n_real, tw) —
+    the static half of the jit key; see
     pallas_pair.unpack_block_inputs for the device decode. U is the
     block's full lane count (reconstruction shape), U0 the dense lanes;
     lanes >= U0 with a real code ship as (u16 pos, u8 code) tail
@@ -398,6 +402,8 @@ def pack_wire_block(codes: np.ndarray, idx: np.ndarray, msk: np.ndarray,
     results are bit-identical to the v1 dense form in both modes.
     """
     B, S, U = codes.shape
+    if S > 0xFFFF:
+        return None  # u16 fix/tail positions can't address the slots
     wc = cfg.code_lut()[codes]
     # empty-valid slots: all observations dropped (allele==2) -> marker
     # in lane 0 (engine._shrink_codes_blk semantics)
@@ -407,8 +413,7 @@ def pack_wire_block(codes: np.ndarray, idx: np.ndarray, msk: np.ndarray,
         wc[b, s, 0] = cfg.marker
     d = np.zeros_like(idx, dtype=np.int64)
     d[:, 1:] = np.diff(idx.astype(np.int64), axis=1)
-    d[~msk] = 0
-    d[:, 1:][~msk[:, 1:]] = 0
+    d[~msk] = 0  # masked slots (padding suffix) contribute zero deltas
     assert (d >= 0).all(), "slot ids must be per-cell sorted"
     return _assemble(wc, idx[:, 0].astype(np.int32), d, cfg, floors)
 

@@ -263,14 +263,26 @@ class DemuxEngine:
             or os.environ.get("DEMUX_TPU_WIRE", "v2") == "v1"
         ):
             return None
-        key = (id(scl), len(scl.obs_snp))
-        if self._wire_key != key:
+        # the cfg cache rides ON the pileup (an id(scl)-keyed engine
+        # cache could serve a stale dictionary to a DIFFERENT pileup
+        # allocated at a reused address — review r5 #3; a stale dict
+        # silently drops observations on the native path)
+        cache = getattr(scl, "_wire_cfg_cache", None)
+        if cache is not None and cache[0] == self.cap_bq:
+            cfg = cache[1]
+        else:
             from demuxlet_tpu.host.wire import choose_cfg
 
-            self._wire_cfg = choose_cfg(scl, self.cap_bq)
-            self._wire_key = key
+            cfg = choose_cfg(scl, self.cap_bq)
+            try:
+                scl._wire_cfg_cache = (self.cap_bq, cfg)
+            except AttributeError:
+                pass
+        if cfg != self._wire_cfg:
+            self._wire_cfg = cfg
             self._fast_luts_v2 = None
             self._df_tables_v2 = None
+            self._wire_reg = {}
         return self._wire_cfg
 
     def _prep_codes_blk(self, scl, cells, pad=None):
@@ -316,10 +328,13 @@ class DemuxEngine:
             from demuxlet_tpu.host import wire as W
 
             key = (codes_blk[0].shape[1], codes_blk[0].shape[2])
-            buf, meta = self._pack_reg(
+            out = self._pack_reg(
                 lambda ff: W.pack_wire_block(*codes_blk, cfg,
                                              floors=ff(key)))
-            return buf, meta, None
+            if out is not None:
+                buf, meta = out
+                return buf, meta, None
+            # v2 declined (slot extent beyond u16 addressing): v1 wire
         return self._shrink_codes_blk(codes_blk)
 
     def _pack_reg(self, pack_fn):
@@ -860,6 +875,11 @@ class DemuxEngine:
             from demuxlet_tpu.host.csr import CsrPileup
 
             scl = CsrPileup.from_pileup(scl)
+        if self.mode == "fast" or self.use_exact_pallas:
+            # pre-warm the wire cfg on the main thread: otherwise the 4
+            # prefetch workers each race through choose_cfg's full-data
+            # pass before the first block dispatches (review r5 #4)
+            self._wire_cfg_for(scl)
         n = scl.nbcs
         nv = self.nv
         na = self.n_alpha

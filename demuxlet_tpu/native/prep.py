@@ -175,7 +175,7 @@ def pack_block_v2(csr, cell_ids, cfg, cap_bq=40, pad_slots_to=128,
 
     cands = []
     c = 1
-    while c <= 256:
+    while c <= 0x10000:  # covers any pow2 U bucket (occ <= S <= 65535)
         cands.append(c)
         c *= 2
     cands_a = np.asarray(cands, dtype=np.int64)
@@ -193,6 +193,8 @@ def pack_block_v2(csr, cell_ids, cfg, cap_bq=40, pad_slots_to=128,
         pad_cells_to = -(-pad_cells_to // 32) * 32
     Sp = max(pad_slots_to, -(-max(smax, 1) // pad_slots_to) * pad_slots_to)
     Bp = max(pad_cells_to, -(-B // pad_cells_to) * pad_cells_to)
+    if Sp > 0xFFFF:
+        return None  # u16 fix/tail positions can't address the slots
     U = 1
     while U < umax:
         U *= 2

@@ -329,3 +329,35 @@ def test_native_pack_v2_matches_python():
             assert meta_n == meta_p, (cfg, floors, meta_n, meta_p)
             np.testing.assert_array_equal(buf_n, buf_p,
                                           err_msg=str((cfg, floors)))
+
+
+def test_wire_v2_slot_extent_fallback():
+    """Blocks whose slot axis exceeds u16 addressing (S > 65535) must
+    DECLINE the v2 wire (both packers return None; the engine then
+    falls back to the v1 format, which ships i32 fix positions) rather
+    than truncate positions mod 65536 (review r5 #1)."""
+    n_slots = 66_000
+    B = 32
+    codes = np.full((B, 66_048, 1), 255, dtype=np.uint8)
+    codes[0, :n_slots, 0] = 3
+    idx = np.zeros((B, 66_048), dtype=np.int32)
+    idx[0, :n_slots] = np.arange(n_slots)
+    msk = np.zeros((B, 66_048), dtype=bool)
+    msk[0, :n_slots] = True
+    cfg = _cfg([3, 44])
+    assert W.pack_wire_block(codes, idx, msk, cfg) is None
+
+    native = pytest.importorskip("demuxlet_tpu.native.prep")
+    if not native.available():
+        pytest.skip("native prep not built")
+    from demuxlet_tpu.host.csr import CsrPileup
+
+    snps = np.arange(n_slots, dtype=np.int64)
+    csr = CsrPileup.from_arrays(
+        ["S0"], n_slots, ["B%02d" % i for i in range(B)],
+        np.zeros(B), np.zeros(B), np.zeros(B),
+        np.zeros(n_slots, np.int64), snps,
+        np.zeros(n_slots, np.uint8), np.full(n_slots, 30, np.uint8),
+    )
+    assert native.pack_block_v2(csr, list(range(B)), cfg,
+                                cap_bq=40) is None
