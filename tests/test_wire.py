@@ -234,9 +234,16 @@ def test_engine_wire_v2_matches_v1(tmp_path, mode):
     obs = []
     for c in range(n_cells):
         snps = np.sort(rng.choice(NS, size=40, replace=False))
-        for s in snps:
-            for _ in range(1 + (rng.random() < 0.3) * int(
-                    rng.integers(1, 4))):
+        for j, s in enumerate(snps):
+            # PCR-hot slots (~1 per cell, depth ~18) force deep UMI
+            # lanes: the fast front's tail scatter-add and the exact
+            # reconstruction both run at U >= 16 through the engine
+            depth = 1 + (rng.random() < 0.3) * int(rng.integers(1, 4))
+            if j == 7 and mode == "fast":
+                # deep lanes only on the fast arm: the exact arm's
+                # interpret compile scales with U (slow-suite budget)
+                depth += int(rng.integers(12, 20))
+            for _ in range(depth):
                 obs.append((c, s, int(rng.random() < 0.5),
                             int(rng.integers(13, 41))))
     obs = np.asarray(obs, dtype=np.int64)
