@@ -412,7 +412,21 @@ def main(argv=None) -> int:
     notice("Starting to identify best matching individual IDs")
     if args.mode == "parity":
         return _run_parity(args, scl, table, grid_alpha, t_start)
-    eng_thread.join()
+    # bounded wait: a dead/unreachable accelerator relay otherwise hangs
+    # the join forever (observed when the axon tunnel went down mid-
+    # round-5) — fail loudly with the remedy instead
+    import os as _os
+
+    backend_timeout = float(
+        _os.environ.get("DEMUX_TPU_BACKEND_TIMEOUT", "600"))
+    eng_thread.join(timeout=backend_timeout)
+    if eng_thread.is_alive():
+        error(
+            "engine/backend initialization did not complete within %.0fs "
+            "— the '%s' JAX backend may be unreachable. Set "
+            "DEMUX_TPU_BACKEND_TIMEOUT to wait longer, or rerun with "
+            "--device cpu.", backend_timeout, args.device,
+        )
     if "err" in eng_box:
         raise eng_box["err"]
     eng = eng_box["eng"]
