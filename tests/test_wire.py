@@ -368,3 +368,60 @@ def test_wire_v2_slot_extent_fallback():
     )
     assert native.pack_block_v2(csr, list(range(B)), cfg,
                                 cap_bq=40) is None
+
+
+def test_engine_python_packer_matches_native(tmp_path):
+    """DEMUX_TPU_NO_NATIVE_PREP=1 routes the engine through
+    build_codes_block + pack_wire_block; fast-mode results must be
+    BIT-identical to the native pack_block_v2 route (the wire bytes are
+    pinned identical by test_native_pack_v2_matches_python; this checks
+    the engine plumbing end-to-end)."""
+    import jax
+
+    from demuxlet_tpu.host.csr import CsrPileup
+    from demuxlet_tpu.models.engine import DemuxEngine
+
+    rng = np.random.default_rng(31)
+    n_cells, NS, V = 40, 250, 3
+    obs = []
+    for c in range(n_cells):
+        snps = np.sort(rng.choice(NS, size=30, replace=False))
+        for j, s in enumerate(snps):
+            depth = 1 + (j == 5) * int(rng.integers(6, 12))
+            for _ in range(depth):
+                obs.append((c, s, int(rng.random() < 0.5),
+                            int(rng.integers(13, 41))))
+    obs = np.asarray(obs, dtype=np.int64)
+    csr = CsrPileup.from_arrays(
+        [f"S{i}" for i in range(V)], NS,
+        ["B%04d" % i for i in range(n_cells)],
+        np.zeros(n_cells), np.zeros(n_cells), np.zeros(n_cells),
+        obs[:, 0], obs[:, 1], obs[:, 2].astype(np.uint8),
+        obs[:, 3].astype(np.uint8),
+    )
+    gps = rng.dirichlet(np.ones(3), size=(NS, V))
+
+    def run(no_native):
+        if no_native:
+            os.environ["DEMUX_TPU_NO_NATIVE_PREP"] = "1"
+        try:
+            # the native module caches load state; reset between runs
+            from demuxlet_tpu.native import prep as nprep
+
+            nprep._LIB = None
+            nprep._LOAD_FAILED = False
+            eng = DemuxEngine(gps, [0.0, 0.5], cell_block=16,
+                              mode="fast")
+            return eng.run_compact(csr, doublet_prior=0.5)
+        finally:
+            os.environ.pop("DEMUX_TPU_NO_NATIVE_PREP", None)
+            nprep._LIB = None
+            nprep._LOAD_FAILED = False
+
+    l_n, l0_n, c_n = run(False)
+    l_p, l0_p, c_p = run(True)
+    np.testing.assert_array_equal(l_n, l_p)
+    np.testing.assert_array_equal(l0_n, l0_p)
+    for k in c_n.__dict__:
+        np.testing.assert_array_equal(getattr(c_n, k), getattr(c_p, k),
+                                      err_msg=k)
