@@ -16,6 +16,15 @@ if "host_platform_device_count" not in prev:
     os.environ["XLA_FLAGS"] = (
         prev + " --xla_force_host_platform_device_count=8"
     ).strip()
+if "xla_backend_optimization_level" not in os.environ["XLA_FLAGS"]:
+    # LLVM -O0 for the CPU test backend (round-5 verdict #9): the df32
+    # interpret kernels' COLD compiles drop ~12x (the engine-level
+    # v1-vs-v2 exact parity test: 936 s -> 80 s) while FP semantics are
+    # unchanged (no fast-math at any LLVM opt level — the bit-exact
+    # golden/parity assertions pin this). Execution is slower at -O0,
+    # but these are tiny-shape interpret runs; the dryrun gate has used
+    # the same flag since round 3.
+    os.environ["XLA_FLAGS"] += " --xla_backend_optimization_level=0"
 os.environ["JAX_ENABLE_X64"] = "true"
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
