@@ -82,9 +82,9 @@ def main():
             "uniform_floor_note": (
                 "the uniform synthetic has no sentinel waste (exactly 2 "
                 "UMIs/slot, BQ uniform over 28 values): its information "
-                "content is ~2 codes x 6 bits + 1 delta x ~7 bits = "
-                "~2.4 KB/barcode, so v2's 2.62 KB is within ~10% of the "
-                "entropy floor for this workload"),
+                "content is 2 codes x log2(56) + 1 delta x ~6.2 bits "
+                "= ~17.8 bits/slot = ~2.28 KB/barcode, so v2's 2.62 KB "
+                "sits ~15% above the entropy floor for this workload"),
         },
         "conditions_note": (
             "the tunneled relay's H2D bandwidth drifted 9-77 MB/s across "
