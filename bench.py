@@ -330,8 +330,42 @@ def _extra_rows() -> list:
     return rows
 
 
+def _backend_alive(timeout_s: float) -> bool:
+    """Bounded backend-init probe: a dead relay otherwise hangs the
+    first device op forever (observed when the axon tunnel went down
+    mid-round-5). Runs jax.devices() on a daemon thread."""
+    import threading
+
+    ok = {}
+
+    def _probe():
+        try:
+            import jax
+
+            ok["devices"] = jax.devices()
+        except Exception as e:  # noqa: BLE001
+            ok["err"] = str(e)
+
+    t = threading.Thread(target=_probe, daemon=True)
+    t.start()
+    t.join(timeout=timeout_s)
+    return "devices" in ok
+
+
 def main():
     base = measure_cpp_baseline()
+    timeout_s = float(os.environ.get("BENCH_BACKEND_TIMEOUT", "900"))
+    if not _backend_alive(timeout_s):
+        print(json.dumps({
+            "metric": "pair_search_barcodes_per_s",
+            "value": None,
+            "unit": "barcodes/s",
+            "error": "accelerator backend failed to initialize within "
+                     f"{timeout_s:.0f}s (relay down?); kernel bench "
+                     "skipped",
+            "baseline_cpp_barcodes_per_s": round(base, 1),
+        }))
+        return
     tpu = measure_tpu()
     extra = _extra_rows()
     # headline run-to-run spread (VERDICT r4 #7): the relay drifts
