@@ -153,7 +153,6 @@ class DemuxEngine:
         # + capped UMI lanes + narrow deltas. Chosen once per pileup
         # (static per run -> one compiled variant per shape bucket).
         self._wire_cfg = None
-        self._wire_key = None
         self._fast_luts_v2 = None
         self._df_tables_v2 = None
         # wire-v2 meta registry: same-(S, U) blocks share one compiled
@@ -263,6 +262,17 @@ class DemuxEngine:
             or os.environ.get("DEMUX_TPU_WIRE", "v2") == "v1"
         ):
             return None
+        # u16 fix/tail positions bound the slot axis: if ANY block could
+        # pad past 65535 slots, disable v2 for the whole RUN (uniform
+        # wire form — mixed per-block v1/v2 fallbacks would need
+        # per-block LUT swaps and pay the Python dense builder on
+        # exactly the hugest blocks; review r5-2 #1/#3)
+        if hasattr(scl, "n_snps_all"):
+            smax = int(np.max(scl.n_snps_all(), initial=0))
+            # conservative pow2 bucket: coverage-sorted blocking pads
+            # slot axes to powers of two
+            if _bucket(max(smax, 1), minimum=128) > 0xFFFF:
+                return None
         # the cfg cache rides ON the pileup (an id(scl)-keyed engine
         # cache could serve a stale dictionary to a DIFFERENT pileup
         # allocated at a reused address — review r5 #3; a stale dict
@@ -754,6 +764,14 @@ class DemuxEngine:
             elif msk is None and isinstance(idx, tuple):
                 codes, wire = _to_wire(codes, idx)  # codes IS the buffer now
                 idx = None
+            # invariant: with a v2 cfg active, this run's LUTs are the
+            # dict-narrowed tables — a v1-form block here would be
+            # scored against the wrong rows (silent corruption, review
+            # r5-2 #1). The run-level slot-extent gate in _wire_cfg_for
+            # makes mixing unreachable; fail loudly if it ever isn't.
+            assert cfg is None or (wire is not None and wire[0] == "w2"), (
+                "v1-form block in a wire-v2 run"
+            )
             self.h2d_bytes += codes.nbytes + sum(
                 e.nbytes
                 for buf in (idx, msk)

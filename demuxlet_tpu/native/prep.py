@@ -175,7 +175,7 @@ def pack_block_v2(csr, cell_ids, cfg, cap_bq=40, pad_slots_to=128,
 
     cands = []
     c = 1
-    while c <= 0x10000:  # covers any pow2 U bucket (occ <= S <= 65535)
+    while c <= 0x10000:  # pow2 U buckets up to 2^16 (deeper -> fallback)
         cands.append(c)
         c *= 2
     cands_a = np.asarray(cands, dtype=np.int64)
@@ -198,6 +198,11 @@ def pack_block_v2(csr, cell_ids, cfg, cap_bq=40, pad_slots_to=128,
     U = 1
     while U < umax:
         U *= 2
+    if U > cands[-1]:
+        # dims only tallied tails up to the last candidate; a deeper
+        # block (pathological >2^16-deep slot) falls back to the Python
+        # packer rather than mis-sizing K2p (silent tail truncation)
+        return None
 
     if floors is None and floors_for is not None:
         floors = floors_for((Sp, U))  # engine meta-registry lookup

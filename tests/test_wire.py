@@ -401,6 +401,10 @@ def test_engine_python_packer_matches_native(tmp_path):
     )
     gps = rng.dirichlet(np.ones(3), size=(NS, V))
 
+    native = pytest.importorskip("demuxlet_tpu.native.prep")
+    if not native.available():
+        pytest.skip("native prep not built — parity arm would be vacuous")
+
     def run(no_native):
         if no_native:
             os.environ["DEMUX_TPU_NO_NATIVE_PREP"] = "1"
