@@ -362,3 +362,27 @@ def test_cli_bgzf_output(workload):
         with gzip.open(str(tmp / "comp") + ext + ".gz", "rb") as fh:
             got = fh.read()
         assert got == want, ext
+
+
+def test_cli_backend_init_timeout(workload, tmp_path, monkeypatch):
+    """A hanging engine/backend init (dead accelerator relay) must fail
+    loudly within DEMUX_TPU_BACKEND_TIMEOUT instead of joining forever
+    (observed live when the TPU tunnel went down mid-round-5)."""
+    import time as _t
+
+    import demuxlet_tpu.models.engine as eng_mod
+    from demuxlet_tpu.utils.logging_utils import DemuxError
+
+    _, vcf, bam, _truth = workload
+
+    class _HangingEngine:
+        def __init__(self, *a, **k):
+            _t.sleep(60)
+
+    monkeypatch.setattr(eng_mod, "DemuxEngine", _HangingEngine)
+    monkeypatch.setenv("DEMUX_TPU_BACKEND_TIMEOUT", "1.5")
+    with pytest.raises(DemuxError, match="did not complete within"):
+        cli.main([
+            "--sam", bam, "--vcf", vcf, "--field", "GT",
+            "--out", str(tmp_path / "to"), "--device", "cpu",
+        ])
