@@ -98,6 +98,24 @@ class WireCfg:
         return lut
 
 
+def size_bucket(n: int, lo: int) -> int:
+    """Smallest {2^k, 3*2^(k-1)} ladder value >= n, from lo up (lo a
+    power of two; half-steps start at 3*lo so every value stays a
+    multiple of lo). The tail/fix planes pad per cell to the BLOCK max
+    entry count: pure pow2 rounding wastes up to 2x there (round-5
+    realistic probe_tail_pad: K2p need 1089 -> 2048), the half-pow2
+    ladder caps it at 1.5x for at most one extra compiled variant per
+    shape key. lo=16 keeps K2p a multiple of 16 (i32-lane alignment of
+    the cw-packed tail codes at every cw), lo=8 likewise for Kp."""
+    b = lo
+    while b < n:
+        h = b + b // 2
+        if b >= 2 * lo and h >= n:
+            return h
+        b *= 2
+    return b
+
+
 def _width_for(n_values: int) -> int:
     if n_values <= 16:
         return 4
@@ -260,9 +278,9 @@ def _choose_u0(wc: np.ndarray, cfg: WireCfg) -> int:
     while u0 < U:
         tails = lane_counts[:, u0:].sum(axis=1)
         K2 = int(tails.max()) if B else 0
-        K2p = 16  # same floor as _split_tail / the native wrapper
-        while K2p < K2:
-            K2p *= 2
+        # same 16-floor + half-pow2 ladder as _split_tail / the native
+        # wrapper (the cost model must price the shipped layout)
+        K2p = size_bucket(max(K2, 1), 16)
         tw = 16 if S * (U - u0) <= 0xFFFF else 32
         cost = (S * u0 * cfg.code_w / 8.0
                 + K2p * (tw / 8.0 + cfg.code_w / 8.0))
@@ -294,10 +312,9 @@ def _split_tail(wc: np.ndarray, cfg: WireCfg, u0_pin=None,
     tmask = (deep != cfg.none).reshape(B, -1)
     rows, cols, rank, counts = _ragged_fill(tmask)
     K2 = int(counts.max()) if B else 0
-    # 16-floor keeps the code_w-packed tail-code bytes lane-aligned
-    K2p = max(16, k2p_floor)
-    while K2p < K2:
-        K2p *= 2
+    # 16-floor keeps the code_w-packed tail-code bytes lane-aligned;
+    # half-pow2 ladder (size_bucket) caps max-padding at 1.5x
+    K2p = size_bucket(max(K2, k2p_floor, 1), 16)
     # pad entries point past the tail plane: the device scatter drops
     # out-of-bounds rows (mode="drop"); the pad value stays OOB because
     # S*(U-U0) <= 0xFFFF was checked for tw == 16
@@ -341,9 +358,7 @@ def _pack_deltas(d: np.ndarray, cfg: WireCfg, kp_floor=8):
     E = (1 << delta_w) - 1
     rows, cols, rank, n_over = _ragged_fill(d > E)
     K = int(n_over.max()) if B else 0
-    Kp = max(8, kp_floor)
-    while Kp < K:
-        Kp *= 2
+    Kp = size_bucket(max(K, kp_floor, 1), 8)
     fix_pos = np.zeros((B, Kp), dtype=np.uint16)
     fix_val = np.zeros((B, Kp), dtype=np.int32)
     if K:

@@ -208,11 +208,9 @@ def pack_block_v2(csr, cell_ids, cfg, cap_bq=40, pad_slots_to=128,
         floors = floors_for((Sp, U))  # engine meta-registry lookup
     u0_pin, k2p_floor, kp_floor = floors if floors else (None, 16, 8)
 
-    def bucket(n, lo):
-        b = lo
-        while b < n:
-            b *= 2
-        return b
+    # half-pow2 size ladder shared with the Python packer — the two
+    # routes must emit identical metas (test_native pins byte parity)
+    from demuxlet_tpu.host.wire import size_bucket as bucket
 
     if u0_pin is not None:
         U0 = min(u0_pin, U)
@@ -237,8 +235,8 @@ def pack_block_v2(csr, cell_ids, cfg, cap_bq=40, pad_slots_to=128,
         K2p, tw = 0, 16
     else:
         tw = 16 if Sp * (U - U0) <= 0xFFFF else 32
-        K2p = bucket(max(tails_max.get(U0, 0), 1), max(16, k2p_floor))
-    Kp = bucket(max(kmax, 1), max(8, kp_floor))
+        K2p = bucket(max(tails_max.get(U0, 0), k2p_floor, 1), 16)
+    Kp = bucket(max(kmax, kp_floor, 1), 8)
 
     codes_b = Sp * U0 * cw // 8
     tpos_b = K2p * (tw // 8)
