@@ -265,6 +265,15 @@ def _ragged_fill(mask_rows: np.ndarray):
     return rows, cols, rank, counts
 
 
+def _tail_width(S: int, U: int, u0: int) -> int:
+    """Tail position width in bits: 16 = flat u16 pos (cheapest), 24 =
+    (slot u16, lane u8) split planes when the flat space outgrows u16
+    but the lane index fits u8, 32 = flat i32 (deep-U pathology)."""
+    if S * (U - u0) <= 0xFFFF:
+        return 16
+    return 24 if U - u0 <= 0xFF else 32
+
+
 def _choose_u0(wc: np.ndarray, cfg: WireCfg) -> int:
     """Per-block dense-lane cap by wire-byte cost: dense lanes cost
     S*code_w/8 per lane; each tail entry costs pos+code bytes at the
@@ -281,7 +290,7 @@ def _choose_u0(wc: np.ndarray, cfg: WireCfg) -> int:
         # same 16-floor + half-pow2 ladder as _split_tail / the native
         # wrapper (the cost model must price the shipped layout)
         K2p = size_bucket(max(K2, 1), 16)
-        tw = 16 if S * (U - u0) <= 0xFFFF else 32
+        tw = _tail_width(S, U, u0)
         cost = (S * u0 * cfg.code_w / 8.0
                 + K2p * (tw / 8.0 + cfg.code_w / 8.0))
         if cost < best_cost:
@@ -307,7 +316,7 @@ def _split_tail(wc: np.ndarray, cfg: WireCfg, u0_pin=None,
         U0 = _choose_u0(wc, cfg) if cfg.adaptive else min(cfg.u_cap, U)
     if U == U0:
         return wc, U0, 0, 16, None, None
-    tw = 16 if S * (U - U0) <= 0xFFFF else 32
+    tw = _tail_width(S, U, U0)
     deep = wc[:, :, U0:]  # (B, S, U-U0)
     tmask = (deep != cfg.none).reshape(B, -1)
     rows, cols, rank, counts = _ragged_fill(tmask)
@@ -317,14 +326,26 @@ def _split_tail(wc: np.ndarray, cfg: WireCfg, u0_pin=None,
     K2p = size_bucket(max(K2, k2p_floor, 1), 16)
     # pad entries point past the tail plane: the device scatter drops
     # out-of-bounds rows (mode="drop"); the pad value stays OOB because
-    # S*(U-U0) <= 0xFFFF was checked for tw == 16
+    # S*(U-U0) <= 0xFFFF was checked for tw == 16. tw == 24 ships
+    # (slot u16, lane u8) planes — 3 B/entry where the flat i32 form
+    # needs 4 — with pad slot = S (u16-safe: S <= 0xFFFF; device
+    # rebuilds flat pos = slot*(U-U0) + lane, so the pad decodes to
+    # the same S*(U-U0) OOB sentinel as tw == 32)
     if tw == 16:
         tail_pos = np.full((B, K2p), 0xFFFF, dtype=np.uint16)
+    elif tw == 24:
+        tail_slot = np.full((B, K2p), S, dtype=np.uint16)
+        tail_lane = np.zeros((B, K2p), dtype=np.uint8)
+        tail_pos = (tail_slot, tail_lane)
     else:
         tail_pos = np.full((B, K2p), S * (U - U0), dtype=np.int32)
     tail_code = np.full((B, K2p), cfg.none, dtype=np.uint8)
     if K2:
-        tail_pos[rows, rank] = cols.astype(tail_pos.dtype)
+        if tw == 24:
+            tail_slot[rows, rank] = (cols // (U - U0)).astype(np.uint16)
+            tail_lane[rows, rank] = (cols % (U - U0)).astype(np.uint8)
+        else:
+            tail_pos[rows, rank] = cols.astype(tail_pos.dtype)
         tail_code[rows, rank] = deep.reshape(B, -1)[rows, cols]
     dense = wc[:, :, :U0].copy()
     # marker rule: a slot whose real codes live ONLY in deep lanes
@@ -384,7 +405,12 @@ def _assemble(wc, base, d, cfg: WireCfg, floors=None):
                                                  kp_floor=kp_floor)
     parts = [pack_bits(dense.reshape(B, S * U0), cfg.code_w).view(np.int32)]
     if K2p:
-        parts.append(np.ascontiguousarray(tail_pos).view(np.int32))
+        if tw == 24:  # (slot u16, lane u8) planes
+            tail_slot, tail_lane = tail_pos
+            parts.append(np.ascontiguousarray(tail_slot).view(np.int32))
+            parts.append(np.ascontiguousarray(tail_lane).view(np.int32))
+        else:
+            parts.append(np.ascontiguousarray(tail_pos).view(np.int32))
         parts.append(pack_bits(tail_code, cfg.code_w).view(np.int32))
     if dw == 16:
         parts.append(np.ascontiguousarray(dsm).view(np.int32))

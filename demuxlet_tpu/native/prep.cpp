@@ -294,7 +294,10 @@ int dmx_pack2_fill(const int64_t* cell_ptr, const int32_t* obs_snp,
           const int64_t pos = s * (U - U0) + (occ - U0);
           if (tw == 16)
             reinterpret_cast<uint16_t*>(tpos8)[ntail] = (uint16_t)pos;
-          else
+          else if (tw == 24) { /* (slot u16, lane u8) planes */
+            reinterpret_cast<uint16_t*>(tpos8)[ntail] = (uint16_t)s;
+            (tpos8 + K2p * 2)[ntail] = (uint8_t)(occ - U0);
+          } else
             reinterpret_cast<int32_t*>(tpos8)[ntail] = (int32_t)pos;
           int64_t tbit = ntail * cw;
           put_bits(tcode8, &tbit, wc, (int)cw);
@@ -314,6 +317,8 @@ int dmx_pack2_fill(const int64_t* cell_ptr, const int32_t* obs_snp,
     for (int64_t t = ntail; t < K2p; ++t) {
       if (tw == 16)
         reinterpret_cast<uint16_t*>(tpos8)[t] = 0xFFFF;
+      else if (tw == 24) /* slot = Sp sentinel; lane plane is memset 0 */
+        reinterpret_cast<uint16_t*>(tpos8)[t] = (uint16_t)Sp;
       else
         reinterpret_cast<int32_t*>(tpos8)[t] = (int32_t)(Sp * (U - U0));
       int64_t tbit = t * cw;

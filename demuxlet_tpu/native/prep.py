@@ -208,9 +208,10 @@ def pack_block_v2(csr, cell_ids, cfg, cap_bq=40, pad_slots_to=128,
         floors = floors_for((Sp, U))  # engine meta-registry lookup
     u0_pin, k2p_floor, kp_floor = floors if floors else (None, 16, 8)
 
-    # half-pow2 size ladder shared with the Python packer — the two
-    # routes must emit identical metas (test_native pins byte parity)
-    from demuxlet_tpu.host.wire import size_bucket as bucket
+    # half-pow2 size ladder + tail width rule shared with the Python
+    # packer — the two routes must emit identical metas (test_native
+    # pins byte parity)
+    from demuxlet_tpu.host.wire import _tail_width, size_bucket as bucket
 
     if u0_pin is not None:
         U0 = min(u0_pin, U)
@@ -222,7 +223,7 @@ def pack_block_v2(csr, cell_ids, cfg, cap_bq=40, pad_slots_to=128,
         c = 1
         while c < U:
             K2p_c = bucket(tails_max[c], 16)
-            tw_c = 16 if Sp * (U - c) <= 0xFFFF else 32
+            tw_c = _tail_width(Sp, U, c)
             cost = Sp * c * cw / 8.0 + K2p_c * (tw_c / 8.0 + cw / 8.0)
             if cost < best_cost:
                 best_u0, best_cost = c, cost
@@ -234,7 +235,7 @@ def pack_block_v2(csr, cell_ids, cfg, cap_bq=40, pad_slots_to=128,
     if U == U0:
         K2p, tw = 0, 16
     else:
-        tw = 16 if Sp * (U - U0) <= 0xFFFF else 32
+        tw = _tail_width(Sp, U, U0)
         K2p = bucket(max(tails_max.get(U0, 0), k2p_floor, 1), 16)
     Kp = bucket(max(kmax, kp_floor, 1), 8)
 

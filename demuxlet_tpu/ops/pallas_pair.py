@@ -923,7 +923,21 @@ def _unpack_wire_v2(wbuf, meta, parts=False):
             tpos = jax.lax.bitcast_convert_type(
                 wbuf[:, off : off + ntp], jnp.uint16
             ).reshape(B, K2p).astype(jnp.int32)
-        else:  # i32 positions: tail plane outgrew u16 addressing
+        elif tw == 24:
+            # (slot u16, lane u8) planes — rebuilt into the flat pos the
+            # scatters consume; pad entries (slot == S) land on the same
+            # S*(U-U0) OOB sentinel as tw == 32
+            ns = K2p * 2 // 4
+            nl = K2p // 4
+            tslot = jax.lax.bitcast_convert_type(
+                wbuf[:, off : off + ns], jnp.uint16
+            ).reshape(B, K2p).astype(jnp.int32)
+            tlane = jax.lax.bitcast_convert_type(
+                wbuf[:, off + ns : off + ns + nl], jnp.uint8
+            ).reshape(B, K2p).astype(jnp.int32)
+            tpos = tslot * jnp.int32(U - U0) + tlane
+            ntp = ns + nl
+        else:  # i32 positions: lane index outgrew u8 (deep-U pathology)
             ntp = K2p
             tpos = wbuf[:, off : off + ntp]
         off += ntp

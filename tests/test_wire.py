@@ -112,6 +112,31 @@ def test_wire_v2_deep_tail_entries():
     assert buf.shape[1] * 4 * codes.shape[0] < dense_bytes
 
 
+def test_wire_v2_tail_width_24_roundtrip():
+    """Big-S deep-U blocks where the flat tail space outgrows u16 but
+    the lane index fits u8 ship (slot u16, lane u8) planes (tw == 24,
+    3 B/entry vs 4 for flat i32); the device rebuilds flat positions —
+    codes, ids, and mask must roundtrip exactly, incl. pad sentinels."""
+    rng = np.random.default_rng(17)
+    codes, idx, msk, code_vals = _rand_block(rng, B=12, S=1280, U=64,
+                                             ncodes=10)
+    # force real deep lanes: a few PCR-hot slots per row
+    for b in range(10):
+        hot = rng.choice(200, size=3, replace=False)
+        codes[b, hot, :40] = code_vals[rng.integers(0, 10, size=(3, 40))]
+        msk[b, hot] = True
+        idx[b] = np.cumsum(rng.integers(1, 4, size=1280))
+    cfg = _cfg(code_vals, u_cap=1)
+    buf, meta = W.pack_wire_block(codes, idx, msk, cfg)
+    U0, tw = meta[3], meta[9]
+    assert tw == 24 and 1280 * (64 - U0) > 0xFFFF and 64 - U0 <= 255
+    got_c, got_idx, got_msk = _device_unpack(buf, meta)
+    want = _expected_codes(codes, msk, cfg, U0)
+    np.testing.assert_array_equal(got_c, want)
+    np.testing.assert_array_equal(got_msk, msk)
+    np.testing.assert_array_equal(got_idx[msk], idx[msk])
+
+
 def test_pack_bits_roundtrip():
     rng = np.random.default_rng(3)
     for w, hi in ((4, 16), (6, 64), (8, 256)):
